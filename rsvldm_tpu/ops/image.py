@@ -1,0 +1,107 @@
+"""Host-side image preparation + jitted resize ops.
+
+Replaces /root/reference models/util.py:132-239 (PIL2Tensor / Tensor2PIL /
+Numpy2Tensor), data/dataset.py:30-42 (bicubic LR upsample + normalize) and
+utils/tensor2img.py. Host code uses PIL/NumPy (one-time per image); anything
+on the hot path is a jitted jax.image.resize.
+
+Internal layout is NHWC float32 in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # PIL is only needed on the host IO path.
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def round_to_multiple(x: float, m: int = 64) -> int:
+    """Round to the nearest multiple of m (models/util.py:150-151 semantics)."""
+    return int(np.round(x / float(m))) * m
+
+
+def pil_to_array(img, upscale: float = 1, min_size: int = 1024,
+                 fix_resize: int | None = None, unit: int = 64):
+    """PIL.Image -> (np.float32 [H,W,3] in [-1,1], h0, w0).
+
+    Mirrors PIL2Tensor (models/util.py:132-156): scale by `upscale`, enforce
+    `min_size` on the short side, round H/W to /64, bicubic resample.
+    h0/w0 are the pre-rounding target sizes used to resize the final output
+    back (Tensor2PIL).
+    """
+    w, h = img.size
+    w *= upscale
+    h *= upscale
+    w0, h0 = round(w), round(h)
+    if min(w, h) < min_size:
+        s = min_size / min(w, h)
+        w *= s
+        h *= s
+    if fix_resize is not None:
+        s = fix_resize / min(w, h)
+        w *= s
+        h *= s
+        w0, h0 = round(w), round(h)
+    w = round_to_multiple(w, unit)
+    h = round_to_multiple(h, unit)
+    x = img.convert("RGB").resize((w, h), Image.BICUBIC)
+    x = np.asarray(x).round().clip(0, 255).astype(np.uint8)
+    x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
+    return x, h0, w0
+
+
+def array_to_pil(x: np.ndarray, h0: int | None = None, w0: int | None = None):
+    """[H,W,3] float in [-1,1] -> PIL.Image, optionally bicubic-resized to (h0,w0).
+
+    Mirrors Tensor2PIL (models/util.py:159-166).
+    """
+    x = np.asarray(x)
+    if h0 is not None and w0 is not None and (x.shape[0] != h0 or x.shape[1] != w0):
+        x = np.asarray(resize_bicubic(jnp.asarray(x)[None], (h0, w0))[0])
+    x = (x * 127.5 + 127.5).clip(0, 255).astype(np.uint8)
+    return Image.fromarray(x)
+
+
+def to_uint8(x: np.ndarray, min_max=(-1.0, 1.0)) -> np.ndarray:
+    """[H,W,C] float -> uint8, like utils/tensor2img.py:4-21 (3D path)."""
+    x = np.asarray(x, dtype=np.float32)
+    x = (np.clip(x, *min_max) - min_max[0]) / (min_max[1] - min_max[0])
+    return (x * 255.0).round().astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_bicubic(x: jnp.ndarray, size: tuple[int, int], antialias: bool = True) -> jnp.ndarray:
+    """Bicubic resize of an NHWC batch to (H, W)."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="cubic",
+                            antialias=antialias)
+
+
+def load_lr_conditioning(path: str, upscale: int):
+    """Single-image Stage-1 input: bicubic-upsample x`upscale`, center-crop,
+    [-1,1]. Mirrors data/dataset.py:30-42 (resize max(w,h)*scale + center crop).
+
+    Returns np.float32 [H,W,3].
+    """
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    target = max(w, h) * upscale
+    # torchvision Resize(int) scales the SHORT side to `target`; then center
+    # crop to (target, target).
+    if w < h:
+        nw, nh = target, int(round(h * target / w))
+    else:
+        nh, nw = target, int(round(w * target / h))
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - target) // 2
+    top = (nh - target) // 2
+    img = img.crop((left, top, left + target, top + target))
+    x = np.asarray(img).astype(np.float32) / 255.0
+    return (x - 0.5) / 0.5
