@@ -43,51 +43,13 @@ class VAEConfig:
 
 SDXL_VAE_CONFIG = VAEConfig()
 
-# Set by tiled.py while tracing the tile-batched path: GroupNorm then reduces
-# jointly over the leading (tile) axis — the TPU equivalent of the reference
-# tiled-VAE's accumulated global GroupNorm stats (utils/tilevae.py:599-674).
-# When tiles are sharded over a mesh axis, the same reduction becomes a psum.
-_TILE_COLLECTIVE_GN: dict = {"on": False, "axis_name": None}
-
-
-class GroupNorm32(nn.Module):
-    """SD 'Normalize': GroupNorm(32, eps=1e-6), stats in fp32.
-
-    Identical params/shapes to flax nn.GroupNorm (scale/bias per channel) but
-    with an optional tile-collective mode where the mean/var reduction also
-    spans the leading tile axis (and a named mesh axis via pmean when
-    sharded), giving whole-image statistics for tiled execution.
-    """
-    epsilon: float = 1e-6
-    num_groups: int = 32
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        g = math.gcd(self.num_groups, c)  # = num_groups for all real configs
-        xf = x.astype(jnp.float32)
-        shp = xf.shape
-        xg = xf.reshape(shp[:-1] + (g, c // g))
-        collective = _TILE_COLLECTIVE_GN["on"]
-        axes = tuple(range(0 if collective else 1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = jnp.mean(xg, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
-        axis_name = _TILE_COLLECTIVE_GN["axis_name"]
-        if collective and axis_name is not None:
-            mean_g = jax.lax.pmean(mean, axis_name)
-            # var over union = E[x^2] - E[x]^2 across shards
-            ex2 = jax.lax.pmean(var + jnp.square(mean), axis_name)
-            var = ex2 - jnp.square(mean_g)
-            mean = mean_g
-        y = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y.reshape(shp)
-        return (y * scale + bias).astype(x.dtype)
+# Shared GroupNorm (fp32 stats, tile-collective option for the tiled VAE).
+from ...ops.norm import GroupNorm32  # noqa: E402
 
 
 def _norm(name: str):
-    return GroupNorm32(name=name)
+    # SD 'Normalize': GroupNorm(32, eps=1e-6)
+    return GroupNorm32(epsilon=1e-6, name=name)
 
 
 class VAEResnetBlock(nn.Module):

@@ -17,28 +17,15 @@ each tile's valid core is cropped and stitched.
 
 from __future__ import annotations
 
-import contextlib
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from .model import _TILE_COLLECTIVE_GN
+from ...ops.norm import tile_collective_gn
 
 ENCODER_PAD = 32   # image-space halo (tilevae.py:682)
 DECODER_PAD = 11   # latent-space halo (tilevae.py:684)
-
-
-@contextlib.contextmanager
-def tile_collective_gn(axis_name: str | None = None):
-    """Trace-scope switch: GroupNorms reduce over the leading tile axis."""
-    prev = dict(_TILE_COLLECTIVE_GN)
-    _TILE_COLLECTIVE_GN["on"] = True
-    _TILE_COLLECTIVE_GN["axis_name"] = axis_name
-    try:
-        yield
-    finally:
-        _TILE_COLLECTIVE_GN.update(prev)
 
 
 def plan_tiles(size: int, tile: int) -> list[tuple[int, int]]:

@@ -1,0 +1,49 @@
+"""Multi-head attention dispatch: Pallas flash kernel on TPU, fused XLA
+einsum path elsewhere.
+
+Replaces every attention backend the reference selects between —
+xformers memory_efficient_attention / torch SDPA (sgm/modules/attention.py:
+273-373), the VAE AttnBlock matmuls and flash-attn for the LLM — with one
+entry point. Layout: [B, S, H, D].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, *, causal: bool = False, scale: float | None = None):
+    """Plain batched attention with fp32 accumulation; XLA fuses the softmax
+    chain into the matmuls on TPU. Fine for short/medium sequences."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        sq, sk = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+              causal: bool = False, scale: float | None = None,
+              impl: str = "auto") -> jnp.ndarray:
+    """q: [B, Sq, H, D]; k/v: [B, Sk, H, D] -> [B, Sq, H, D].
+
+    impl: "auto" picks the Pallas flash kernel on TPU for long sequences,
+    else the XLA path. "xla" / "flash" force a backend.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        long_seq = q.shape[1] >= 1024 and k.shape[1] >= 1024
+        impl = "flash" if (on_tpu and long_seq) else "xla"
+    if impl == "flash":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    return _xla_attention(q, k, v, causal=causal, scale=scale)

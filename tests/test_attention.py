@@ -1,0 +1,46 @@
+"""Flash-attention kernel vs reference XLA attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvldm_tpu.ops.attention import _xla_attention, attention
+from rsvldm_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32) * 0.5
+
+
+@pytest.mark.parametrize("sq,sk,causal", [
+    (128, 128, False),
+    (128, 77, False),    # cross-attn to text tokens
+    (200, 200, False),   # non-multiple of block
+    (128, 128, True),
+    (96, 96, True),
+])
+def test_flash_matches_xla(sq, sk, causal):
+    b, h, d = 2, 4, 64
+    q = _rand((b, sq, h, d), 0)
+    k = _rand((b, sk, h, d), 1)
+    v = _rand((b, sk, h, d), 2)
+    ref = _xla_attention(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64,
+                          interpret=True)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_attention_dispatch():
+    q = _rand((1, 32, 2, 64), 3)
+    out = attention(q, q, q)
+    assert out.shape == q.shape
+
+
+def test_flash_bf16():
+    b, s, h, d = 1, 128, 2, 64
+    q = _rand((b, s, h, d), 4).astype(jnp.bfloat16)
+    ref = _xla_attention(q, q, q)
+    out = flash_attention(q, q, q, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.array(out, np.float32), np.array(ref, np.float32),
+                               atol=3e-2)

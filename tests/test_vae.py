@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from rsvldm_tpu.models.vae import VAEConfig, AutoencoderKL, DiagonalGaussian
-from rsvldm_tpu.models.vae.model import GroupNorm32, Encoder, Decoder
+from rsvldm_tpu.ops.norm import GroupNorm32
+from rsvldm_tpu.models.vae.model import Encoder, Decoder
 from rsvldm_tpu.models.vae import tiled
 
 TINY = VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
