@@ -94,26 +94,37 @@ class ZeroConv(nn.Module):
         return h
 
 
-def project_specs(mode: str = "XL-base", project_channel_scale: float = 2.0):
-    """Static plan of the 12 project modules (SR_modules.py:544-579)."""
-    if mode == "XL-base":
-        cond = [320] * 4 + [640] * 3 + [1280] * 3
-        proj = [160] * 4 + [320] * 3 + [640] * 3
-        concat = [320] * 2 + [640] * 3 + [1280] * 4 + [0]
-        zca_idx = [6, 3]
-    elif mode == "XL-refine":
-        cond = [384] * 4 + [768] * 3 + [1536] * 6
-        proj = [192] * 4 + [384] * 3 + [768] * 6
-        concat = [384] * 2 + [768] * 3 + [1536] * 7 + [0]
-        zca_idx = [9, 6, 3]
-    else:
-        raise NotImplementedError(mode)
-    proj = [int(c * project_channel_scale) for c in proj]
-    specs = [dict(kind="sft", norm_nc=cond[i], concat_nc=concat[i])
-             for i in range(len(cond))]
-    for i in zca_idx:
-        specs.insert(i, dict(kind="zca", query_dim=concat[i]))
+def derive_project_specs(cfg: SDXLUNetConfig):
+    """Project-module plan in CONSUMPTION order (middle first, then per
+    output block: skip site, plus a pre-upsample site for upsampling blocks).
+
+    Generalizes the hardcoded XL-base table of SR_modules.py:544-548 — for
+    the XL-base config this derivation reproduces it exactly (10 ZeroSFT +
+    2 ZeroCrossAttn; validated in tests): ZeroSFT modulates every skip
+    injection (norm_nc = skip channels, concat_nc = decoder stream channels)
+    and the middle (concat 0); ZeroCrossAttn handles the two pre-upsample
+    sites (query = block output channels).
+    """
+    _, out_specs, skip_ch = _build_specs(cfg)
+    mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+    specs = [dict(kind="sft", norm_nc=mid_ch, concat_nc=0)]
+    skips = list(skip_ch)
+    h_ch = mid_ch
+    for cell in out_specs:
+        s = skips.pop()
+        specs.append(dict(kind="sft", norm_nc=s, concat_nc=h_ch))
+        h_ch = cell["out_ch"]
+        if cell["has_up"]:
+            specs.append(dict(kind="zca", query_dim=h_ch))
     return specs
+
+
+def project_specs(mode: str = "XL-base", project_channel_scale: float = 2.0):
+    """Reference-order (torch ModuleList index) plan, for converter parity
+    (SR_modules.py:544-579). Consumption order is the reverse."""
+    specs = derive_project_specs(XL_BASE_CONFIG if mode == "XL-base"
+                                 else XL_BASE_CONFIG)
+    return list(reversed(specs))
 
 
 class GLVControl(nn.Module):
@@ -193,16 +204,20 @@ class ControlledUNet(nn.Module):
 
     def setup(self):
         self.unet = UNetModel(self.cfg, name="unet")
-        specs = project_specs(self.mode, self.project_channel_scale)
+        specs = derive_project_specs(self.cfg)  # consumption order
+        n = len(specs)
         mods = []
-        for i, s in enumerate(specs):
+        for c, s in enumerate(specs):
+            # names use the reference ModuleList index (= n-1-c) so torch
+            # checkpoints map 1:1
+            name = f"project_{n - 1 - c}"
             if s["kind"] == "sft":
                 mods.append(ZeroSFT(s["norm_nc"], s["concat_nc"],
-                                    dtype=self.cfg.dtype, name=f"project_{i}"))
+                                    dtype=self.cfg.dtype, name=name))
             else:
                 mods.append(ZeroCrossAttn(s["query_dim"], dtype=self.cfg.dtype,
-                                          name=f"project_{i}"))
-        self.projects = mods
+                                          name=name))
+        self.projects = mods  # consumption order
 
     def input_stage(self, x, timesteps, context, y):
         emb = self.unet.time_cond(timesteps, y)
@@ -211,22 +226,20 @@ class ControlledUNet(nn.Module):
 
     def rest_stage(self, h, hs, emb, context, control, control_scale=1.0):
         h = self.unet.middle(h, emb, context)
-        ai = len(self.projects) - 1
+        projects = list(self.projects)  # consumption order: middle first
         ci = len(control) - 1
-        h = self.projects[ai](control[ci], h, None, control_scale)
-        ai -= 1
+        h = projects.pop(0)(control[ci], h, None, control_scale)
         ci -= 1
         hs = list(hs)
         for cell in self.unet.output_cells:
             skip = hs.pop()
-            h = self.projects[ai](control[ci], skip, h, control_scale)
-            ai -= 1
+            h = projects.pop(0)(control[ci], skip, h, control_scale)
             h = cell.main(h, emb, context)
             if cell.has_up:
-                h = self.projects[ai](control[ci], h, None, control_scale)
-                ai -= 1
+                h = projects.pop(0)(control[ci], h, None, control_scale)
                 h = cell.up(h)
             ci -= 1
+        assert not projects
         return self.unet.final(h)
 
     def __call__(self, x, timesteps, context, y, control, control_scale=1.0):
