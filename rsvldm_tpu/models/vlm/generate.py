@@ -1,0 +1,148 @@
+"""LLaVA caption generation: prompt build, embed splice, scan decode.
+
+Parity target: /root/reference models/util.py get_img_describe (:17-66),
+llava/model/llava_arch.py prepare_inputs_labels_for_multimodal embedding
+splice at IMAGE_TOKEN_INDEX=-200 (:447-533), llava/mm_utils.py
+tokenizer_image_token (:343-362), llava/conversation.py llama_3 template
+(:387-398) and HF generate (temperature sampling, eot stop).
+
+TPU design: the autoregressive loop is ONE lax.scan over max_new_tokens with
+the KV cache in the carry — no per-token host round trip. Prompt lengths are
+bucketed (pad to /128) so recompilation is rare across images.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .llama import KVCache, LlamaModel
+
+IMAGE_TOKEN_INDEX = -200     # llava/constants.py:7-12
+DEFAULT_IMAGE_TOKEN = "<image>"
+LLAMA3_EOT = 128009          # <|eot_id|> (conversation.py stop_token_ids)
+
+SYSTEM_PROMPT = ("You are a helpful language and vision assistant. "
+                 "You are able to understand the visual content that the user "
+                 "provides, and assist the user with a variety of tasks using "
+                 "natural language.")
+
+
+def llama3_chat_prompt(user_message: str, system: str = SYSTEM_PROMPT) -> str:
+    """Llama-3 chat template with generation header (the llava_llama_3
+    conversation renders via tokenizer.apply_chat_template)."""
+    return ("<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+            f"{system}<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
+            f"{user_message}<|eot_id|>"
+            "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
+def tokenize_with_image(prompt: str, encode_fn: Callable[[str], list],
+                        image_token_index: int = IMAGE_TOKEN_INDEX) -> np.ndarray:
+    """Split the prompt at <image> and splice the sentinel id between chunks
+    (mm_utils.tokenizer_image_token). encode_fn must NOT add special tokens."""
+    chunks = [encode_fn(c) for c in prompt.split(DEFAULT_IMAGE_TOKEN)]
+    ids: list[int] = list(chunks[0])
+    for chunk in chunks[1:]:
+        ids.append(image_token_index)
+        ids.extend(chunk)
+    return np.asarray(ids, dtype=np.int32)
+
+
+def splice_image_embeds(token_ids: np.ndarray, text_embeds: jnp.ndarray,
+                        image_features: jnp.ndarray) -> jnp.ndarray:
+    """Replace the single -200 position with the image token stream
+    (llava_arch.py:447-495; single image, batch 1).
+
+    token_ids: [S] host ints; text_embeds: [S, D] (embedding of token_ids
+    with the sentinel clamped); image_features: [T, D]."""
+    pos = int(np.where(token_ids == IMAGE_TOKEN_INDEX)[0][0])
+    return jnp.concatenate([text_embeds[:pos], image_features,
+                            text_embeds[pos + 1:]], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int = 256     # infer.py:162
+    temperature: float = 0.2      # models/util.py:27
+    do_sample: bool = True
+    eot_ids: Sequence[int] = (LLAMA3_EOT,)
+    pad_to: int = 128             # prompt-length bucket
+
+
+def generate(model: LlamaModel, params: Any, input_embeds: jnp.ndarray,
+             cfg: GenerateConfig, rng: jax.Array) -> np.ndarray:
+    """input_embeds: [S, D] spliced prompt -> np.int32 generated ids
+    (trimmed at the first eot)."""
+    s = input_embeds.shape[0]
+    s_pad = -(-s // cfg.pad_to) * cfg.pad_to
+    total = s_pad + cfg.max_new_tokens
+    # Right-pad the prompt to the bucket size. The pad positions s..s_pad-1
+    # hold garbage K/V after prefill, but they are never visible: the causal
+    # mask hides them from position s-1 (where the first logits are read) and
+    # each decode step overwrites position s+i before any later query sees it.
+    pad = s_pad - s
+    embeds = jnp.pad(input_embeds, ((0, pad), (0, 0)))[None]  # [1, s_pad, D]
+
+    cache = KVCache.init(model.cfg, 1, total, dtype=model.cfg.dtype)
+    logits, cache = model.apply(params, embeds, cache, 0)
+    last_logits = logits[0, s - 1]  # last REAL prompt position
+
+    def sample(lg, key):
+        if cfg.do_sample and cfg.temperature > 0:
+            return jax.random.categorical(key, lg / cfg.temperature)
+        return jnp.argmax(lg)
+
+    tok0 = sample(last_logits, rng)
+    eot = jnp.asarray(list(cfg.eot_ids))
+
+    def body(carry, i):
+        tok, cache, done = carry
+        emb = model.apply(params, tok[None, None], method=model.embed)
+        # decode positions continue from the REAL prompt length; the padded
+        # tail of the prefill (positions s..s_pad) is never attended because
+        # we overwrite from position s onward
+        lg, cache = model.apply(params, emb, cache, s + i)
+        key = jax.random.fold_in(rng, i + 1)
+        nxt = sample(lg[0, -1], key)
+        nxt = jnp.where(done, eot[0], nxt)
+        done = jnp.logical_or(done, jnp.any(nxt == eot))
+        return (nxt, cache, done), tok
+
+    (last_tok, _, _), toks = jax.lax.scan(
+        body, (tok0, cache, jnp.any(tok0 == eot)),
+        jnp.arange(cfg.max_new_tokens - 1))
+    all_toks = jnp.concatenate([toks, last_tok[None]])
+    out = np.asarray(all_toks)
+    stops = np.isin(out, np.asarray(list(cfg.eot_ids)))
+    if stops.any():
+        out = out[: int(np.argmax(stops))]
+    return out
+
+
+def caption_image(model, params, vision_apply, projector_apply, image,
+                  prompt_text: str, encode_fn, decode_fn, image_newline,
+                  cfg: GenerateConfig = GenerateConfig(),
+                  rng: jax.Array | None = None) -> str:
+    """Full Stage-2a: anyres -> vision tower -> projector -> spatial_unpad
+    assembly -> splice -> generate -> decode (infer.py:145-166)."""
+    from . import anyres
+    from .vision import normalize_pixels
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    patches = anyres.process_anyres_image(image)            # [1+n, 336, 336, 3]
+    pixels = normalize_pixels(jnp.asarray(patches))
+    feats = projector_apply(vision_apply(pixels))           # [1+n, 576, D]
+    tokens = anyres.assemble_spatial_unpad(np.asarray(feats), image.size,
+                                           np.asarray(image_newline))
+    prompt = llama3_chat_prompt(prompt_text)
+    ids = tokenize_with_image(prompt, encode_fn)
+    safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
+    text_embeds = model.apply(params, safe_ids, method=model.embed)
+    spliced = splice_image_embeds(ids, text_embeds, jnp.asarray(tokens))
+    out_ids = generate(model, params, spliced, cfg, rng)
+    return decode_fn(out_ids.tolist()).lstrip()

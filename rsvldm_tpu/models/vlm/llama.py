@@ -1,0 +1,167 @@
+"""Llama-3 decoder (the LLaVA language backbone) with KV-cache decode.
+
+Parity target: /root/reference llava/model/language_model/llava_llama.py
+(LlavaLlamaForCausalLM forward/generate :31-152) over HF LlamaForCausalLM —
+rebuilt as a functional JAX graph: RMSNorm, RoPE (theta 500000), GQA
+(32 q heads / 8 kv heads), SwiGLU MLP, untied lm_head.
+
+TPU design: one code path serves prefill and decode — new tokens' K/V are
+written into a preallocated [L, B, T, kvh, hd] cache with
+dynamic_update_slice at a traced offset, and attention masks by absolute
+position, so the whole autoregressive loop compiles to a single lax.scan
+(see generate.py). Attention matmuls run on the MXU in bf16 with fp32
+softmax via ops.attention's math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    dim: int = 4096
+    layers: int = 32
+    heads: int = 32
+    kv_heads: int = 8
+    ffn_dim: int = 14336
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+LLAMA3_8B_CONFIG = LlamaConfig()
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, T, kvh, hd]
+    v: jnp.ndarray
+
+    @classmethod
+    def init(cls, cfg: LlamaConfig, batch: int, max_len: int,
+             dtype=jnp.float32) -> "KVCache":
+        shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, interleaved-halves convention (HF Llama).
+    x: [B, S, H, D]; positions: [S] or [B, S]."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [B,S,D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (n * w).astype(x.dtype)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, layer_k, layer_v, start_pos, valid_len):
+        """x: [B, S, D] new tokens at absolute positions start_pos..+S.
+        layer_k/v: [B, T, kvh, hd] cache for this layer (full buffer).
+        Returns (out, new_layer_k, new_layer_v)."""
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        h = RMSNorm(cfg.rms_eps, name="attn_norm")(x)
+        q = nn.Dense(cfg.heads * hd, use_bias=False, dtype=cfg.dtype,
+                     name="q_proj")(h).reshape(b, s, cfg.heads, hd)
+        k = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=cfg.dtype,
+                     name="k_proj")(h).reshape(b, s, cfg.kv_heads, hd)
+        v = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=cfg.dtype,
+                     name="v_proj")(h).reshape(b, s, cfg.kv_heads, hd)
+        positions = start_pos + jnp.arange(s)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        layer_k = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype),
+                                               (0, start_pos, 0, 0))
+        layer_v = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype),
+                                               (0, start_pos, 0, 0))
+        t = layer_k.shape[1]
+        rep = cfg.heads // cfg.kv_heads
+        kk = jnp.repeat(layer_k, rep, axis=2)  # [B,T,H,hd]
+        vv = jnp.repeat(layer_v, rep, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kk.astype(q.dtype),
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        q_pos = positions[None, None, :, None]
+        k_pos = jnp.arange(t)[None, None, None, :]
+        mask = (k_pos <= q_pos) & (k_pos < valid_len)
+        logits = jnp.where(mask, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, vv,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        o = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
+                     name="o_proj")(o.reshape(b, s, cfg.heads * hd))
+        x = x + o
+
+        h = RMSNorm(cfg.rms_eps, name="mlp_norm")(x)
+        gate = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
+                        name="gate_proj")(h)
+        up = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
+                      name="up_proj")(h)
+        down = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+        return x + down, layer_k, layer_v
+
+
+class LlamaModel(nn.Module):
+    cfg: LlamaConfig = LLAMA3_8B_CONFIG
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.dim,
+                                     param_dtype=jnp.float32, name="embed_tokens")
+        self.blocks = [LlamaBlock(cfg, name=f"layer_{i}")
+                       for i in range(cfg.layers)]
+        self.norm = RMSNorm(cfg.rms_eps, name="norm")
+        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                                name="lm_head")
+
+    def embed(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(tokens).astype(self.cfg.dtype)
+
+    def from_tokens(self, tokens: jnp.ndarray, cache: KVCache, start_pos):
+        """Token-id entry point (also ensures init touches embed_tokens)."""
+        return self(self.embed(tokens), cache, start_pos)
+
+    def __call__(self, embeds: jnp.ndarray, cache: KVCache, start_pos):
+        """embeds: [B, S, D]; returns (logits [B, S, vocab], new cache)."""
+        valid_len = start_pos + embeds.shape[1]
+        x = embeds.astype(self.cfg.dtype)
+        new_k, new_v = [], []
+        for i, block in enumerate(self.blocks):
+            x, lk, lv = block(x, cache.k[i], cache.v[i], start_pos, valid_len)
+            new_k.append(lk)
+            new_v.append(lv)
+        x = self.norm(x)
+        logits = self.lm_head(x).astype(jnp.float32)
+        return logits, KVCache(jnp.stack(new_k), jnp.stack(new_v))

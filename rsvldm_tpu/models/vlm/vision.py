@@ -1,0 +1,106 @@
+"""CLIP ViT-L/14-336 vision tower, NHWC Flax.
+
+Parity target: /root/reference llava/model/multimodal_encoder/clip_encoder.py
+(CLIPVisionTower:13-120 — HF CLIPVisionModel, select_layer=-2,
+select_feature='patch') as used by llama3-llava-next-8b.
+
+ViT: 14x14 patch conv (stride 14) -> 24x24=576 tokens + CLS, learned
+positional embedding (577), pre-LN, 24 transformer blocks (non-causal,
+quick_gelu). Features = hidden state BEFORE the last block (select_layer -2)
+with the CLS token dropped ('patch').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import attention
+
+# CLIP pixel normalization (CLIPImageProcessor defaults)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    select_layer: int = -2
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_patches_per_side ** 2
+
+
+CLIP_VIT_L_336_CONFIG = CLIPVisionConfig()
+
+
+class ViTBlock(nn.Module):
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        b, s, w = x.shape
+        hd = w // cfg.heads
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=n)
+        h = ln("ln_1")(x)
+        q = nn.Dense(w, dtype=cfg.dtype, name="q_proj")(h).reshape(b, s, cfg.heads, hd)
+        k = nn.Dense(w, dtype=cfg.dtype, name="k_proj")(h).reshape(b, s, cfg.heads, hd)
+        v = nn.Dense(w, dtype=cfg.dtype, name="v_proj")(h).reshape(b, s, cfg.heads, hd)
+        o = attention(q, k, v).reshape(b, s, w)
+        x = x + nn.Dense(w, dtype=cfg.dtype, name="out_proj")(o)
+        h = nn.Dense(w * 4, dtype=cfg.dtype, name="mlp_fc")(ln("ln_2")(x))
+        h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
+        x = x + nn.Dense(w, dtype=cfg.dtype, name="mlp_proj")(h)
+        return x
+
+
+class CLIPVisionTower(nn.Module):
+    cfg: CLIPVisionConfig = CLIP_VIT_L_336_CONFIG
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """pixels: [N, 336, 336, 3] CLIP-normalized -> [N, 576, width]."""
+        cfg = self.cfg
+        x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
+                    strides=cfg.patch_size, use_bias=False, dtype=cfg.dtype,
+                    name="patch_embed")(pixels.astype(cfg.dtype))
+        n, hh, ww, c = x.shape
+        x = x.reshape(n, hh * ww, c)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (cfg.width,))
+        x = jnp.concatenate([jnp.tile(cls[None, None], (n, 1, 1)).astype(x.dtype),
+                             x], axis=1)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.02),
+                         (cfg.num_patches + 1, cfg.width))
+        x = x + pos[None].astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
+        # run up to select_layer: -2 means the LAST block is skipped
+        n_run = cfg.layers + (cfg.select_layer + 1) if cfg.select_layer < 0 \
+            else cfg.select_layer
+        selected = x
+        for i in range(cfg.layers):
+            x = ViTBlock(cfg, name=f"block_{i}")(x)
+            if i == n_run - 1:
+                selected = x
+        return selected[:, 1:, :]  # drop CLS ('patch' select_feature)
+
+
+def normalize_pixels(x: jnp.ndarray) -> jnp.ndarray:
+    """[N,H,W,3] in [0,1] -> CLIP-normalized."""
+    mean = jnp.asarray(CLIP_MEAN, x.dtype)
+    std = jnp.asarray(CLIP_STD, x.dtype)
+    return (x - mean) / std
