@@ -149,13 +149,14 @@ class GLVControl(nn.Module):
                                dtype=cfg.dtype)
         self.input_cells = [
             InputCell(s["kind"], s["out_ch"], s["st_depth"],
-                      heads(s["out_ch"]), cfg.dtype, cfg.dropout,
-                      name=f"input_{i}")
+                      heads(s["out_ch"]), cfg.num_head_channels, cfg.dtype,
+                      cfg.dropout, name=f"input_{i}")
             for i, s in enumerate(self.in_specs)]
         mid_ch = cfg.model_channels * cfg.channel_mult[-1]
         self.mid_res1 = ResBlock(mid_ch, cfg.dropout, cfg.dtype)
-        self.mid_transformer = SpatialTransformer(cfg.transformer_depth[-1],
-                                                  heads(mid_ch), dtype=cfg.dtype)
+        self.mid_transformer = SpatialTransformer(
+            cfg.transformer_depth[-1], heads(mid_ch), cfg.num_head_channels,
+            dtype=cfg.dtype)
         self.mid_res2 = ResBlock(mid_ch, cfg.dropout, cfg.dtype)
         self.input_hint = zeros_conv(cfg.model_channels, (3, 3), cfg.dtype,
                                      "input_hint", padding=1)

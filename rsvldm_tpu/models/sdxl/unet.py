@@ -179,6 +179,7 @@ class InputCell(nn.Module):
     out_channels: int = 0
     st_depth: int = 0
     heads: int = 0
+    dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
 
@@ -190,7 +191,8 @@ class InputCell(nn.Module):
         h = ResBlock(self.out_channels, self.dropout, self.dtype,
                      name="resblock")(h, emb)
         if self.st_depth > 0:
-            h = SpatialTransformer(self.st_depth, self.heads, dtype=self.dtype,
+            h = SpatialTransformer(self.st_depth, self.heads, self.dim_head,
+                                   dtype=self.dtype,
                                    name="transformer")(h, context)
         return h
 
@@ -202,6 +204,7 @@ class OutputCell(nn.Module):
     out_channels: int
     st_depth: int = 0
     heads: int = 0
+    dim_head: int = 64
     has_up: bool = False
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
@@ -210,6 +213,7 @@ class OutputCell(nn.Module):
         self.resblock = ResBlock(self.out_channels, self.dropout, self.dtype)
         if self.st_depth > 0:
             self.transformer = SpatialTransformer(self.st_depth, self.heads,
+                                                  self.dim_head,
                                                   dtype=self.dtype)
         if self.has_up:
             self.up_conv = nn.Conv(self.out_channels, (3, 3), padding=1,
@@ -285,19 +289,21 @@ class UNetModel(nn.Module):
                                dtype=cfg.dtype)
         self.input_cells = [
             InputCell(s["kind"], s["out_ch"], s["st_depth"],
-                      heads(s["out_ch"]), cfg.dtype, cfg.dropout,
-                      name=f"input_{i}")
+                      heads(s["out_ch"]), cfg.num_head_channels, cfg.dtype,
+                      cfg.dropout, name=f"input_{i}")
             for i, s in enumerate(self.in_specs)]
 
         mid_ch = cfg.model_channels * cfg.channel_mult[-1]
         self.mid_res1 = ResBlock(mid_ch, cfg.dropout, cfg.dtype)
-        self.mid_transformer = SpatialTransformer(cfg.transformer_depth[-1],
-                                                  heads(mid_ch), dtype=cfg.dtype)
+        self.mid_transformer = SpatialTransformer(
+            cfg.transformer_depth[-1], heads(mid_ch), cfg.num_head_channels,
+            dtype=cfg.dtype)
         self.mid_res2 = ResBlock(mid_ch, cfg.dropout, cfg.dtype)
 
         self.output_cells = [
             OutputCell(s["out_ch"], s["st_depth"], heads(s["out_ch"]),
-                       s["has_up"], cfg.dtype, cfg.dropout, name=f"output_{i}")
+                       cfg.num_head_channels, s["has_up"], cfg.dtype,
+                       cfg.dropout, name=f"output_{i}")
             for i, s in enumerate(self.out_specs)]
 
         self.out_norm = GroupNorm32(epsilon=1e-5)
