@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Single-image two-stage SR inference CLI.
+
+Flag-compatible with the reference infer.py (:218-237):
+  --input_img --output_dir --upscale_factor --seed --img_threshold --edm_steps
+plus framework extras (--ckpt_dir, --no_llava, --stage1_only, --debug_tiny).
+"""
+
+import argparse
+import logging
+
+
+def main():
+    ap = argparse.ArgumentParser(description="TPU super-resolution pipeline")
+    ap.add_argument("--input_img", type=str, required=True)
+    ap.add_argument("--output_dir", type=str, default="./results")
+    ap.add_argument("--upscale_factor", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--img_threshold", type=float, default=0.3)
+    ap.add_argument("--edm_steps", type=int, default=50)
+    ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
+    ap.add_argument("--no_llava", action="store_true")
+    ap.add_argument("--stage1_only", action="store_true")
+    ap.add_argument("--debug_tiny", action="store_true",
+                    help="shrunken models (smoke testing)")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    from rsvldm_tpu.config import PipelineConfig
+    from rsvldm_tpu.pipeline import SuperResolutionPipeline
+
+    cfg = PipelineConfig(input_img=args.input_img, output_dir=args.output_dir,
+                         upscale=args.upscale_factor, seed=args.seed,
+                         ckpt_dir=args.ckpt_dir, no_llava=args.no_llava,
+                         stage1_only=args.stage1_only)
+    cfg.refine.img_threshold = args.img_threshold
+    cfg.refine.edm_steps = args.edm_steps
+
+    pipeline = SuperResolutionPipeline(cfg, debug_tiny=args.debug_tiny)
+    pipeline.process()
+
+
+if __name__ == "__main__":
+    main()

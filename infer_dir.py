@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Folder batch SR inference CLI (reference infer_dir.py:209-217 flags)."""
+
+import argparse
+import logging
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Batch TPU super-resolution")
+    ap.add_argument("--image_dir", type=str, required=True)
+    ap.add_argument("--save_dir", type=str, default="./results")
+    ap.add_argument("--upscale", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--num_steps", type=int, default=50)
+    ap.add_argument("--img_threshold", type=float, default=0.3)
+    ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
+    ap.add_argument("--no_llava", action="store_true")
+    ap.add_argument("--stage1_only", action="store_true")
+    ap.add_argument("--debug_tiny", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    from rsvldm_tpu.config import PipelineConfig
+    from rsvldm_tpu.pipeline import ImageBatchProcessor
+
+    cfg = PipelineConfig(image_dir=args.image_dir, output_dir=args.save_dir,
+                         upscale=args.upscale, seed=args.seed,
+                         ckpt_dir=args.ckpt_dir, no_llava=args.no_llava,
+                         stage1_only=args.stage1_only)
+    cfg.refine.img_threshold = args.img_threshold
+    cfg.refine.edm_steps = args.num_steps
+
+    proc = ImageBatchProcessor(cfg, debug_tiny=args.debug_tiny)
+    results = proc.run()
+    ok = sum(1 for _, s in results if s in ("ok", "stage1"))
+    print(f"processed {ok}/{len(results)} images")
+
+
+if __name__ == "__main__":
+    main()

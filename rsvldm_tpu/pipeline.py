@@ -1,0 +1,353 @@
+"""Three-stage super-resolution pipeline orchestration.
+
+Parity target: /root/reference infer.py SuperResolutionPipeline (:79-216)
+and models/SR_model.py just_sampling (:200-298):
+
+  Stage 1  — SR3 ancestral diffusion on the bicubic-upsampled LR image
+  Stage 2a — LLaVA caption of the Stage-1 output
+  Stage 2b — SDXL+ControlNet RestoreEDM refinement guided by the caption,
+             with the first-block cache, then wavelet/AdaIN color fix
+
+TPU design: each stage is one jitted program; images cross stages as device
+arrays (the reference round-trips through PIL/uint8 between stages — we
+keep PIL round-trips only where the reference's uint8-quantization semantics
+are load-bearing for parity: after Stage 1, since the caption model and the
+refinement consume the SAVED uint8 image there).
+
+Weights: loaded from <ckpt_dir> via the converters (utils/checkpoint.py);
+missing checkpoints fall back to seeded random init with a loud warning so
+the full graph stays runnable for smoke/perf work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PipelineConfig
+from .diffusion.samplers import RestoreEDMConfig, restore_edm_sample
+from .models.sr3 import SR3Diffusion, SR3UNet, SR3UNetConfig, sr3_sample
+from .models.sdxl import ControlledUNet, GLVControl, SDXLUNetConfig
+from .models.sdxl.denoiser import ControlDenoiser
+from .models.text import (CLIP_L_CONFIG, OPENCLIP_BIGG_CONFIG, CLIPTextConfig,
+                          CLIPTextTransformer, SDXLConditioner)
+from .models.vae import AutoencoderKL, SDXL_VAE_CONFIG, VAEConfig
+from .ops import colorfix
+from .ops.image import array_to_pil, load_lr_conditioning, pil_to_array, to_uint8
+from .utils import checkpoint as ckpt
+from .utils import convert, convert_hf
+from .utils.tokenizer import CLIPTokenizer
+
+log = logging.getLogger("rsvldm")
+
+
+def _tiny_overrides():
+    """Shrunken model configs for tests/smoke runs (--debug_tiny)."""
+    return dict(
+        sr3=SR3UNetConfig(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+                          attn_res=(8,), res_blocks=1, image_size=16),
+        # context = clip_l.width + big_g.width; adm = big_g.width + 3*512
+        sdxl=SDXLUNetConfig(model_channels=32, num_res_blocks=1,
+                            attention_resolutions=(2,), channel_mult=(1, 2),
+                            num_head_channels=16, transformer_depth=(1, 1),
+                            context_dim=64, adm_in_channels=32 + 3 * 512),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
+        clip_l=CLIPTextConfig(vocab_size=1000, width=32, layers=2, heads=2),
+        big_g=CLIPTextConfig(vocab_size=1000, width=32, layers=2, heads=2,
+                             quick_gelu=False, use_text_projection=True),
+    )
+
+
+class SuperResolutionPipeline:
+    """Loads all stages once, then processes images (infer.py:79-101)."""
+
+    def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False):
+        self.cfg = cfg
+        self.debug_tiny = debug_tiny
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        t = _tiny_overrides() if debug_tiny else None
+
+        s1 = cfg.stage1
+        self.sr3_cfg = t["sr3"] if t else SR3UNetConfig(
+            inner_channel=s1.inner_channel, channel_mults=tuple(s1.channel_mults),
+            attn_res=tuple(s1.attn_res), res_blocks=s1.res_blocks,
+            image_size=s1.image_size, dtype=jnp.bfloat16)
+        self.sr3 = SR3UNet(self.sr3_cfg)
+        self.sr3_diff = SR3Diffusion.from_schedule(
+            s1.schedule, s1.steps, s1.linear_start, s1.linear_end)
+
+        self.sdxl_cfg = t["sdxl"] if t else SDXLUNetConfig(dtype=jnp.bfloat16)
+        self.vae_cfg = t["vae"] if t else SDXL_VAE_CONFIG
+        self.unet = ControlledUNet(self.sdxl_cfg)
+        self.control = GLVControl(self.sdxl_cfg)
+        self.vae = AutoencoderKL(self.vae_cfg)
+
+        self.clip_l_cfg = t["clip_l"] if t else CLIP_L_CONFIG
+        self.big_g_cfg = t["big_g"] if t else OPENCLIP_BIGG_CONFIG
+        self.clip_l = CLIPTextTransformer(self.clip_l_cfg)
+        self.big_g = CLIPTextTransformer(self.big_g_cfg)
+
+        self._load_weights()
+        self._build_conditioner()
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------- weights
+    def _init_params(self, what: str, init_fn):
+        log.warning("checkpoint for %s not found under %s — using seeded "
+                    "random init (smoke mode, outputs are not meaningful)",
+                    what, self.cfg.ckpt_dir)
+        return init_fn(jax.random.PRNGKey(hash(what) % (2**31)))
+
+    def _load_weights(self):
+        cd = Path(self.cfg.ckpt_dir)
+        scfg = self.sr3_cfg
+
+        p = None if self.debug_tiny else ckpt.load_or_convert(
+            cd, "sr3", [str(cd / "I1000000_E800_gen.pth")],
+            lambda sd: convert.convert_sr3_unet(sd, scfg))
+        self.sr3_params = p if p is not None else self._init_params(
+            "sr3", lambda k: self.sr3.init(
+                k, jnp.zeros((1, scfg.image_size, scfg.image_size, 6)),
+                jnp.ones((1, 1))))
+
+        ucfg = self.sdxl_cfg
+        lat = jnp.zeros((1, 8, 8, 4))
+        tt = jnp.zeros((1,))
+        ctx = jnp.zeros((1, 7, ucfg.context_dim))
+        yv = jnp.zeros((1, ucfg.adm_in_channels))
+
+        jug = str(cd / "juggernautXL_v8Rundiffusion.safetensors")
+        srq = str(cd / "SR-v0Q.ckpt")
+
+        p = None if self.debug_tiny else ckpt.load_or_convert(
+            cd, "control", [jug, srq],
+            lambda sd: convert.convert_glv_control(
+                ckpt.strip_prefix(sd, "model.control_model"), ucfg))
+        self.control_params = p if p is not None else self._init_params(
+            "control", lambda k: self.control.init(k, lat, lat, tt, ctx, yv))
+
+        feats = self.control.apply(self.control_params, lat, lat, tt, ctx, yv)
+        p = None if self.debug_tiny else ckpt.load_or_convert(
+            cd, "unet", [jug, srq],
+            lambda sd: convert.convert_controlled_unet(
+                ckpt.strip_prefix(sd, "model.diffusion_model"), ucfg))
+        self.unet_params = p if p is not None else self._init_params(
+            "unet", lambda k: self.unet.init(k, lat, tt, ctx, yv, feats))
+
+        p = None if self.debug_tiny else ckpt.load_or_convert(
+            cd, "vae", [jug, srq],
+            lambda sd: convert.convert_autoencoder(
+                ckpt.strip_prefix(sd, "first_stage_model"), self.vae_cfg))
+        self.vae_params = p if p is not None else self._init_params(
+            "vae", lambda k: self.vae.init(k, jnp.zeros((1, 32, 32, 3))))
+
+        toks = jnp.zeros((1, 77), jnp.int32)
+        p = None if self.debug_tiny else ckpt.load_or_convert(
+            cd, "clip_l", [jug, srq],
+            lambda sd: convert_hf.convert_hf_clip_text(
+                ckpt.strip_prefix(sd, "conditioner.embedders.0.transformer"),
+                self.clip_l_cfg))
+        self.clip_l_params = p if p is not None else self._init_params(
+            "clip_l", lambda k: self.clip_l.init(k, toks))
+
+        p = None if self.debug_tiny else ckpt.load_or_convert(
+            cd, "big_g", [jug, srq],
+            lambda sd: convert_hf.convert_openclip_text(
+                ckpt.strip_prefix(sd, "conditioner.embedders.1.model"),
+                self.big_g_cfg))
+        self.big_g_params = p if p is not None else self._init_params(
+            "big_g", lambda k: self.big_g.init(k, toks))
+
+        tok_dir = cd / "clip_vocab"
+        try:
+            self.tokenizer = CLIPTokenizer.from_dir(str(tok_dir))
+        except FileNotFoundError:
+            log.warning("CLIP tokenizer assets missing (%s) — using a "
+                        "hash-bucket fallback tokenizer (smoke mode)", tok_dir)
+            self.tokenizer = None
+
+        self.llava = None  # loaded lazily by caption() when assets exist
+
+    def _build_conditioner(self):
+        self.conditioner = SDXLConditioner(
+            self.clip_l, self.big_g, self.clip_l_params, self.big_g_params)
+
+    # ------------------------------------------------------------- stage 1
+    def run_stage1(self, image_path: str) -> np.ndarray:
+        """Bicubic x upscale + 500-step SR3 ancestral loop (infer.py:123-143).
+        Returns uint8 HWC."""
+        cond = load_lr_conditioning(image_path, self.cfg.upscale)[None]
+        if self.debug_tiny:
+            from .ops.image import resize_bicubic
+            s = self.sr3_cfg.image_size
+            cond = resize_bicubic(jnp.asarray(cond), (s, s))
+        apply_fn = lambda p, x, nl: self.sr3.apply(p, x, nl)
+        key = "stage1"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, c, r: sr3_sample(self.sr3_diff, apply_fn, p, c, r))
+        self.rng, sub = jax.random.split(self.rng)
+        out = self._jit_cache[key](self.sr3_params, jnp.asarray(cond), sub)
+        return to_uint8(np.asarray(out[0]))
+
+    # ------------------------------------------------------------ stage 2a
+    def run_caption(self, sr_image) -> str:
+        """LLaVA caption (infer.py:145-166). Empty when no_llava or the
+        Llama/tokenizer assets are unavailable."""
+        if self.cfg.no_llava:
+            return ""
+        if self.llava is None:
+            log.warning("LLaVA assets not loaded — skipping captioning "
+                        "(equivalent of --no_llava)")
+            return ""
+        return self.llava.caption(sr_image, self.cfg.llava)
+
+    # ------------------------------------------------------------ stage 2b
+    def _tokenize(self, texts):
+        if self.tokenizer is not None:
+            tl = self.tokenizer(texts, pad_id=None)   # HF pads with EOT
+            tg = self.tokenizer(texts, pad_id=0)      # open_clip pads with 0
+            return jnp.asarray(tl), jnp.asarray(tg)
+        # fallback: deterministic hash buckets (smoke mode only)
+        vocab = self.clip_l_cfg.vocab_size
+        out = np.zeros((len(texts), 77), np.int32)
+        for i, t in enumerate(texts):
+            words = t.lower().split()[:75]
+            out[i, 0] = 1
+            for j, w in enumerate(words):
+                out[i, j + 1] = (hash(w) % (vocab - 3)) + 2
+            out[i, len(words) + 1] = vocab - 1
+        arr = jnp.asarray(out)
+        return arr, arr
+
+    def run_refinement(self, sr_image, caption: str) -> "Any":
+        """just_sampling (models/SR_model.py:200-298) + color fix.
+        sr_image: PIL image (the saved Stage-1 output). Returns PIL."""
+        from PIL import Image
+        r = self.cfg.refine
+        x, h0, w0 = pil_to_array(sr_image, upscale=1, min_size=r.min_size)
+        if self.debug_tiny:
+            from .ops.image import resize_bicubic
+            x = np.asarray(resize_bicubic(jnp.asarray(x)[None], (64, 64))[0])
+        x = jnp.asarray(x)[None]
+
+        self.rng, k_enc, k_noise, k_loop = jax.random.split(self.rng, 4)
+
+        sampler_cfg = RestoreEDMConfig(
+            num_steps=r.edm_steps, cfg_scale=r.s_cfg,
+            cfg_scale_start=r.spt_linear_cfg, use_linear_cfg=r.linear_cfg,
+            restore_cfg=r.s_stage1, s_churn=r.s_churn, s_noise=r.s_noise,
+            control_scale=r.s_stage2,
+            use_linear_control_scale=r.linear_s_stage2,
+            control_scale_start=r.spt_linear_s_stage2,
+            img_threshold=r.img_threshold, dec_img=1.0)
+
+        key = ("refine", x.shape, sampler_cfg)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda *a: self._refine_jit(sampler_cfg, *a))
+        tl_c, tg_c = self._tokenize([" ".join([caption, r.a_prompt])])
+        tl_u, tg_u = self._tokenize([r.n_prompt])
+        samples, x_stage1 = self._jit_cache[key](
+            self.vae_params, self.unet_params, self.control_params,
+            x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop)
+
+        if r.color_fix_type == "Wavelet":
+            samples = colorfix.wavelet_reconstruction(samples, x_stage1)
+        elif r.color_fix_type == "AdaIn":
+            samples = colorfix.adaptive_instance_normalization(samples, x_stage1)
+        return array_to_pil(np.asarray(samples[0]), h0, w0)
+
+    def _refine_jit(self, scfg, vae_params, unet_params, control_params,
+                    x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop):
+        vae = self.vae
+        _z = vae.apply(vae_params, x, method=vae.encode_with_denoise)
+        x_stage1 = vae.apply(vae_params, _z, method=vae.decode)
+        # reference z_stage1 encode SAMPLES the posterior
+        # (AutoencoderKLInferenceWrapper, autoencoder.py:319-321)
+        z_stage1 = vae.apply(vae_params, x_stage1, k_enc, method=vae.encode)
+
+        cond, uc = self.conditioner.paired(tl_c, tg_c, tl_u, tg_u, _z)
+        denoiser = ControlDenoiser(unet=self.unet, control_net=self.control,
+                                   unet_params=unet_params,
+                                   control_params=control_params)
+        noise = jax.random.normal(k_noise, _z.shape, jnp.float32)
+        z = restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
+                               k_loop)
+        samples = vae.apply(vae_params, z, method=vae.decode)
+        return samples, x_stage1
+
+    # ------------------------------------------------------------- driver
+    def process(self, image_path: str | None = None):
+        """Full three-stage run for one image (infer.py:206-215)."""
+        from PIL import Image
+        path = Path(image_path or self.cfg.input_img)
+        out_dir = Path(self.cfg.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        t0 = time.perf_counter()
+        sr_np = self.run_stage1(str(path))
+        sr_pil = Image.fromarray(sr_np)
+        sr_path = out_dir / f"sr3_{path.stem}.png"
+        sr_pil.save(sr_path)
+        log.info("stage1 done in %.2fs -> %s", time.perf_counter() - t0, sr_path)
+        if self.cfg.stage1_only:
+            return sr_pil
+
+        t0 = time.perf_counter()
+        caption = self.run_caption(sr_pil)
+        log.info("stage2a caption (%.2fs): %s", time.perf_counter() - t0,
+                 caption[:120])
+
+        t0 = time.perf_counter()
+        final = self.run_refinement(sr_pil, caption)
+        for i in range(1):
+            fp = out_dir / f"{path.stem}_final_{i}.png"
+            final.save(fp)
+            log.info("stage2b done in %.2fs -> %s", time.perf_counter() - t0, fp)
+        return final
+
+
+class ImageBatchProcessor:
+    """Folder inference (infer_dir.py:76-206): per-image try/except, output
+    trees output/ + sr3_output/."""
+
+    def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False):
+        self.cfg = cfg
+        self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny)
+
+    def run(self):
+        from PIL import Image
+        src = Path(self.cfg.image_dir)
+        out_dir = Path(self.cfg.output_dir)
+        final_dir = out_dir / "output"
+        sr3_dir = out_dir / "sr3_output"
+        final_dir.mkdir(parents=True, exist_ok=True)
+        sr3_dir.mkdir(parents=True, exist_ok=True)
+
+        exts = {".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp"}
+        images = sorted(p for p in src.iterdir() if p.suffix.lower() in exts)
+        results = []
+        for p in images:
+            try:
+                sr_np = self.pipe.run_stage1(str(p))
+                sr_pil = Image.fromarray(sr_np)
+                sr_pil.save(sr3_dir / f"sr3_{p.stem}.png")
+                if self.cfg.stage1_only:
+                    results.append((p.name, "stage1"))
+                    continue
+                caption = self.pipe.run_caption(sr_pil)
+                final = self.pipe.run_refinement(sr_pil, caption)
+                final.save(final_dir / f"{p.stem}_final_0.png")
+                results.append((p.name, "ok"))
+            except Exception as e:  # per-image resilience (infer_dir.py:198-202)
+                log.exception("failed on %s: %s", p, e)
+                results.append((p.name, f"error: {e}"))
+        return results
