@@ -27,6 +27,13 @@ DEFAULT_GRID_PINPOINTS = [(336, 672), (672, 336), (672, 672),
                           (1008, 336), (336, 1008)]
 
 
+def grid_pinpoints_for(patch_size: int):
+    """The default pinpoint family rescaled to a different tower size
+    (used by tiny test configs)."""
+    s = patch_size / 336
+    return [(int(w * s), int(h * s)) for w, h in DEFAULT_GRID_PINPOINTS]
+
+
 def select_best_resolution(original_size, possible_resolutions):
     """Pick the candidate (w, h) maximizing effective resolution then
     minimizing wasted area (mm_utils.py:121-151)."""

@@ -1,0 +1,134 @@
+"""LLaVA captioner: asset loading, LoRA merge, caption orchestration.
+
+Parity target: /root/reference models/util.py load_llava (:111-117 — HF
+llama3-llava-next-8b + PEFT adapter ./CKPT_PTH/Llava-next) and
+get_img_describe (:17-66). The PEFT adapter is merged into the base weights
+at conversion time (convert_hf.merge_lora) so no runtime adapter math runs.
+
+Expected assets under <ckpt_dir>/llava/ (a local HF checkout):
+  *.safetensors (sharded LLaVA weights: language model + vision tower +
+  mm_projector + image_newline), tokenizer files readable by transformers
+  AutoTokenizer; optional <ckpt_dir>/Llava-next/ PEFT adapter.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import convert_hf
+from ...utils.checkpoint import load_torch_state_dict
+from .generate import GenerateConfig, caption_image
+from .llama import LLAMA3_8B_CONFIG, LlamaModel
+from .projector import MLPProjector
+from .vision import CLIP_VIT_L_336_CONFIG, CLIPVisionTower
+
+log = logging.getLogger("rsvldm")
+
+
+def _load_sharded(d: Path) -> dict:
+    sd: dict = {}
+    for shard in sorted(glob.glob(str(d / "*.safetensors"))):
+        sd.update(load_torch_state_dict(shard))
+    if not sd:
+        for shard in sorted(glob.glob(str(d / "pytorch_model*.bin"))):
+            sd.update(load_torch_state_dict(shard))
+    return sd
+
+
+def _apply_lora(sd: dict, adapter_dir: Path) -> dict:
+    """Fold a PEFT adapter into the base state dict (key-by-key merge)."""
+    cfg_path = adapter_dir / "adapter_config.json"
+    scale = 1.0
+    if cfg_path.exists():
+        with open(cfg_path) as f:
+            acfg = json.load(f)
+        scale = acfg.get("lora_alpha", 16) / max(acfg.get("r", 16), 1)
+    asd = _load_sharded(adapter_dir)
+    if not asd:
+        for p in glob.glob(str(adapter_dir / "adapter_model*")):
+            asd.update(load_torch_state_dict(p))
+    merged = dict(sd)
+    n = 0
+    for k in list(asd.keys()):
+        m = re.match(r"base_model\.model\.(.+)\.lora_A(?:\.default)?\.weight", k)
+        if not m:
+            continue
+        base_key = m.group(1) + ".weight"
+        b_key = k.replace("lora_A", "lora_B")
+        if base_key in merged and b_key in asd:
+            merged[base_key] = convert_hf.merge_lora(
+                np.asarray(merged[base_key], np.float32), asd[k], asd[b_key],
+                scale)
+            n += 1
+    log.info("merged %d LoRA deltas (scale %.3f)", n, scale)
+    return merged
+
+
+class LlavaCaptioner:
+    def __init__(self, llama, llama_params, vision, vision_params,
+                 projector, projector_params, image_newline, tokenizer):
+        self.llama = llama
+        self.llama_params = llama_params
+        self.vision = vision
+        self.vision_params = vision_params
+        self.projector = projector
+        self.projector_params = projector_params
+        self.image_newline = image_newline
+        self.tokenizer = tokenizer
+
+    @classmethod
+    def load(cls, ckpt_dir: str | Path, llama_cfg=LLAMA3_8B_CONFIG,
+             vision_cfg=CLIP_VIT_L_336_CONFIG,
+             tokenizer=None) -> Optional["LlavaCaptioner"]:
+        d = Path(ckpt_dir) / "llava"
+        if not d.is_dir():
+            return None
+        sd = _load_sharded(d)
+        if not sd:
+            return None
+        adapter = Path(ckpt_dir) / "Llava-next"
+        if adapter.is_dir():
+            sd = _apply_lora(sd, adapter)
+
+        llama = LlamaModel(llama_cfg)
+        llama_params = convert_hf.convert_llama(sd, llama_cfg)
+        vision = CLIPVisionTower(vision_cfg)
+        vsd = {k[len("model.vision_tower.vision_tower."):]: v
+               for k, v in sd.items()
+               if k.startswith("model.vision_tower.vision_tower.")}
+        vision_params = convert_hf.convert_hf_clip_vision(vsd, vision_cfg)
+        projector = MLPProjector(out_dim=llama_cfg.dim)
+        projector_params = convert_hf.convert_mm_projector(sd)
+        newline = jnp.asarray(np.asarray(sd["model.image_newline"], np.float32))
+
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(str(d),
+                                                      local_files_only=True)
+        return cls(llama, llama_params, vision, vision_params, projector,
+                   projector_params, newline, tokenizer)
+
+    def caption(self, image, llava_cfg, rng: jax.Array | None = None) -> str:
+        """Full Stage-2a on one PIL image (get_img_describe parity)."""
+        prompt = llava_cfg.img_prompt.format(DEFAULT_IMAGE_TOKEN="<image>")
+        cfg = GenerateConfig(max_new_tokens=llava_cfg.max_new_tokens,
+                             temperature=llava_cfg.temperature,
+                             do_sample=llava_cfg.do_sample)
+        encode = lambda s: self.tokenizer.encode(s, add_special_tokens=False)
+        decode = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
+        vision_apply = lambda px: self.vision.apply(self.vision_params, px)
+        proj_apply = lambda f: self.projector.apply(self.projector_params, f)
+        return caption_image(self.llama, self.llama_params, vision_apply,
+                             proj_apply, image, prompt, encode, decode,
+                             self.image_newline, cfg, rng,
+                             patch_size=self.vision.cfg.image_size)

@@ -127,18 +127,21 @@ def generate(model: LlamaModel, params: Any, input_embeds: jnp.ndarray,
 def caption_image(model, params, vision_apply, projector_apply, image,
                   prompt_text: str, encode_fn, decode_fn, image_newline,
                   cfg: GenerateConfig = GenerateConfig(),
-                  rng: jax.Array | None = None) -> str:
+                  rng: jax.Array | None = None, patch_size: int = 336) -> str:
     """Full Stage-2a: anyres -> vision tower -> projector -> spatial_unpad
     assembly -> splice -> generate -> decode (infer.py:145-166)."""
     from . import anyres
     from .vision import normalize_pixels
 
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    patches = anyres.process_anyres_image(image)            # [1+n, 336, 336, 3]
+    grid = (anyres.DEFAULT_GRID_PINPOINTS if patch_size == 336
+            else anyres.grid_pinpoints_for(patch_size))
+    patches = anyres.process_anyres_image(image, patch_size, grid)
     pixels = normalize_pixels(jnp.asarray(patches))
     feats = projector_apply(vision_apply(pixels))           # [1+n, 576, D]
     tokens = anyres.assemble_spatial_unpad(np.asarray(feats), image.size,
-                                           np.asarray(image_newline))
+                                           np.asarray(image_newline),
+                                           grid, patch_size)
     prompt = llama3_chat_prompt(prompt_text)
     ids = tokenize_with_image(prompt, encode_fn)
     safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))

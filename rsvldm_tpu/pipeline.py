@@ -173,7 +173,13 @@ class SuperResolutionPipeline:
                         "hash-bucket fallback tokenizer (smoke mode)", tok_dir)
             self.tokenizer = None
 
-        self.llava = None  # loaded lazily by caption() when assets exist
+        self.llava = None
+        if not self.cfg.no_llava and not self.debug_tiny:
+            try:
+                from .models.vlm.captioner import LlavaCaptioner
+                self.llava = LlavaCaptioner.load(cd)
+            except Exception as e:  # assets missing/partial
+                log.warning("LLaVA load failed (%s) — captioning disabled", e)
 
     def _build_conditioner(self):
         self.conditioner = SDXLConditioner(

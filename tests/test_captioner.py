@@ -1,0 +1,122 @@
+"""End-to-end LLaVA captioner glue test with a tiny synthetic checkpoint."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+
+from rsvldm_tpu.models.vlm.captioner import LlavaCaptioner  # noqa: E402
+from rsvldm_tpu.models.vlm.llama import LlamaConfig  # noqa: E402
+from rsvldm_tpu.models.vlm.vision import CLIPVisionConfig  # noqa: E402
+from rsvldm_tpu.config import LlavaConfig  # noqa: E402
+
+LCFG = LlamaConfig(vocab_size=256, dim=32, layers=2, heads=4, kv_heads=2,
+                   ffn_dim=64)
+VCFG = CLIPVisionConfig(image_size=28, patch_size=14, width=24, layers=2,
+                        heads=2, select_layer=-2)
+
+
+class FakeTokenizer:
+    eos_token_id = 255
+
+    def encode(self, s, add_special_tokens=False):
+        return [min(ord(c), 250) for c in s[:40]]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(max(i, 32) % 127) for i in ids if i < 250)
+
+
+def _tiny_llava_state_dict():
+    """torch state dict with HF LLaVA naming, tiny shapes."""
+    sd = {}
+    g = torch.Generator().manual_seed(0)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.05
+
+    sd["model.embed_tokens.weight"] = r(256, 32)
+    for i in range(2):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = torch.ones(32)
+        sd[f"{p}.post_attention_layernorm.weight"] = torch.ones(32)
+        sd[f"{p}.self_attn.q_proj.weight"] = r(32, 32)
+        sd[f"{p}.self_attn.k_proj.weight"] = r(16, 32)
+        sd[f"{p}.self_attn.v_proj.weight"] = r(16, 32)
+        sd[f"{p}.self_attn.o_proj.weight"] = r(32, 32)
+        sd[f"{p}.mlp.gate_proj.weight"] = r(64, 32)
+        sd[f"{p}.mlp.up_proj.weight"] = r(64, 32)
+        sd[f"{p}.mlp.down_proj.weight"] = r(32, 64)
+    sd["model.norm.weight"] = torch.ones(32)
+    sd["lm_head.weight"] = r(256, 32)
+
+    vp = "model.vision_tower.vision_tower.vision_model"
+    sd[f"{vp}.embeddings.class_embedding"] = r(24)
+    sd[f"{vp}.embeddings.position_embedding.weight"] = r(5, 24)
+    sd[f"{vp}.embeddings.patch_embedding.weight"] = r(24, 3, 14, 14)
+    sd[f"{vp}.pre_layrnorm.weight"] = torch.ones(24)
+    sd[f"{vp}.pre_layrnorm.bias"] = torch.zeros(24)
+    for i in range(2):
+        p = f"{vp}.encoder.layers.{i}"
+        for ln in ["layer_norm1", "layer_norm2"]:
+            sd[f"{p}.{ln}.weight"] = torch.ones(24)
+            sd[f"{p}.{ln}.bias"] = torch.zeros(24)
+        for proj in ["q_proj", "k_proj", "v_proj", "out_proj"]:
+            sd[f"{p}.self_attn.{proj}.weight"] = r(24, 24)
+            sd[f"{p}.self_attn.{proj}.bias"] = torch.zeros(24)
+        sd[f"{p}.mlp.fc1.weight"] = r(96, 24)
+        sd[f"{p}.mlp.fc1.bias"] = torch.zeros(96)
+        sd[f"{p}.mlp.fc2.weight"] = r(24, 96)
+        sd[f"{p}.mlp.fc2.bias"] = torch.zeros(24)
+
+    sd["model.mm_projector.0.weight"] = r(32, 24)
+    sd["model.mm_projector.0.bias"] = torch.zeros(32)
+    sd["model.mm_projector.2.weight"] = r(32, 32)
+    sd["model.mm_projector.2.bias"] = torch.zeros(32)
+    sd["model.image_newline"] = r(32)
+    return sd
+
+
+def test_captioner_end_to_end(tmp_path):
+    from safetensors.torch import save_file
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer())
+    assert cap is not None
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (50, 70, 3), dtype=np.uint8))
+    lcfg = LlavaConfig(max_new_tokens=6, temperature=0.0, do_sample=False)
+    out = cap.caption(img, lcfg)
+    assert isinstance(out, str)
+
+
+def test_lora_merge_dir(tmp_path):
+    from safetensors.torch import save_file
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    ad = tmp_path / "Llava-next"
+    ad.mkdir()
+    (ad / "adapter_config.json").write_text(json.dumps({"r": 4, "lora_alpha": 8}))
+    a = torch.zeros(4, 32)
+    b = torch.ones(32, 4) * 0.01
+    save_file({
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": a + 0.1,
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": b,
+    }, str(ad / "adapter_model.safetensors"))
+
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer())
+    assert cap is not None
+    # q_proj of layer 0 should differ from the unmerged conversion
+    import shutil
+    shutil.rmtree(ad)
+    cap0 = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                               tokenizer=FakeTokenizer())
+    q1 = np.asarray(cap.llama_params["params"]["layer_0"]["q_proj"]["kernel"])
+    q0 = np.asarray(cap0.llama_params["params"]["layer_0"]["q_proj"]["kernel"])
+    assert not np.allclose(q1, q0)
