@@ -1,0 +1,113 @@
+"""Model worker: registers with the controller, heartbeats, serves SR jobs.
+
+Parity target: /root/reference llava/serve/model_worker.py (:38-90 —
+register on start, periodic heartbeat with queue length, streaming
+generate). Rebuilt dependency-free: http.server endpoint /worker_generate
+runs the pipeline on a base64-encoded image.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+HEARTBEAT_INTERVAL = 15  # model_worker.py:38-43
+
+
+class Worker:
+    def __init__(self, pipeline, worker_name: str,
+                 controller_url: str | None = None,
+                 model_names: tuple = ("rsvldm-sr",)):
+        self.pipeline = pipeline
+        self.worker_name = worker_name
+        self.controller_url = controller_url
+        self.model_names = list(model_names)
+        self.queue_length = 0
+        self._stop = threading.Event()
+
+    # ---- controller protocol ----
+    def _post(self, path: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            self.controller_url + path, json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    def register(self):
+        if self.controller_url:
+            self._post("/register_worker",
+                       dict(worker_name=self.worker_name,
+                            model_names=self.model_names,
+                            queue_length=self.queue_length))
+
+    def heartbeat_loop(self):
+        while not self._stop.is_set():
+            try:
+                out = self._post("/receive_heart_beat",
+                                 dict(worker_name=self.worker_name,
+                                      queue_length=self.queue_length))
+                if not out.get("exist"):
+                    self.register()  # controller restarted (worker.py:78-90)
+            except Exception:
+                pass
+            self._stop.wait(HEARTBEAT_INTERVAL)
+
+    # ---- job execution ----
+    def generate(self, image_b64: str) -> dict:
+        from PIL import Image
+        self.queue_length += 1
+        try:
+            img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
+            tmp = io.BytesIO()
+            img.save(tmp, format="PNG")
+            import tempfile, os
+            with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+                f.write(tmp.getvalue())
+                path = f.name
+            try:
+                out = self.pipeline.process(path)
+            finally:
+                os.unlink(path)
+            buf = io.BytesIO()
+            out.save(buf, format="PNG")
+            return {"image": base64.b64encode(buf.getvalue()).decode()}
+        finally:
+            self.queue_length -= 1
+
+    def serve(self, host: str = "0.0.0.0", port: int = 40000):
+        self.register()
+        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
+        worker = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/worker_generate":
+                    out = worker.generate(payload["image"])
+                elif self.path == "/worker_get_status":
+                    out = dict(model_names=worker.model_names,
+                               queue_length=worker.queue_length)
+                else:
+                    out = {"error": "unknown endpoint"}
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server
+
+    def stop(self):
+        self._stop.set()
