@@ -51,6 +51,15 @@ def pil_to_array(img, upscale: float = 1, min_size: int = 1024,
         w0, h0 = round(w), round(h)
     w = round_to_multiple(w, unit)
     h = round_to_multiple(h, unit)
+    src = np.asarray(img.convert("RGB"))
+    try:  # native fused resize+normalize (exact PIL-float bicubic)
+        from .. import native
+        if native.available():
+            x = native.resize_bicubic_u8(src, h, w, normalize="none")
+            x = x.round().clip(0, 255) / 255.0 * 2.0 - 1.0
+            return x.astype(np.float32), h0, w0
+    except Exception:
+        pass
     x = img.convert("RGB").resize((w, h), Image.BICUBIC)
     x = np.asarray(x).round().clip(0, 255).astype(np.uint8)
     x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
