@@ -1,0 +1,2 @@
+from .runner import split_list, get_chunk, ChunkedEvalRunner
+from .text_metrics import rouge_l, tfidf_cosine, evaluate_captions

@@ -1,0 +1,74 @@
+"""Caption/text evaluation metrics.
+
+Parity target: /root/reference llava/eval/evaluate_interleave.py (Rouge-L
+and TF-IDF cosine similarity over generated vs reference text). Pure-Python
+implementations (no rouge/sklearn deps).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+
+def _tokens(s: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", s.lower())
+
+
+def _lcs(a: list[str], b: list[str]) -> int:
+    m, n = len(a), len(b)
+    dp = [0] * (n + 1)
+    for i in range(1, m + 1):
+        prev = 0
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if a[i - 1] == b[j - 1] else max(dp[j], dp[j - 1])
+            prev = cur
+    return dp[n]
+
+
+def rouge_l(candidate: str, reference: str, beta: float = 1.2) -> float:
+    """ROUGE-L F-measure."""
+    c, r = _tokens(candidate), _tokens(reference)
+    if not c or not r:
+        return 0.0
+    lcs = _lcs(c, r)
+    p = lcs / len(c)
+    rec = lcs / len(r)
+    if p == 0 or rec == 0:
+        return 0.0
+    return (1 + beta**2) * p * rec / (rec + beta**2 * p)
+
+
+def tfidf_cosine(a: str, b: str, corpus: list[str] | None = None) -> float:
+    """TF-IDF cosine similarity; idf from `corpus` (defaults to the pair)."""
+    docs = [_tokens(d) for d in (corpus or [a, b])]
+    n_docs = len(docs)
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    idf = {t: math.log((1 + n_docs) / (1 + c)) + 1 for t, c in df.items()}
+
+    def vec(s):
+        tf = Counter(_tokens(s))
+        return {t: f * idf.get(t, math.log(1 + n_docs) + 1)
+                for t, f in tf.items()}
+
+    va, vb = vec(a), vec(b)
+    dot = sum(va[t] * vb.get(t, 0.0) for t in va)
+    na = math.sqrt(sum(v * v for v in va.values()))
+    nb = math.sqrt(sum(v * v for v in vb.values()))
+    if na == 0 or nb == 0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def evaluate_captions(pairs: list[tuple[str, str]]) -> dict:
+    """Aggregate Rouge-L / TF-IDF over (candidate, reference) pairs."""
+    if not pairs:
+        return {"rouge_l": 0.0, "tfidf_cosine": 0.0, "n": 0}
+    corpus = [p[0] for p in pairs] + [p[1] for p in pairs]
+    rl = sum(rouge_l(c, r) for c, r in pairs) / len(pairs)
+    tc = sum(tfidf_cosine(c, r, corpus) for c, r in pairs) / len(pairs)
+    return {"rouge_l": rl, "tfidf_cosine": tc, "n": len(pairs)}
