@@ -203,6 +203,46 @@ class SuperResolutionPipeline:
         out = self._jit_cache[key](self.sr3_params, jnp.asarray(cond), sub)
         return to_uint8(np.asarray(out[0]))
 
+    def run_stage1_batch(self, image_paths: list, mesh=None) -> list:
+        """Folder-parallel Stage 1: images grouped by conditioning shape,
+        each group stacked into ONE batched sr3_sample call sharded over the
+        mesh's data axis (SURVEY P4: each chip runs the whole denoise loop on
+        its shard of the batch). Returns uint8 arrays in input order."""
+        conds = [load_lr_conditioning(str(p), self.cfg.upscale)
+                 for p in image_paths]
+        if self.debug_tiny:
+            from .ops.image import resize_bicubic
+            s = self.sr3_cfg.image_size
+            conds = [np.asarray(resize_bicubic(jnp.asarray(c)[None], (s, s))[0])
+                     for c in conds]
+        groups: dict = {}
+        for i, c in enumerate(conds):
+            groups.setdefault(c.shape, []).append(i)
+
+        apply_fn = lambda p, x, nl: self.sr3.apply(p, x, nl)
+        key = "stage1_batch"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, c, r: sr3_sample(self.sr3_diff, apply_fn, p, c, r))
+        results: list = [None] * len(conds)
+        n_dev = 1
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+        for shape, idxs in groups.items():
+            batch = np.stack([conds[i] for i in idxs])
+            pad = (-len(idxs)) % n_dev
+            if pad:
+                batch = np.concatenate([batch, batch[:pad]], axis=0)
+            arr = jnp.asarray(batch)
+            if mesh is not None:
+                from .parallel import batch_sharding
+                arr = jax.device_put(arr, batch_sharding(mesh, 4))
+            self.rng, sub = jax.random.split(self.rng)
+            out = np.asarray(self._jit_cache[key](self.sr3_params, arr, sub))
+            for j, i in enumerate(idxs):
+                results[i] = to_uint8(out[j])
+        return results
+
     # ------------------------------------------------------------ stage 2a
     def run_caption(self, sr_image) -> str:
         """LLaVA caption (infer.py:145-166). Empty when no_llava or the
@@ -325,11 +365,13 @@ class ImageBatchProcessor:
     """Folder inference (infer_dir.py:76-206): per-image try/except, output
     trees output/ + sr3_output/."""
 
-    def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False):
+    def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh  # shard batched stage-1 over the data axis
         self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny)
 
-    def run(self):
+    def run(self, batch_stage1: bool = True):
         from PIL import Image
         src = Path(self.cfg.image_dir)
         out_dir = Path(self.cfg.output_dir)
@@ -341,9 +383,21 @@ class ImageBatchProcessor:
         exts = {".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp"}
         images = sorted(p for p in src.iterdir() if p.suffix.lower() in exts)
         results = []
+
+        stage1_out: dict = {}
+        if batch_stage1 and len(images) > 1:
+            try:
+                outs = self.pipe.run_stage1_batch(images, mesh=self.mesh)
+                stage1_out = dict(zip(images, outs))
+            except Exception as e:
+                log.exception("batched stage-1 failed (%s); falling back to "
+                              "per-image", e)
+
         for p in images:
             try:
-                sr_np = self.pipe.run_stage1(str(p))
+                sr_np = stage1_out.get(p)
+                if sr_np is None:
+                    sr_np = self.pipe.run_stage1(str(p))
                 sr_pil = Image.fromarray(sr_np)
                 sr_pil.save(sr3_dir / f"sr3_{p.stem}.png")
                 if self.cfg.stage1_only:
