@@ -1,0 +1,49 @@
+"""Tensor-parallel sharding rules for the Llama decoder.
+
+The reference runs LLaVA-8B on its own GPU (SURVEY P1); on TPU the 8B model
+is tensor-sharded across the mesh's `data` axis via GSPMD: Megatron-style
+column-parallel q/k/v/gate/up projections (shard output features), row-
+parallel o/down projections (shard input features; XLA inserts the
+all-reduce), vocab-sharded embedding/lm_head. KV cache shards over heads.
+
+Everything is annotation-only — apply `shard_llama_params` to the param
+tree and jit as usual; XLA emits the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def llama_param_spec(path: tuple, leaf, axis: str = "data") -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if leaf.ndim == 2:
+        # column-parallel: shard OUTPUT features
+        if any(k in joined for k in ("q_proj", "k_proj", "v_proj",
+                                     "gate_proj", "up_proj")):
+            return P(None, axis)
+        # row-parallel: shard INPUT features (all-reduce after)
+        if any(k in joined for k in ("o_proj", "down_proj")):
+            return P(axis, None)
+        if "lm_head" in joined:
+            return P(None, axis)
+        if "embed_tokens" in joined:
+            return P(axis, None)  # vocab-sharded
+    return P()  # norms etc. replicated
+
+
+def shard_llama_params(params, mesh: Mesh, axis: str = "data"):
+    """Place a Llama param tree with TP shardings."""
+    def place(path, leaf):
+        spec = llama_param_spec(path, leaf, axis)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_kv_cache(cache, mesh: Mesh, axis: str = "data"):
+    """KV cache [L, B, T, kvh, hd] sharded over kv heads."""
+    sh = NamedSharding(mesh, P(None, None, None, axis, None))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), cache)
