@@ -75,3 +75,40 @@ class SDXLConditioner:
         c = self(tokens_l_c, tokens_g_c, control, **kw)
         uc = self(tokens_l_uc, tokens_g_uc, control, **kw)
         return c, uc
+
+
+class PreparedConditioner:
+    """Precomputed conditioning buffers loaded from disk (sgm
+    PreparedConditioner, encoders/modules.py:237-281): skips the text towers
+    entirely when the prompt set is fixed. Save with `save`; `paired`
+    broadcasts the stored cond/uncond to the batch and attaches control."""
+
+    def __init__(self, crossattn_c, vector_c, crossattn_uc, vector_uc):
+        self.crossattn_c = jnp.asarray(crossattn_c)
+        self.vector_c = jnp.asarray(vector_c)
+        self.crossattn_uc = jnp.asarray(crossattn_uc)
+        self.vector_uc = jnp.asarray(vector_uc)
+
+    @classmethod
+    def load(cls, path: str) -> "PreparedConditioner":
+        import numpy as np
+        z = np.load(path)
+        return cls(z["crossattn_c"], z["vector_c"],
+                   z["crossattn_uc"], z["vector_uc"])
+
+    @staticmethod
+    def save(path: str, cond: Dict, uc: Dict) -> None:
+        import numpy as np
+        np.savez(path, crossattn_c=np.asarray(cond["crossattn"]),
+                 vector_c=np.asarray(cond["vector"]),
+                 crossattn_uc=np.asarray(uc["crossattn"]),
+                 vector_uc=np.asarray(uc["vector"]))
+
+    def paired(self, control):
+        n = control.shape[0]
+        tile = lambda x: jnp.tile(x[:1], (n,) + (1,) * (x.ndim - 1))
+        c = dict(crossattn=tile(self.crossattn_c), vector=tile(self.vector_c),
+                 control=control)
+        uc = dict(crossattn=tile(self.crossattn_uc),
+                  vector=tile(self.vector_uc), control=control)
+        return c, uc

@@ -93,6 +93,15 @@ def resize_bicubic(x: jnp.ndarray, size: tuple[int, int], antialias: bool = True
                             antialias=antialias)
 
 
+def degrade_image(img, down_factor: float = 1.5):
+    """Bicubic down-up degradation for validation inputs
+    (models/util.py:120-129)."""
+    w, h = img.size
+    small = img.resize((int(w / down_factor), int(h / down_factor)),
+                       Image.BICUBIC)
+    return small.resize((w, h), Image.BICUBIC)
+
+
 def load_lr_conditioning(path: str, upscale: int):
     """Single-image Stage-1 input: bicubic-upsample x`upscale`, center-crop,
     [-1,1]. Mirrors data/dataset.py:30-42 (resize max(w,h)*scale + center crop).

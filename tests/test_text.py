@@ -116,3 +116,23 @@ def test_tokenizer_truncation():
     arr = tok(["he " * 100], context_length=7, pad_id=0)
     assert arr.shape == (1, 7)
     assert arr[0, -1] == tok.eot  # eot survives truncation
+
+
+def test_prepared_conditioner(tmp_path, towers):
+    import numpy as np
+    import jax.numpy as jnp
+    from rsvldm_tpu.models.text.conditioner import PreparedConditioner
+    l, g, lp, gp = towers
+    cond = SDXLConditioner(l, g, lp, gp)
+    tl = jnp.zeros((1, 77), jnp.int32)
+    ctrl1 = jnp.zeros((1, 8, 8, 4))
+    c, uc = cond.paired(tl, tl, tl, tl, ctrl1)
+    p = str(tmp_path / "prep.npz")
+    PreparedConditioner.save(p, c, uc)
+    prep = PreparedConditioner.load(p)
+    ctrl3 = jnp.ones((3, 8, 8, 4))
+    c2, uc2 = prep.paired(ctrl3)
+    assert c2["crossattn"].shape == (3, 77, c["crossattn"].shape[-1])
+    np.testing.assert_allclose(np.asarray(c2["crossattn"][0]),
+                               np.asarray(c["crossattn"][0]), atol=1e-6)
+    assert c2["control"].shape == (3, 8, 8, 4)
