@@ -1,9 +1,12 @@
-"""Llama-3 decoder (the LLaVA language backbone) with KV-cache decode.
+"""Llama-family decoders (the LLaVA language backbones) with KV-cache decode.
 
-Parity target: /root/reference llava/model/language_model/llava_llama.py
-(LlavaLlamaForCausalLM forward/generate :31-152) over HF LlamaForCausalLM —
-rebuilt as a functional JAX graph: RMSNorm, RoPE (theta 500000), GQA
-(32 q heads / 8 kv heads), SwiGLU MLP, untied lm_head.
+Parity target: /root/reference llava/model/language_model/ — llava_llama.py
+(:31-152, the shipped model) plus the sibling bindings llava_qwen.py /
+llava_mistral.py / llava_gemma.py, which differ only in config-level
+architecture knobs covered here: attention projection bias (Qwen2), sliding
+window (Mistral), RMSNorm (1+w) scaling + embedding scaling + tied head
+(Gemma), rope theta / dims per family. RMSNorm, RoPE, GQA, SwiGLU, untied or
+tied lm_head.
 
 TPU design: one code path serves prefill and decode — new tokens' K/V are
 written into a preallocated [L, B, T, kvh, hd] cache with
@@ -34,6 +37,13 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     rms_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # family knobs
+    attn_bias: bool = False        # Qwen2: q/k/v projections carry bias
+    sliding_window: int | None = None  # Mistral: local attention window
+    norm_plus_one: bool = False    # Gemma: y = x_norm * (1 + w)
+    act: str = "silu"              # Gemma: "gelu_tanh"
+    scale_embeds: bool = False     # Gemma: embeds *= sqrt(dim)
+    tie_lm_head: bool = False      # Gemma: lm_head = embed_tokens^T
 
     @property
     def head_dim(self) -> int:
@@ -41,6 +51,19 @@ class LlamaConfig:
 
 
 LLAMA3_8B_CONFIG = LlamaConfig()
+QWEN2_7B_CONFIG = LlamaConfig(vocab_size=152064, dim=3584, layers=28,
+                              heads=28, kv_heads=4, ffn_dim=18944,
+                              rope_theta=1000000.0, rms_eps=1e-6,
+                              attn_bias=True)
+MISTRAL_7B_CONFIG = LlamaConfig(vocab_size=32000, dim=4096, layers=32,
+                                heads=32, kv_heads=8, ffn_dim=14336,
+                                rope_theta=10000.0, rms_eps=1e-5,
+                                sliding_window=4096)
+GEMMA_7B_CONFIG = LlamaConfig(vocab_size=256000, dim=3072, layers=28,
+                              heads=16, kv_heads=16, ffn_dim=24576,
+                              rope_theta=10000.0, rms_eps=1e-6,
+                              norm_plus_one=True, scale_embeds=True,
+                              tie_lm_head=True, act="gelu_tanh")
 
 
 class KVCache(NamedTuple):
@@ -71,13 +94,16 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 class RMSNorm(nn.Module):
     eps: float = 1e-5
+    plus_one: bool = False  # Gemma convention: scale by (1 + w)
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        init = nn.initializers.zeros if self.plus_one else nn.initializers.ones
+        w = self.param("weight", init, (x.shape[-1],))
         xf = x.astype(jnp.float32)
         n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
-        return (n * w).astype(x.dtype)
+        scale = (1.0 + w) if self.plus_one else w
+        return (n * scale).astype(x.dtype)
 
 
 class LlamaBlock(nn.Module):
@@ -91,12 +117,13 @@ class LlamaBlock(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
-        h = RMSNorm(cfg.rms_eps, name="attn_norm")(x)
-        q = nn.Dense(cfg.heads * hd, use_bias=False, dtype=cfg.dtype,
+        h = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="attn_norm")(x)
+        bias = cfg.attn_bias
+        q = nn.Dense(cfg.heads * hd, use_bias=bias, dtype=cfg.dtype,
                      name="q_proj")(h).reshape(b, s, cfg.heads, hd)
-        k = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=cfg.dtype,
+        k = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=cfg.dtype,
                      name="k_proj")(h).reshape(b, s, cfg.kv_heads, hd)
-        v = nn.Dense(cfg.kv_heads * hd, use_bias=False, dtype=cfg.dtype,
+        v = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=cfg.dtype,
                      name="v_proj")(h).reshape(b, s, cfg.kv_heads, hd)
         positions = start_pos + jnp.arange(s)
         q = rope(q, positions, cfg.rope_theta)
@@ -115,6 +142,8 @@ class LlamaBlock(nn.Module):
         q_pos = positions[None, None, :, None]
         k_pos = jnp.arange(t)[None, None, None, :]
         mask = (k_pos <= q_pos) & (k_pos < valid_len)
+        if cfg.sliding_window is not None:
+            mask = mask & (k_pos > q_pos - cfg.sliding_window)
         logits = jnp.where(mask, logits, -1e30)
         probs = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, vv,
@@ -123,13 +152,15 @@ class LlamaBlock(nn.Module):
                      name="o_proj")(o.reshape(b, s, cfg.heads * hd))
         x = x + o
 
-        h = RMSNorm(cfg.rms_eps, name="mlp_norm")(x)
+        h = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="mlp_norm")(x)
         gate = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
                         name="gate_proj")(h)
         up = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
                       name="up_proj")(h)
+        act = nn.silu if cfg.act == "silu" else \
+            (lambda v: nn.gelu(v, approximate=True))
         down = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
-                        name="down_proj")(nn.silu(gate) * up)
+                        name="down_proj")(act(gate) * up)
         return x + down, layer_k, layer_v
 
 
@@ -142,12 +173,16 @@ class LlamaModel(nn.Module):
                                      param_dtype=jnp.float32, name="embed_tokens")
         self.blocks = [LlamaBlock(cfg, name=f"layer_{i}")
                        for i in range(cfg.layers)]
-        self.norm = RMSNorm(cfg.rms_eps, name="norm")
-        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
-                                name="lm_head")
+        self.norm = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="norm")
+        if not cfg.tie_lm_head:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    dtype=cfg.dtype, name="lm_head")
 
     def embed(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        return self.embed_tokens(tokens).astype(self.cfg.dtype)
+        e = self.embed_tokens(tokens).astype(self.cfg.dtype)
+        if self.cfg.scale_embeds:
+            e = e * jnp.sqrt(jnp.float32(self.cfg.dim)).astype(e.dtype)
+        return e
 
     def from_tokens(self, tokens: jnp.ndarray, cache: KVCache, start_pos):
         """Token-id entry point (also ensures init touches embed_tokens)."""
@@ -163,5 +198,8 @@ class LlamaModel(nn.Module):
             new_k.append(lk)
             new_v.append(lv)
         x = self.norm(x)
-        logits = self.lm_head(x).astype(jnp.float32)
+        if self.cfg.tie_lm_head:
+            logits = self.embed_tokens.attend(x).astype(jnp.float32)
+        else:
+            logits = self.lm_head(x).astype(jnp.float32)
         return logits, KVCache(jnp.stack(new_k), jnp.stack(new_v))

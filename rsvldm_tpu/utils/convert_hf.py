@@ -125,8 +125,9 @@ def convert_llama(sd: Dict[str, Any], cfg, prefix: str = "model") -> Dict:
     p: Dict[str, Any] = {
         "embed_tokens": {"embedding": t2n(sd[f"{prefix}.embed_tokens.weight"])},
         "norm": rms(f"{prefix}.norm"),
-        "lm_head": {"kernel": lin_w(sd["lm_head.weight"])},
     }
+    if "lm_head.weight" in sd and not getattr(cfg, "tie_lm_head", False):
+        p["lm_head"] = {"kernel": lin_w(sd["lm_head.weight"])}
     for i in range(cfg.layers):
         lp = f"{prefix}.layers.{i}"
         p[f"layer_{i}"] = {
