@@ -177,3 +177,25 @@ def test_merge_lora():
     b = np.ones((4, 2), np.float32) * 0.5
     merged = convert_hf.merge_lora(base, a, b, scale=2.0)
     np.testing.assert_allclose(merged, base + 2.0)
+
+
+def test_siglip_vision_parity():
+    from transformers import SiglipVisionConfig as HFCfg, SiglipVisionModel
+    from rsvldm_tpu.models.vlm.siglip import (SigLIPVisionConfig,
+                                              SigLIPVisionTower,
+                                              convert_hf_siglip_vision)
+    hf_cfg = HFCfg(hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                   num_attention_heads=4, image_size=28, patch_size=14,
+                   hidden_act="gelu_pytorch_tanh")
+    torch.manual_seed(5)
+    hf = SiglipVisionModel(hf_cfg).eval()
+    cfg = SigLIPVisionConfig(image_size=28, patch_size=14, width=32, layers=3,
+                             heads=4, mlp_dim=64, select_layer=-2)
+    params = convert_hf_siglip_vision(hf.state_dict(), cfg)
+    px = np.random.default_rng(3).normal(size=(1, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                 output_hidden_states=True)
+    ours = SigLIPVisionTower(cfg).apply(params, jnp.asarray(px))
+    ref = out.hidden_states[-2].numpy()  # no CLS token in SigLIP
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4, rtol=1e-3)
