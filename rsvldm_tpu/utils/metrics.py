@@ -100,19 +100,42 @@ class CLIPScorer:
         return 1.0 - jnp.sum(a * b, axis=-1)
 
 
-def lpips_available() -> bool:
-    """LPIPS needs VGG16 weights (sgm lpips/). Gate on their presence."""
-    return False
+def load_lpips(ckpt_dir: str):
+    """(LPIPS model, params) when VGG16/lin weights exist under
+    <ckpt_dir>/lpips/ (vgg16 torchvision state dict + LPIPS lin heads),
+    else None. Conversion is cached as orbax like the other families."""
+    import os
+    from pathlib import Path
+    from . import checkpoint as ckpt
+    from .lpips import LPIPS, convert_lpips
+
+    d = Path(ckpt_dir) / "lpips"
+    cache = Path(ckpt_dir) / "jax" / "lpips"
+    if cache.exists():
+        return LPIPS(), ckpt.load_orbax(cache)
+    vgg_p = d / "vgg16.pth"
+    if not vgg_p.exists():
+        return None
+    vgg_sd = ckpt.load_torch_state_dict(str(vgg_p))
+    lin_p = d / "lpips_vgg.pth"
+    lin_sd = ckpt.load_torch_state_dict(str(lin_p)) if lin_p.exists() else None
+    params = convert_lpips(vgg_sd, lin_sd)
+    ckpt.save_orbax(params, cache)
+    return LPIPS(), params
 
 
-def calc_metrics(sr: np.ndarray, hr: np.ndarray) -> dict:
-    """PSNR/SSIM on [-1,1] NHWC inputs (calc_metrics parity; LPIPS gated)."""
-    sr01 = (jnp.asarray(sr) + 1) / 2
-    hr01 = (jnp.asarray(hr) + 1) / 2
-    if sr01.shape != hr01.shape:
+def calc_metrics(sr: np.ndarray, hr: np.ndarray,
+                 lpips_fn=None) -> dict:
+    """PSNR/SSIM (+LPIPS when a scorer is provided) on [-1,1] NHWC inputs —
+    the SR_backbone calc_metrics surface."""
+    sr = jnp.asarray(sr)
+    hr = jnp.asarray(hr)
+    if sr.shape != hr.shape:
         from ..ops.image import resize_bicubic
-        sr01 = resize_bicubic(sr01, hr01.shape[1:3])
+        sr = resize_bicubic(sr, hr.shape[1:3])
+    sr01 = (sr + 1) / 2
+    hr01 = (hr + 1) / 2
     out = {"PSNR": float(psnr(sr01, hr01)), "SSIM": float(ssim(sr01, hr01))}
-    if lpips_available():  # pragma: no cover
-        out["LPIPS"] = None
+    if lpips_fn is not None:
+        out["LPIPS"] = float(jnp.mean(lpips_fn(sr, hr)))
     return out
