@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Composite pipeline benchmark (our records; the driver runs bench.py).
+
+Measures on the real chip, fetch-synced:
+  1. Stage-1 SR3: 500-step loop @224^2 (the shipped val schedule)
+  2. Stage-2b: one SDXL+ControlNet denoise step @ latent 64^2 and the
+     implied 50-step loop
+  3. SDXL VAE decode @512px
+  4. Llama decode proxy tokens/s (2B-scale config; the real 8B runs
+     TP-sharded over a slice, parallel/llama_sharding.py)
+
+Prints one JSON line with the composite per-image estimate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fetch(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def timed(f, *args, n=2):
+    out = f(*args)
+    fetch(out)
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = f(*args)
+        fetch(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def zeros_like_shapes(tree):
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+
+def main():
+    res = {}
+
+    # --- stage 1: full 500-step SR3 ---
+    from rsvldm_tpu.models.sr3 import (SR3Diffusion, SR3UNet, SR3UNetConfig,
+                                       sr3_sample)
+    cfg = SR3UNetConfig(inner_channel=64, channel_mults=(1, 2, 4, 8, 8),
+                        attn_res=(28,), res_blocks=1, image_size=224,
+                        dtype=jnp.bfloat16)
+    model = SR3UNet(cfg)
+    cond = jnp.zeros((1, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 6)),
+                        jnp.ones((1, 1)))
+    diff = SR3Diffusion.from_schedule(n_timestep=500)
+    f1 = jax.jit(lambda p, c, r: sr3_sample(
+        diff, lambda pp, x, nl: model.apply(pp, x, nl), p, c, r))
+    res["stage1_500step_s"] = timed(lambda r: f1(params, cond, r),
+                                    jax.random.PRNGKey(1), n=2)
+
+    # --- stage 2b: denoise step @64^2 latent ---
+    from rsvldm_tpu.models.sdxl import (ControlledUNet, GLVControl,
+                                        SDXLUNetConfig)
+    from rsvldm_tpu.models.sdxl.denoiser import ControlDenoiser
+    ucfg = SDXLUNetConfig(dtype=jnp.bfloat16)
+    unet, ctrl = ControlledUNet(ucfg), GLVControl(ucfg)
+    n, h, w = 2, 64, 64
+    x = jnp.zeros((n, h, w, 4), jnp.bfloat16)
+    t = jnp.zeros((n,))
+    ca = jnp.zeros((n, 77, 2048), jnp.bfloat16)
+    vec = jnp.zeros((n, 2816), jnp.bfloat16)
+    cp = zeros_like_shapes(jax.eval_shape(
+        lambda k: ctrl.init(k, x, x, t, ca, vec), jax.random.PRNGKey(0)))
+    feats = zeros_like_shapes(jax.eval_shape(
+        lambda p: ctrl.apply(p, x, x, t, ca, vec), cp))
+    up = zeros_like_shapes(jax.eval_shape(
+        lambda k: unet.init(k, x, t, ca, vec, feats), jax.random.PRNGKey(1)))
+
+    def step(up, cp, xx, sigma):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
+        return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+
+    f2 = jax.jit(step)
+    sigma = jnp.full((n,), 14.6)
+    res["sdxl_step_64lat_s"] = timed(lambda xx: f2(up, cp, xx, sigma), x, n=2)
+    res["stage2_50step_est_s"] = 50 * res["sdxl_step_64lat_s"]
+
+    # --- VAE decode @512px ---
+    from rsvldm_tpu.models.vae import AutoencoderKL, SDXL_VAE_CONFIG
+    import dataclasses
+    vcfg = dataclasses.replace(SDXL_VAE_CONFIG, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    vp = zeros_like_shapes(jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3))),
+        jax.random.PRNGKey(2)))
+    z = jnp.zeros((1, 64, 64, 4))
+    fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
+    res["vae_decode_512px_s"] = timed(lambda zz: fv(vp, zz), z, n=2)
+
+    # --- llama decode proxy (2B-scale: 4096 dim x 8 layers) ---
+    from rsvldm_tpu.models.vlm.llama import KVCache, LlamaConfig, LlamaModel
+    lcfg = LlamaConfig(vocab_size=128256, dim=4096, layers=8, heads=32,
+                       kv_heads=8, ffn_dim=14336, dtype=jnp.bfloat16)
+    lm = LlamaModel(lcfg)
+    cache = KVCache.init(lcfg, 1, 1024, jnp.bfloat16)
+    lp = zeros_like_shapes(jax.eval_shape(
+        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
+                          method=lm.from_tokens), jax.random.PRNGKey(3)))
+
+    def decode32(params, cache):
+        def body(carry, i):
+            tok, cache = carry
+            emb = lm.apply(params, tok[None, None], method=lm.embed)
+            lg, cache = lm.apply(params, emb, cache, 512 + i)
+            return (jnp.argmax(lg[0, -1]).astype(jnp.int32), cache), 0.0
+        (tok, cache), _ = jax.lax.scan(body, (jnp.int32(1), cache),
+                                       jnp.arange(32))
+        return tok
+
+    fd = jax.jit(decode32)
+    dt = timed(lambda: fd(lp, cache), n=2)
+    res["llama2B_tok_s"] = 32 / dt
+    # 8B has 4x the layers of this proxy
+    res["llama8B_est_tok_s"] = res["llama2B_tok_s"] / 4
+
+    per_image = (res["stage1_500step_s"] + res["stage2_50step_est_s"]
+                 + 2 * res["vae_decode_512px_s"]
+                 + 256 / res["llama8B_est_tok_s"])
+    res = {k: round(v, 3) for k, v in res.items()}
+    res["metric"] = "e2e_seconds_per_image_512px_est"
+    res["value"] = round(per_image, 2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -314,11 +314,29 @@ class SuperResolutionPipeline:
     def _refine_jit(self, scfg, vae_params, unet_params, control_params,
                     x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop):
         vae = self.vae
-        _z = vae.apply(vae_params, x, method=vae.encode_with_denoise)
-        x_stage1 = vae.apply(vae_params, _z, method=vae.decode)
-        # reference z_stage1 encode SAMPLES the posterior
-        # (AutoencoderKLInferenceWrapper, autoencoder.py:319-321)
-        z_stage1 = vae.apply(vae_params, x_stage1, k_enc, method=vae.encode)
+        r = self.cfg.refine
+        if r.use_tile_vae and min(x.shape[1:3]) > r.encoder_tile_size:
+            # tiled VAE with tile-collective GroupNorm (init_tile_vae parity,
+            # SR_model.py:95-125); tiles batched, not looped
+            from .models.vae import tiled
+
+            def enc_den(t):
+                return vae.apply(vae_params, t, method=vae.encode_with_denoise)
+
+            def dec(t):
+                return vae.apply(vae_params, t, method=vae.decode)
+
+            _z = tiled.tiled_encode(enc_den, x, tile=r.encoder_tile_size)
+            x_stage1 = tiled.tiled_decode(dec, _z, tile=r.decoder_tile_size)
+            enc_s = lambda t: vae.apply(vae_params, t, k_enc, method=vae.encode)
+            z_stage1 = tiled.tiled_encode(enc_s, x_stage1,
+                                          tile=r.encoder_tile_size)
+        else:
+            _z = vae.apply(vae_params, x, method=vae.encode_with_denoise)
+            x_stage1 = vae.apply(vae_params, _z, method=vae.decode)
+            # reference z_stage1 encode SAMPLES the posterior
+            # (AutoencoderKLInferenceWrapper, autoencoder.py:319-321)
+            z_stage1 = vae.apply(vae_params, x_stage1, k_enc, method=vae.encode)
 
         cond, uc = self.conditioner.paired(tl_c, tg_c, tl_u, tg_u, _z)
         denoiser = ControlDenoiser(unet=self.unet, control_net=self.control,
@@ -327,7 +345,13 @@ class SuperResolutionPipeline:
         noise = jax.random.normal(k_noise, _z.shape, jnp.float32)
         z = restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
                                k_loop)
-        samples = vae.apply(vae_params, z, method=vae.decode)
+        if r.use_tile_vae and min(x.shape[1:3]) > r.encoder_tile_size:
+            from .models.vae import tiled
+            samples = tiled.tiled_decode(
+                lambda t: vae.apply(vae_params, t, method=vae.decode), z,
+                tile=r.decoder_tile_size)
+        else:
+            samples = vae.apply(vae_params, z, method=vae.decode)
         return samples, x_stage1
 
     # ------------------------------------------------------------- driver

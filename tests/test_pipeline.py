@@ -56,3 +56,18 @@ def test_batch_processor(tmp_path, sample_image):
     assert len(results) == 1
     assert results[0][1] == "stage1"
     assert (tmp_path / "batch" / "sr3_output" / "sr3_test.png").exists()
+
+
+def test_pipeline_tile_vae_path(tmp_path, sample_image):
+    """use_tile_vae engages the tiled encode/decode (tiny: tile < image)."""
+    cfg = PipelineConfig(output_dir=str(tmp_path / "tv"),
+                         ckpt_dir=str(tmp_path / "nock"), no_llava=True)
+    cfg.stage1 = Stage1Config(steps=2)
+    cfg.refine.edm_steps = 2
+    cfg.refine.min_size = 64
+    cfg.refine.use_tile_vae = True
+    cfg.refine.encoder_tile_size = 32
+    cfg.refine.decoder_tile_size = 8
+    pipe = SuperResolutionPipeline(cfg, debug_tiny=True)
+    final = pipe.process(str(sample_image))
+    assert final.size[0] > 0
