@@ -40,10 +40,13 @@ def zeros_like_shapes(tree):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
 
-def main():
-    res = {}
+def _part(name):
+    """Run one section in-process (invoked in a subprocess per part so the
+    16GB HBM is not shared across model families)."""
+    return PARTS[name]()
 
-    # --- stage 1: full 500-step SR3 ---
+
+def part_stage1():
     from rsvldm_tpu.models.sr3 import (SR3Diffusion, SR3UNet, SR3UNetConfig,
                                        sr3_sample)
     cfg = SR3UNetConfig(inner_channel=64, channel_mults=(1, 2, 4, 8, 8),
@@ -56,10 +59,11 @@ def main():
     diff = SR3Diffusion.from_schedule(n_timestep=500)
     f1 = jax.jit(lambda p, c, r: sr3_sample(
         diff, lambda pp, x, nl: model.apply(pp, x, nl), p, c, r))
-    res["stage1_500step_s"] = timed(lambda r: f1(params, cond, r),
-                                    jax.random.PRNGKey(1), n=2)
+    return {"stage1_500step_s": timed(lambda r: f1(params, cond, r),
+                                      jax.random.PRNGKey(1), n=2)}
 
-    # --- stage 2b: denoise step @64^2 latent ---
+
+def part_sdxl():
     from rsvldm_tpu.models.sdxl import (ControlledUNet, GLVControl,
                                         SDXLUNetConfig)
     from rsvldm_tpu.models.sdxl.denoiser import ControlDenoiser
@@ -84,10 +88,11 @@ def main():
 
     f2 = jax.jit(step)
     sigma = jnp.full((n,), 14.6)
-    res["sdxl_step_64lat_s"] = timed(lambda xx: f2(up, cp, xx, sigma), x, n=2)
-    res["stage2_50step_est_s"] = 50 * res["sdxl_step_64lat_s"]
+    dt = timed(lambda xx: f2(up, cp, xx, sigma), x, n=2)
+    return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt}
 
-    # --- VAE decode @512px ---
+
+def part_vae():
     from rsvldm_tpu.models.vae import AutoencoderKL, SDXL_VAE_CONFIG
     import dataclasses
     vcfg = dataclasses.replace(SDXL_VAE_CONFIG, dtype=jnp.bfloat16)
@@ -97,9 +102,10 @@ def main():
         jax.random.PRNGKey(2)))
     z = jnp.zeros((1, 64, 64, 4))
     fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
-    res["vae_decode_512px_s"] = timed(lambda zz: fv(vp, zz), z, n=2)
+    return {"vae_decode_512px_s": timed(lambda zz: fv(vp, zz), z, n=2)}
 
-    # --- llama decode proxy (2B-scale: 4096 dim x 8 layers) ---
+
+def part_llama():
     from rsvldm_tpu.models.vlm.llama import KVCache, LlamaConfig, LlamaModel
     lcfg = LlamaConfig(vocab_size=128256, dim=4096, layers=8, heads=32,
                        kv_heads=8, ffn_dim=14336, dtype=jnp.bfloat16)
@@ -121,16 +127,39 @@ def main():
 
     fd = jax.jit(decode32)
     dt = timed(lambda: fd(lp, cache), n=2)
-    res["llama2B_tok_s"] = 32 / dt
+    tok_s = 32 / dt
     # 8B has 4x the layers of this proxy
-    res["llama8B_est_tok_s"] = res["llama2B_tok_s"] / 4
+    return {"llama2B_tok_s": tok_s, "llama8B_est_tok_s": tok_s / 4}
 
-    per_image = (res["stage1_500step_s"] + res["stage2_50step_est_s"]
-                 + 2 * res["vae_decode_512px_s"]
-                 + 256 / res["llama8B_est_tok_s"])
-    res = {k: round(v, 3) for k, v in res.items()}
-    res["metric"] = "e2e_seconds_per_image_512px_est"
-    res["value"] = round(per_image, 2)
+
+PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
+         "llama": part_llama}
+
+
+def main():
+    import subprocess
+    import sys
+    if len(sys.argv) > 1:
+        print(json.dumps(_part(sys.argv[1])))
+        return
+    res = {}
+    for name in PARTS:
+        out = subprocess.run([sys.executable, __file__, name],
+                             capture_output=True, text=True, timeout=1800)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        try:
+            res.update(json.loads(line))
+        except json.JSONDecodeError:
+            res[f"{name}_error"] = out.stderr.strip()[-200:]
+    if all(k in res for k in ("stage1_500step_s", "stage2_50step_est_s",
+                              "vae_decode_512px_s", "llama8B_est_tok_s")):
+        per_image = (res["stage1_500step_s"] + res["stage2_50step_est_s"]
+                     + 2 * res["vae_decode_512px_s"]
+                     + 256 / res["llama8B_est_tok_s"])
+        res["metric"] = "e2e_seconds_per_image_512px_est"
+        res["value"] = round(per_image, 2)
+    res = {k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in res.items()}
     print(json.dumps(res))
 
 
