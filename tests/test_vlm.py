@@ -147,3 +147,31 @@ def test_prompt_and_splice():
     img = jnp.zeros((10, 4))
     out = splice_image_embeds(ids, text_embeds, img)
     assert out.shape == (len(ids) - 1 + 10, 4)
+
+
+def test_resamplers():
+    from rsvldm_tpu.models.vlm import resampler as R
+    f = jnp.arange(1 * 16 * 4, dtype=jnp.float32).reshape(1, 16, 4)
+    assert R.identity_resampler(f) is f
+    pooled = R.spatial_pool(f, stride=2)
+    assert pooled.shape == (1, 4, 4)
+    # average of a 2x2 token block
+    grid = np.asarray(f).reshape(1, 4, 4, 4)
+    np.testing.assert_allclose(np.asarray(pooled)[0, 0],
+                               grid[0, :2, :2].mean(axis=(0, 1)), rtol=1e-6)
+    dropped = R.masked_drop(f, jax.random.PRNGKey(0), ratio=0.5)
+    assert dropped.shape == (1, 8, 4)
+    same = R.masked_drop(f, jax.random.PRNGKey(0), deterministic=True)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(f))
+
+
+def test_conversation_templates():
+    from rsvldm_tpu.models.vlm.conversation import conv_templates
+    assert set(conv_templates) >= {"llava_llama_3", "v1", "qwen",
+                                   "mistral_instruct", "gemma_instruct",
+                                   "plain"}
+    p = conv_templates["llava_llama_3"].prompt("describe <image>")
+    assert p.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    assert "describe <image>" in p
+    q = conv_templates["qwen"].prompt("hi")
+    assert q.startswith("<|im_start|>system")
