@@ -17,7 +17,14 @@ def main():
     ap.add_argument("--no_llava", action="store_true")
     ap.add_argument("--stage1_only", action="store_true")
     ap.add_argument("--debug_tiny", action="store_true")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (e.g. cpu) — overrides the "
+                         "site-injected TPU relay selection")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")

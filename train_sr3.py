@@ -25,7 +25,14 @@ def main():
     ap.add_argument("--resume_iter", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=200)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (e.g. cpu) — overrides the "
+                         "site-injected TPU relay selection")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     logging.basicConfig(level=logging.INFO)
 
