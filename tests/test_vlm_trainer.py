@@ -1,0 +1,83 @@
+"""VLM LoRA finetune loop tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsvldm_tpu.models.vlm.llama import KVCache, LlamaConfig, LlamaModel
+from rsvldm_tpu.training.vlm_trainer import (IGNORE_INDEX, LoraConfig,
+                                             VLMTrainer, apply_lora,
+                                             init_lora,
+                                             preprocess_conversation,
+                                             vlm_loss)
+
+CFG = LlamaConfig(vocab_size=64, dim=16, layers=2, heads=2, kv_heads=2,
+                  ffn_dim=32)
+
+
+def _model_and_params():
+    model = LlamaModel(CFG)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    cache = KVCache.init(CFG, 1, 8)
+    params = model.init(jax.random.PRNGKey(0), toks, cache, 0,
+                        method=model.from_tokens)
+    return model, params
+
+
+def test_init_lora_targets_only_attention():
+    _, params = _model_and_params()
+    lora = init_lora(params, LoraConfig(r=2), jax.random.PRNGKey(1))
+    l0 = lora["layer_0"]
+    assert set(l0) == {"q_proj", "k_proj", "v_proj", "o_proj"}
+    assert l0["q_proj"]["a"].shape == (16, 2)
+    assert float(jnp.abs(l0["q_proj"]["b"]).max()) == 0.0  # B zero-init
+    assert "gate_proj" not in l0
+
+
+def test_apply_lora_identity_at_init():
+    _, params = _model_and_params()
+    cfg = LoraConfig(r=2)
+    lora = init_lora(params, cfg, jax.random.PRNGKey(1))
+    eff = apply_lora(params, lora, cfg.scale)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(eff)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7)
+
+
+def test_preprocess_masks_prompt():
+    inp, labels = preprocess_conversation(np.array([1, 2, 3]),
+                                          np.array([10, 11]), eot_id=63)
+    np.testing.assert_array_equal(inp, [1, 2, 3, 10, 11, 63])
+    np.testing.assert_array_equal(labels[:3], [IGNORE_INDEX] * 3)
+    np.testing.assert_array_equal(labels[3:], [10, 11, 63])
+
+
+def test_training_reduces_loss():
+    model, params = _model_and_params()
+    trainer = VLMTrainer(model, params, LoraConfig(r=4), lr=5e-2,
+                         rng=jax.random.PRNGKey(2))
+    toks = jnp.array([[1, 2, 3, 10, 11, 63, 0, 0]], jnp.int32)
+    labels = jnp.array([[IGNORE_INDEX, IGNORE_INDEX, IGNORE_INDEX,
+                         10, 11, 63, IGNORE_INDEX, IGNORE_INDEX]])
+    embeds = model.apply(params, toks[0], method=model.embed)[None]
+    cache = KVCache.init(CFG, 1, 8)
+    losses = [trainer.train_step(embeds, labels, cache) for _ in range(20)]
+    assert losses[-1] < losses[0] * 0.8, losses[::5]
+    # merged export differs from the base after training
+    merged = trainer.merged_params()
+    q0 = np.asarray(params["params"]["layer_0"]["q_proj"]["kernel"])
+    q1 = np.asarray(merged["params"]["layer_0"]["q_proj"]["kernel"])
+    assert not np.allclose(q0, q1)
+
+
+def test_loss_ignores_masked_positions():
+    model, params = _model_and_params()
+    cfg = LoraConfig(r=2)
+    lora = init_lora(params, cfg, jax.random.PRNGKey(3))
+    toks = jnp.array([[1, 2, 3, 4]], jnp.int32)
+    embeds = model.apply(params, toks[0], method=model.embed)[None]
+    cache = KVCache.init(CFG, 1, 4)
+    all_masked = jnp.full((1, 4), IGNORE_INDEX)
+    loss = vlm_loss(model, params, lora, cfg, embeds, all_masked, cache)
+    assert float(loss) == 0.0
