@@ -125,6 +125,37 @@ def vlm_loss(model, base_params, lora, lora_cfg: LoraConfig,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 
+# ------------------------------------------------------------------ DPO
+
+def _sequence_logprob(model, params, embeds, labels, cache):
+    logits, _ = model.apply(params, embeds, cache, 0)
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    mask = targets != IGNORE_INDEX
+    safe = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(tok_lp * mask, axis=-1)
+
+
+def dpo_loss(model, base_params, lora, lora_cfg: LoraConfig,
+             chosen_embeds, chosen_labels, rejected_embeds, rejected_labels,
+             cache, beta: float = 0.1) -> jnp.ndarray:
+    """Direct preference optimization (llava/train/train_dpo.py parity):
+    -log sigmoid(beta * ((pi_c - ref_c) - (pi_r - ref_r))), where the frozen
+    base model IS the reference policy (LoRA-only policy delta)."""
+    policy = apply_lora(base_params, lora, lora_cfg.scale)
+    pi_c = _sequence_logprob(model, policy, chosen_embeds, chosen_labels, cache)
+    pi_r = _sequence_logprob(model, policy, rejected_embeds, rejected_labels,
+                             cache)
+    ref_c = _sequence_logprob(model, base_params, chosen_embeds, chosen_labels,
+                              cache)
+    ref_r = _sequence_logprob(model, base_params, rejected_embeds,
+                              rejected_labels, cache)
+    margin = beta * ((pi_c - ref_c) - (pi_r - ref_r))
+    return -jnp.mean(jax.nn.log_sigmoid(margin))
+
+
 # --------------------------------------------------------------- trainer
 
 class VLMTrainer:

@@ -81,3 +81,41 @@ def test_loss_ignores_masked_positions():
     all_masked = jnp.full((1, 4), IGNORE_INDEX)
     loss = vlm_loss(model, params, lora, cfg, embeds, all_masked, cache)
     assert float(loss) == 0.0
+
+
+def test_dpo_loss_prefers_chosen():
+    import optax
+    from rsvldm_tpu.training.vlm_trainer import dpo_loss
+    model, params = _model_and_params()
+    cfg = LoraConfig(r=4)
+    lora = init_lora(params, cfg, jax.random.PRNGKey(4))
+    cache = KVCache.init(CFG, 1, 6)
+
+    chosen = jnp.array([[1, 2, 10, 11, 63, 0]], jnp.int32)
+    rejected = jnp.array([[1, 2, 20, 21, 63, 0]], jnp.int32)
+    mask = jnp.array([[IGNORE_INDEX, IGNORE_INDEX, 0, 0, 0, IGNORE_INDEX]])
+    c_lab = jnp.where(mask == 0, chosen, IGNORE_INDEX)
+    r_lab = jnp.where(mask == 0, rejected, IGNORE_INDEX)
+    c_emb = model.apply(params, chosen[0], method=model.embed)[None]
+    r_emb = model.apply(params, rejected[0], method=model.embed)[None]
+
+    # at init (policy == ref) the loss is exactly -log sigmoid(0) = log 2
+    l0 = dpo_loss(model, params, lora, cfg, c_emb, c_lab, r_emb, r_lab, cache)
+    np.testing.assert_allclose(float(l0), np.log(2), atol=1e-5)
+
+    tx = optax.adamw(5e-2)
+    opt = tx.init(lora)
+    step = jax.jit(lambda l, o: _dpo_step(model, params, l, cfg, c_emb, c_lab,
+                                          r_emb, r_lab, cache, tx, o))
+    for _ in range(15):
+        lora, opt, loss = step(lora, opt)
+    assert float(loss) < float(l0)
+
+
+def _dpo_step(model, params, lora, cfg, ce, cl, re_, rl, cache, tx, opt):
+    from rsvldm_tpu.training.vlm_trainer import dpo_loss
+    import optax
+    loss, grads = jax.value_and_grad(
+        lambda l: dpo_loss(model, params, l, cfg, ce, cl, re_, rl, cache))(lora)
+    updates, opt = tx.update(grads, opt, lora)
+    return optax.apply_updates(lora, updates), opt, loss
