@@ -83,6 +83,10 @@ class PipelineConfig:
     seed: int = 42
     no_llava: bool = False
     stage1_only: bool = False
+    # storage dtype for model params on device; bf16 keeps the whole Stage-2
+    # stack (~4B params) inside one v5e's 16GB HBM (the reference's fp16
+    # autocast policy equivalent; GroupNorm/softmax stats stay fp32)
+    params_dtype: str = "bf16"
     stage1: Stage1Config = dataclasses.field(default_factory=Stage1Config)
     llava: LlavaConfig = dataclasses.field(default_factory=LlavaConfig)
     refine: RefinementConfig = dataclasses.field(default_factory=RefinementConfig)

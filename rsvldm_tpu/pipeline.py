@@ -95,6 +95,25 @@ class SuperResolutionPipeline:
         self.big_g = CLIPTextTransformer(self.big_g_cfg)
 
         self._load_weights()
+        if cfg.params_dtype == "bf16" and not debug_tiny:
+            # cast on host, then let the first use transfer bf16 to device
+            cpus = jax.devices("cpu")
+            host = cpus[0] if cpus else None
+
+            def _cast_leaf(x):
+                if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                    if host is not None:
+                        x = jax.device_put(x, host)  # keep the cast off-HBM
+                    return jnp.asarray(x, jnp.bfloat16)
+                return x
+
+            cast = lambda tree: jax.tree_util.tree_map(_cast_leaf, tree)
+            self.sr3_params = cast(self.sr3_params)
+            self.unet_params = cast(self.unet_params)
+            self.control_params = cast(self.control_params)
+            self.vae_params = cast(self.vae_params)
+            self.clip_l_params = cast(self.clip_l_params)
+            self.big_g_params = cast(self.big_g_params)
         self._build_conditioner()
         self._jit_cache: dict = {}
 
@@ -103,6 +122,12 @@ class SuperResolutionPipeline:
         log.warning("checkpoint for %s not found under %s — using seeded "
                     "random init (smoke mode, outputs are not meaningful)",
                     what, self.cfg.ckpt_dir)
+        # init on HOST: fp32 random init of the full Stage-2 stack would
+        # transiently exceed one chip's HBM before the bf16 cast
+        cpus = jax.devices("cpu")
+        if cpus and not self.debug_tiny:
+            with jax.default_device(cpus[0]):
+                return init_fn(jax.random.PRNGKey(hash(what) % (2**31)))
         return init_fn(jax.random.PRNGKey(hash(what) % (2**31)))
 
     def _load_weights(self):
