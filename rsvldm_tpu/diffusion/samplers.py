@@ -80,7 +80,9 @@ class RestoreEDMConfig:
 
 def _rel_l1(cur, prev):
     """are_two_tensors_similar metric: mean|Δ| / (mean|prev| + 1e-6)
-    (DFBCache.py:98-112)."""
+    (DFBCache.py:98-112). fp32 regardless of compute dtype."""
+    cur = cur.astype(jnp.float32)
+    prev = prev.astype(jnp.float32)
     return jnp.mean(jnp.abs(prev - cur)) / (jnp.mean(jnp.abs(prev)) + 1e-6)
 
 
@@ -156,10 +158,13 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
         # caller semantics: x_center <- z after each step; threshold *= dec_img
         return (x, x, prev_h, cached, new_th * cfg.dec_img), new_th
 
-    # carry init: prev_h shaped like the last input-block feature (2N batch);
-    # step 0 always misses (step_idx > 0 is False) so the zeros are never used
+    # carry init: prev_h shaped like the last input-block feature (2N batch,
+    # the denoiser's COMPUTE dtype); step 0 always misses (step_idx > 0 is
+    # False) so the zeros are never used
+    h_dtype = getattr(getattr(denoiser, "unet", None), "cfg", None)
+    h_dtype = h_dtype.dtype if h_dtype is not None else jnp.float32
     prev_h0 = jnp.zeros(denoiser.first_block_shape(2 * n, *noise.shape[1:3]),
-                        jnp.float32)
+                        h_dtype)
     carry = (x, x_center_init, prev_h0, jnp.zeros_like(x),
              jnp.float32(cfg.img_threshold))
     xs = jnp.arange(0, num_sigmas - 1)
