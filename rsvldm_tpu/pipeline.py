@@ -100,12 +100,14 @@ class SuperResolutionPipeline:
             cpus = jax.devices("cpu")
             host = cpus[0] if cpus else None
 
+            accel = jax.devices()[0]
+
             def _cast_leaf(x):
                 if hasattr(x, "dtype") and x.dtype == jnp.float32:
                     if host is not None:
-                        x = jax.device_put(x, host)  # keep the cast off-HBM
-                    return jnp.asarray(x, jnp.bfloat16)
-                return x
+                        x = jax.device_put(x, host)  # cast off-HBM ...
+                    x = jnp.asarray(x, jnp.bfloat16)
+                return jax.device_put(x, accel)  # ... then live on-device
 
             cast = lambda tree: jax.tree_util.tree_map(_cast_leaf, tree)
             self.sr3_params = cast(self.sr3_params)
