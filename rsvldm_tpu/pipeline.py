@@ -310,6 +310,8 @@ class SuperResolutionPipeline:
             from .ops.image import resize_bicubic
             x = np.asarray(resize_bicubic(jnp.asarray(x)[None], (64, 64))[0])
         x = jnp.asarray(x)[None]
+        if r.num_samples > 1:  # just_sampling num_samples (SR_model.py:231-235)
+            x = jnp.tile(x, (r.num_samples, 1, 1, 1))
 
         self.rng, k_enc, k_noise, k_loop = jax.random.split(self.rng, 4)
 
@@ -326,8 +328,9 @@ class SuperResolutionPipeline:
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda *a: self._refine_jit(sampler_cfg, *a))
-        tl_c, tg_c = self._tokenize([" ".join([caption, r.a_prompt])])
-        tl_u, tg_u = self._tokenize([r.n_prompt])
+        tl_c, tg_c = self._tokenize([" ".join([caption, r.a_prompt])]
+                                    * max(r.num_samples, 1))
+        tl_u, tg_u = self._tokenize([r.n_prompt] * max(r.num_samples, 1))
         samples, x_stage1 = self._jit_cache[key](
             self.vae_params, self.unet_params, self.control_params,
             x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop)
@@ -336,7 +339,9 @@ class SuperResolutionPipeline:
             samples = colorfix.wavelet_reconstruction(samples, x_stage1)
         elif r.color_fix_type == "AdaIn":
             samples = colorfix.adaptive_instance_normalization(samples, x_stage1)
-        return array_to_pil(np.asarray(samples[0]), h0, w0)
+        pils = [array_to_pil(np.asarray(samples[i]), h0, w0)
+                for i in range(samples.shape[0])]
+        return pils[0] if len(pils) == 1 else pils
 
     def _refine_jit(self, scfg, vae_params, unet_params, control_params,
                     x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop):
@@ -405,11 +410,12 @@ class SuperResolutionPipeline:
 
         t0 = time.perf_counter()
         final = self.run_refinement(sr_pil, caption)
-        for i in range(1):
+        finals = final if isinstance(final, list) else [final]
+        for i, f in enumerate(finals):
             fp = out_dir / f"{path.stem}_final_{i}.png"
-            final.save(fp)
+            f.save(fp)
             log.info("stage2b done in %.2fs -> %s", time.perf_counter() - t0, fp)
-        return final
+        return finals[0]
 
 
 class ImageBatchProcessor:

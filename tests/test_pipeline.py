@@ -71,3 +71,16 @@ def test_pipeline_tile_vae_path(tmp_path, sample_image):
     pipe = SuperResolutionPipeline(cfg, debug_tiny=True)
     final = pipe.process(str(sample_image))
     assert final.size[0] > 0
+
+
+def test_num_samples(tmp_path, sample_image):
+    cfg = PipelineConfig(output_dir=str(tmp_path / "ns"),
+                         ckpt_dir=str(tmp_path / "nock2"), no_llava=True)
+    cfg.stage1 = Stage1Config(steps=2)
+    cfg.refine.edm_steps = 2
+    cfg.refine.min_size = 64
+    cfg.refine.num_samples = 2
+    pipe = SuperResolutionPipeline(cfg, debug_tiny=True)
+    out = pipe.process(str(sample_image))
+    assert (tmp_path / "ns" / "test_final_0.png").exists()
+    assert (tmp_path / "ns" / "test_final_1.png").exists()
