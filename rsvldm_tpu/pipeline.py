@@ -324,16 +324,30 @@ class SuperResolutionPipeline:
             control_scale_start=r.spt_linear_s_stage2,
             img_threshold=r.img_threshold, dec_img=1.0)
 
-        key = ("refine", x.shape, sampler_cfg)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda *a: self._refine_jit(sampler_cfg, *a))
+        # Stage 2b is split into FOUR jits (VAE prep / text conditioning /
+        # sampling scan / final decode) instead of one monolith — smaller
+        # XLA programs compile reliably through the remote-compile relay and
+        # the text-conditioning program is shared across image sizes.
         tl_c, tg_c = self._tokenize([" ".join([caption, r.a_prompt])]
                                     * max(r.num_samples, 1))
         tl_u, tg_u = self._tokenize([r.n_prompt] * max(r.num_samples, 1))
-        samples, x_stage1 = self._jit_cache[key](
-            self.vae_params, self.unet_params, self.control_params,
-            x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop)
+
+        if "refine_prep" not in self._jit_cache:
+            self._jit_cache["refine_prep"] = jax.jit(self._vae_prep_jit)
+            self._jit_cache["refine_cond"] = jax.jit(self._cond_jit)
+            self._jit_cache["refine_decode"] = jax.jit(self._decode_jit)
+        skey = ("refine_sample", x.shape, sampler_cfg)
+        if skey not in self._jit_cache:
+            self._jit_cache[skey] = jax.jit(
+                lambda *a: self._sample_jit(sampler_cfg, *a))
+
+        _z, x_stage1, z_stage1 = self._jit_cache["refine_prep"](
+            self.vae_params, x, k_enc)
+        cond, uc = self._jit_cache["refine_cond"](
+            self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
+        z = self._jit_cache[skey](self.unet_params, self.control_params,
+                                  cond, uc, z_stage1, k_noise, k_loop)
+        samples = self._jit_cache["refine_decode"](self.vae_params, z)
 
         if r.color_fix_type == "Wavelet":
             samples = colorfix.wavelet_reconstruction(samples, x_stage1)
@@ -343,13 +357,17 @@ class SuperResolutionPipeline:
                 for i in range(samples.shape[0])]
         return pils[0] if len(pils) == 1 else pils
 
-    def _refine_jit(self, scfg, vae_params, unet_params, control_params,
-                    x, tl_c, tg_c, tl_u, tg_u, k_enc, k_noise, k_loop):
+    def _use_tiles(self, hw) -> bool:
+        r = self.cfg.refine
+        return r.use_tile_vae and min(hw) > r.encoder_tile_size
+
+    def _vae_prep_jit(self, vae_params, x, k_enc):
+        """encode_with_denoise -> decode -> (sampled) re-encode
+        (just_sampling :254-256); tiled when configured (init_tile_vae
+        parity, SR_model.py:95-125, tiles batched not looped)."""
         vae = self.vae
         r = self.cfg.refine
-        if r.use_tile_vae and min(x.shape[1:3]) > r.encoder_tile_size:
-            # tiled VAE with tile-collective GroupNorm (init_tile_vae parity,
-            # SR_model.py:95-125); tiles batched, not looped
+        if self._use_tiles(x.shape[1:3]):
             from .models.vae import tiled
 
             def enc_den(t):
@@ -369,22 +387,33 @@ class SuperResolutionPipeline:
             # reference z_stage1 encode SAMPLES the posterior
             # (AutoencoderKLInferenceWrapper, autoencoder.py:319-321)
             z_stage1 = vae.apply(vae_params, x_stage1, k_enc, method=vae.encode)
+        return _z, x_stage1, z_stage1
 
-        cond, uc = self.conditioner.paired(tl_c, tg_c, tl_u, tg_u, _z)
+    def _cond_jit(self, clip_l_params, big_g_params, tl_c, tg_c, tl_u, tg_u,
+                  _z):
+        cond = SDXLConditioner(self.clip_l, self.big_g, clip_l_params,
+                               big_g_params)
+        return cond.paired(tl_c, tg_c, tl_u, tg_u, _z)
+
+    def _sample_jit(self, scfg, unet_params, control_params, cond, uc,
+                    z_stage1, k_noise, k_loop):
         denoiser = ControlDenoiser(unet=self.unet, control_net=self.control,
                                    unet_params=unet_params,
                                    control_params=control_params)
-        noise = jax.random.normal(k_noise, _z.shape, jnp.float32)
-        z = restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
-                               k_loop)
-        if r.use_tile_vae and min(x.shape[1:3]) > r.encoder_tile_size:
+        noise = jax.random.normal(k_noise, cond["control"].shape, jnp.float32)
+        return restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
+                                  k_loop)
+
+    def _decode_jit(self, vae_params, z):
+        vae = self.vae
+        r = self.cfg.refine
+        out_hw = (z.shape[1] * 8, z.shape[2] * 8)
+        if self._use_tiles(out_hw):
             from .models.vae import tiled
-            samples = tiled.tiled_decode(
+            return tiled.tiled_decode(
                 lambda t: vae.apply(vae_params, t, method=vae.decode), z,
                 tile=r.decoder_tile_size)
-        else:
-            samples = vae.apply(vae_params, z, method=vae.decode)
-        return samples, x_stage1
+        return vae.apply(vae_params, z, method=vae.decode)
 
     # ------------------------------------------------------------- driver
     def process(self, image_path: str | None = None):
