@@ -38,6 +38,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k,
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
 
+    if causal:
+        # block pruning: K blocks entirely above the diagonal contribute
+        # nothing — bound the loop at the last block that intersects the
+        # causal frontier of this q block
+        kb_bound = jnp.minimum(
+            num_kb, (q_start + block_q + block_k - 1) // block_k)
+    else:
+        kb_bound = num_kb
+
     def body(i, carry):
         m, l, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
@@ -63,7 +72,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k,
         acc = acc * alpha + pv
         return m_new, l, acc
 
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, kb_bound, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 

@@ -111,3 +111,23 @@ def test_glv_control_and_injection_real_plan():
     out = unet.apply(uparams, xt, t, ctx, y, feats)
     assert out.shape == (1, 8, 8, 4)
     assert jnp.all(jnp.isfinite(out))
+
+
+def test_derive_project_specs_matches_xl_refine_table():
+    """The generic derivation reproduces the reference's hardcoded XL-refine
+    plan (SR_modules.py:550-555: cond=[384]*4+[768]*3+[1536]*6,
+    concat=[384]*2+[768]*3+[1536]*7+[0], ZCA inserts at [9,6,3] which land
+    at final indices [3,7,11])."""
+    from rsvldm_tpu.models.sdxl.control import derive_project_specs
+    cfg = SDXLUNetConfig(model_channels=384, channel_mult=(1, 2, 4, 4),
+                         num_res_blocks=2, attention_resolutions=(2, 4),
+                         transformer_depth=(4, 4, 4, 4), context_dim=1280,
+                         adm_in_channels=2560)
+    specs = list(reversed(derive_project_specs(cfg)))  # torch index order
+    assert len(specs) == 16
+    sft = [s for s in specs if s["kind"] == "sft"]
+    assert [s["norm_nc"] for s in sft] == [384] * 4 + [768] * 3 + [1536] * 6
+    assert [s["concat_nc"] for s in sft] == \
+        [384] * 2 + [768] * 3 + [1536] * 7 + [0]
+    zca_idx = [i for i, s in enumerate(specs) if s["kind"] == "zca"]
+    assert zca_idx == [3, 7, 11]
