@@ -94,30 +94,27 @@ class SuperResolutionPipeline:
         self.clip_l = CLIPTextTransformer(self.clip_l_cfg)
         self.big_g = CLIPTextTransformer(self.big_g_cfg)
 
-        self._load_weights()
-        if cfg.params_dtype == "bf16" and not debug_tiny:
-            # cast on host, then let the first use transfer bf16 to device
-            cpus = jax.devices("cpu")
-            host = cpus[0] if cpus else None
-
-            accel = jax.devices()[0]
-
-            def _cast_leaf(x):
-                if hasattr(x, "dtype") and x.dtype == jnp.float32:
-                    if host is not None:
-                        x = jax.device_put(x, host)  # cast off-HBM ...
-                    x = jnp.asarray(x, jnp.bfloat16)
-                return jax.device_put(x, accel)  # ... then live on-device
-
-            cast = lambda tree: jax.tree_util.tree_map(_cast_leaf, tree)
-            self.sr3_params = cast(self.sr3_params)
-            self.unet_params = cast(self.unet_params)
-            self.control_params = cast(self.control_params)
-            self.vae_params = cast(self.vae_params)
-            self.clip_l_params = cast(self.clip_l_params)
-            self.big_g_params = cast(self.big_g_params)
-        self._build_conditioner()
+        self._stage2_loaded = False
+        self._load_stage1_weights()
         self._jit_cache: dict = {}
+
+    def _cast(self, tree):
+        """fp32 -> bf16 storage cast, staged through the host so the
+        transient fp32 copy never lands in HBM."""
+        if self.cfg.params_dtype != "bf16" or self.debug_tiny:
+            return tree
+        cpus = jax.devices("cpu")
+        host = cpus[0] if cpus else None
+        accel = jax.devices()[0]
+
+        def _leaf(x):
+            if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                if host is not None:
+                    x = jax.device_put(x, host)
+                x = jnp.asarray(x, jnp.bfloat16)
+            return jax.device_put(x, accel)
+
+        return jax.tree_util.tree_map(_leaf, tree)
 
     # ------------------------------------------------------------- weights
     def _init_params(self, what: str, init_fn):
@@ -132,18 +129,29 @@ class SuperResolutionPipeline:
                 return init_fn(jax.random.PRNGKey(hash(what) % (2**31)))
         return init_fn(jax.random.PRNGKey(hash(what) % (2**31)))
 
-    def _load_weights(self):
+    def _load_stage1_weights(self):
         cd = Path(self.cfg.ckpt_dir)
         scfg = self.sr3_cfg
-
         p = None if self.debug_tiny else ckpt.load_or_convert(
             cd, "sr3", [str(cd / "I1000000_E800_gen.pth")],
             lambda sd: convert.convert_sr3_unet(sd, scfg))
-        self.sr3_params = p if p is not None else self._init_params(
+        self.sr3_params = self._cast(p if p is not None else self._init_params(
             "sr3", lambda k: self.sr3.init(
                 k, jnp.zeros((1, scfg.image_size, scfg.image_size, 6)),
-                jnp.ones((1, 1))))
+                jnp.ones((1, 1)))))
 
+    def _ensure_stage2(self):
+        """Lazy Stage-2 weight loading — stage1-only runs never pay for the
+        SDXL/VAE/text-tower weights (the reference loads everything up
+        front; lazy loading is strictly better here)."""
+        if self._stage2_loaded:
+            return
+        self._load_stage2_weights()
+        self._build_conditioner()
+        self._stage2_loaded = True
+
+    def _load_stage2_weights(self):
+        cd = Path(self.cfg.ckpt_dir)
         ucfg = self.sdxl_cfg
         lat = jnp.zeros((1, 8, 8, 4))
         tt = jnp.zeros((1,))
@@ -157,23 +165,23 @@ class SuperResolutionPipeline:
             cd, "control", [jug, srq],
             lambda sd: convert.convert_glv_control(
                 ckpt.strip_prefix(sd, "model.control_model"), ucfg))
-        self.control_params = p if p is not None else self._init_params(
-            "control", lambda k: self.control.init(k, lat, lat, tt, ctx, yv))
+        self.control_params = self._cast(p if p is not None else self._init_params(
+            "control", lambda k: self.control.init(k, lat, lat, tt, ctx, yv)))
 
         feats = self.control.apply(self.control_params, lat, lat, tt, ctx, yv)
         p = None if self.debug_tiny else ckpt.load_or_convert(
             cd, "unet", [jug, srq],
             lambda sd: convert.convert_controlled_unet(
                 ckpt.strip_prefix(sd, "model.diffusion_model"), ucfg))
-        self.unet_params = p if p is not None else self._init_params(
-            "unet", lambda k: self.unet.init(k, lat, tt, ctx, yv, feats))
+        self.unet_params = self._cast(p if p is not None else self._init_params(
+            "unet", lambda k: self.unet.init(k, lat, tt, ctx, yv, feats)))
 
         p = None if self.debug_tiny else ckpt.load_or_convert(
             cd, "vae", [jug, srq],
             lambda sd: convert.convert_autoencoder(
                 ckpt.strip_prefix(sd, "first_stage_model"), self.vae_cfg))
-        self.vae_params = p if p is not None else self._init_params(
-            "vae", lambda k: self.vae.init(k, jnp.zeros((1, 32, 32, 3))))
+        self.vae_params = self._cast(p if p is not None else self._init_params(
+            "vae", lambda k: self.vae.init(k, jnp.zeros((1, 32, 32, 3)))))
 
         toks = jnp.zeros((1, 77), jnp.int32)
         p = None if self.debug_tiny else ckpt.load_or_convert(
@@ -181,16 +189,16 @@ class SuperResolutionPipeline:
             lambda sd: convert_hf.convert_hf_clip_text(
                 ckpt.strip_prefix(sd, "conditioner.embedders.0.transformer"),
                 self.clip_l_cfg))
-        self.clip_l_params = p if p is not None else self._init_params(
-            "clip_l", lambda k: self.clip_l.init(k, toks))
+        self.clip_l_params = self._cast(p if p is not None else self._init_params(
+            "clip_l", lambda k: self.clip_l.init(k, toks)))
 
         p = None if self.debug_tiny else ckpt.load_or_convert(
             cd, "big_g", [jug, srq],
             lambda sd: convert_hf.convert_openclip_text(
                 ckpt.strip_prefix(sd, "conditioner.embedders.1.model"),
                 self.big_g_cfg))
-        self.big_g_params = p if p is not None else self._init_params(
-            "big_g", lambda k: self.big_g.init(k, toks))
+        self.big_g_params = self._cast(p if p is not None else self._init_params(
+            "big_g", lambda k: self.big_g.init(k, toks)))
 
         tok_dir = cd / "clip_vocab"
         try:
@@ -276,6 +284,7 @@ class SuperResolutionPipeline:
         Llama/tokenizer assets are unavailable."""
         if self.cfg.no_llava:
             return ""
+        self._ensure_stage2()
         if self.llava is None:
             log.warning("LLaVA assets not loaded — skipping captioning "
                         "(equivalent of --no_llava)")
@@ -304,6 +313,7 @@ class SuperResolutionPipeline:
         """just_sampling (models/SR_model.py:200-298) + color fix.
         sr_image: PIL image (the saved Stage-1 output). Returns PIL."""
         from PIL import Image
+        self._ensure_stage2()
         r = self.cfg.refine
         x, h0, w0 = pil_to_array(sr_image, upscale=1, min_size=r.min_size)
         if self.debug_tiny:
