@@ -88,13 +88,15 @@ def _rel_l1(cur, prev):
 
 def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
                        x_center_init: jnp.ndarray, cfg: RestoreEDMConfig,
-                       rng: jax.Array):
+                       rng: jax.Array, return_aux: bool = False):
     """Full RestoreEDM loop with first-block cache, as one lax.scan.
 
     denoiser: ControlDenoiser (models/sdxl/denoiser.py). cond/uc: dicts with
     keys crossattn/vector/control of batch N. noise: [N,h,w,4] unit normal.
     x_center_init: z_stage1 (the re-encoded stage-1 latent).
-    Returns the final latent.
+    Returns the final latent; with return_aux, (latent, aux) where aux has
+    the on-device cache-hit count and per-step thresholds (observability for
+    the dynamic acceleration, cf. VERBOSE_SIMILARITY in DFBCache.py).
     """
     n = noise.shape[0]
     sigmas = legacy_ddpm_sigmas(cfg.num_steps)  # descending, trailing 0
@@ -116,7 +118,7 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
             return apply_cfg(d2, cfg.cfg_at(sigma_scalar))
 
         if not use_cache:
-            return run_rest(part), prev_h, cached, threshold
+            return run_rest(part), prev_h, cached, threshold, jnp.bool_(False)
 
         diff = _rel_l1(part.h, prev_h)
         can_use = jnp.logical_and(step_idx > 0, diff < threshold)
@@ -129,7 +131,7 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
             return den, part.h, diff
 
         denoised, new_prev, new_th = jax.lax.cond(can_use, hit, miss, None)
-        return denoised, new_prev, denoised, new_th
+        return denoised, new_prev, denoised, new_th, can_use
 
     def body(carry, i):
         x, x_center, prev_h, cached, threshold = carry
@@ -143,7 +145,7 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
                                     x.dtype) * cfg.s_noise
             x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
-        denoised, prev_h, cached, new_th = denoise(
+        denoised, prev_h, cached, new_th, was_hit = denoise(
             x, sigma_hat, prev_h, cached, threshold, i)
 
         if cfg.restore_cfg > 0:
@@ -156,7 +158,7 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
         d = to_d(x, sigma_hat, denoised)
         x = x + d * (next_sigma - sigma_hat)
         # caller semantics: x_center <- z after each step; threshold *= dec_img
-        return (x, x, prev_h, cached, new_th * cfg.dec_img), new_th
+        return (x, x, prev_h, cached, new_th * cfg.dec_img), (new_th, was_hit)
 
     # carry init: prev_h shaped like the last input-block feature (2N batch,
     # the denoiser's COMPUTE dtype); step 0 always misses (step_idx > 0 is
@@ -168,5 +170,9 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
     carry = (x, x_center_init, prev_h0, jnp.zeros_like(x),
              jnp.float32(cfg.img_threshold))
     xs = jnp.arange(0, num_sigmas - 1)
-    (x_final, *_), _ = jax.lax.scan(body, carry, xs)
+    (x_final, *_), (thresholds, hits) = jax.lax.scan(body, carry, xs)
+    if return_aux:
+        return x_final, dict(cache_hits=jnp.sum(hits),
+                             num_steps=num_sigmas - 1,
+                             thresholds=thresholds)
     return x_final

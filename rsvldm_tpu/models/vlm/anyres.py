@@ -125,12 +125,18 @@ def unpad_feature(feature: np.ndarray, original_size) -> np.ndarray:
 def assemble_spatial_unpad(features: np.ndarray, image_size,
                            image_newline: np.ndarray,
                            grid_pinpoints=DEFAULT_GRID_PINPOINTS,
-                           patch_size: int = 336) -> np.ndarray:
+                           patch_size: int = 336,
+                           max_num_patches: int | None = None) -> np.ndarray:
     """[1+n, 576, C] projected features -> [T, C] token stream.
 
     spatial_unpad: grid tiles -> (nph*24, npw*24, C) map -> unpad to the
     original aspect -> append the learned image_newline column -> flatten,
-    prepended with the 576 base tokens (llava_arch.py:355-417)."""
+    prepended with the 576 base tokens (llava_arch.py:355-417).
+
+    max_num_patches enables the 'anyres_max_N' variant: when the unpadded
+    map exceeds N patch-areas, it is bilinearly downscaled by
+    sqrt(h*w / (N * side^2)) before the newline append (llava_arch.py:
+    385-397)."""
     side = int(math.sqrt(features.shape[1]))
     c = features.shape[-1]
     base = features[0]
@@ -139,6 +145,15 @@ def assemble_spatial_unpad(features: np.ndarray, image_size,
     grid = tiles.reshape(nph, npw, side, side, c)
     grid = grid.transpose(0, 2, 1, 3, 4).reshape(nph * side, npw * side, c)
     grid = unpad_feature(grid, image_size)
+    if max_num_patches is not None:
+        h, w = grid.shape[:2]
+        times = math.sqrt(h * w / (max_num_patches * side ** 2))
+        if times > 1.1:
+            import jax
+            import jax.numpy as jnp
+            nh, nw = int(h // times), int(w // times)
+            grid = np.asarray(jax.image.resize(
+                jnp.asarray(grid), (nh, nw, c), method="linear"))
     newline = np.broadcast_to(image_newline, (grid.shape[0], 1, c))
     grid = np.concatenate([grid, newline], axis=1)
     return np.concatenate([base, grid.reshape(-1, c)], axis=0)

@@ -130,3 +130,22 @@ def test_linear_control_scale():
                            control_scale_start=0.0)
     assert np.isclose(float(cfg.control_scale_at(jnp.float32(14.6146))), 0.0)
     assert np.isclose(float(cfg.control_scale_at(jnp.float32(0.0))), 1.0)
+
+
+def test_cache_hit_counter():
+    """return_aux exposes the on-device hit count (observability parity with
+    DFBCache VERBOSE_SIMILARITY)."""
+    cfg = dataclasses.replace(CFG_BASE, img_threshold=1e9)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    xc = jnp.zeros_like(noise)
+    out, aux = restore_edm_sample(FakeDenoiser(-1.0), COND, COND, noise, xc,
+                                  cfg, jax.random.PRNGKey(1), return_aux=True)
+    # huge threshold: every step after the first hits
+    assert int(aux["cache_hits"]) == aux["num_steps"] - 1
+    assert aux["thresholds"].shape == (aux["num_steps"],)
+
+    _, aux0 = restore_edm_sample(
+        FakeDenoiser(-1.0), COND, COND, noise, xc,
+        dataclasses.replace(CFG_BASE, img_threshold=1e-12, dec_img=0.0),
+        jax.random.PRNGKey(1), return_aux=True)
+    assert int(aux0["cache_hits"]) == 0

@@ -175,3 +175,17 @@ def test_conversation_templates():
     assert "describe <image>" in p
     q = conv_templates["qwen"].prompt("hi")
     assert q.startswith("<|im_start|>system")
+
+
+def test_assemble_anyres_max():
+    """anyres_max_N downscales the unpadded grid when it exceeds N patches."""
+    side, c = 4, 8
+    feats = np.random.default_rng(1).normal(size=(5, side * side, c)).astype(np.float32)
+    newline = np.zeros((c,), np.float32)
+    full = anyres.assemble_spatial_unpad(feats, (672, 672), newline,
+                                         patch_size=336)
+    capped = anyres.assemble_spatial_unpad(feats, (672, 672), newline,
+                                           patch_size=336, max_num_patches=1)
+    assert capped.shape[0] < full.shape[0]
+    # base tokens are untouched
+    np.testing.assert_allclose(capped[:side * side], feats[0], atol=1e-6)
