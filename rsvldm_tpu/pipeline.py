@@ -355,8 +355,11 @@ class SuperResolutionPipeline:
             self.vae_params, x, k_enc)
         cond, uc = self._jit_cache["refine_cond"](
             self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
-        z = self._jit_cache[skey](self.unet_params, self.control_params,
-                                  cond, uc, z_stage1, k_noise, k_loop)
+        z, hits, steps = self._jit_cache[skey](
+            self.unet_params, self.control_params, cond, uc, z_stage1,
+            k_noise, k_loop)
+        log.info("first-block cache: %d/%d steps skipped middle+decoder",
+                 int(hits), int(steps))
         samples = self._jit_cache["refine_decode"](self.vae_params, z)
 
         if r.color_fix_type == "Wavelet":
@@ -411,8 +414,9 @@ class SuperResolutionPipeline:
                                    unet_params=unet_params,
                                    control_params=control_params)
         noise = jax.random.normal(k_noise, cond["control"].shape, jnp.float32)
-        return restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
-                                  k_loop)
+        z, aux = restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
+                                    k_loop, return_aux=True)
+        return z, aux["cache_hits"], aux["num_steps"]
 
     def _decode_jit(self, vae_params, z):
         vae = self.vae
