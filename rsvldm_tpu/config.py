@@ -27,16 +27,54 @@ class Stage1Config:
     res_blocks: int = 1
 
 
+# prompts/prompt_config.yaml img_prompt, verbatim (YAML folded scalar: the
+# source's line breaks fold to spaces and a single trailing newline remains;
+# the hyphen in "aerial‐image" is U+2010 exactly as in the reference file)
+REFERENCE_IMG_PROMPT = (
+    "{DEFAULT_IMAGE_TOKEN} As an expert aerial‐image analyst, describe "
+    "every visible detail: terrain and land use, vegetation patterns, water "
+    "bodies, roads and buildings, textures, colors, shadows, spatial "
+    "relationships, and any human activity. Be precise yet concise.\n")
+
+
+def load_prompt_yaml(path) -> str:
+    """Read img_prompt from a prompt_config.yaml (infer.py:28,154). Uses
+    pyyaml when available; falls back to a minimal folded-scalar parser so
+    the pipeline has no hard yaml dependency."""
+    text = Path(path).read_text()
+    try:
+        import yaml
+        return yaml.safe_load(text)["img_prompt"]
+    except ImportError:
+        lines = text.splitlines()
+        out, folding = [], False
+        for ln in lines:
+            if ln.startswith("img_prompt:"):
+                rest = ln.split(":", 1)[1].strip()
+                if rest == ">":
+                    folding = True
+                else:
+                    return rest
+            elif folding:
+                if ln.startswith((" ", "\t")):
+                    out.append(ln.strip())
+                elif ln.strip():
+                    break
+        return " ".join(out) + "\n"
+
+
 @dataclasses.dataclass
 class LlavaConfig:
     """Stage-2a captioning (infer.py:145-166, prompts/prompt_config.yaml)."""
     max_new_tokens: int = 256
     temperature: float = 0.2
     do_sample: bool = True
-    img_prompt: str = (
-        "{DEFAULT_IMAGE_TOKEN}\nYou are an expert aerial-imagery analyst. "
-        "Describe this remote-sensing image in detail, covering land cover, "
-        "structures, vegetation, and spatial layout.")
+    img_prompt: str = REFERENCE_IMG_PROMPT
+    prompt_yaml: str = ""          # optional external prompt file override
+
+    def __post_init__(self):
+        if self.prompt_yaml:
+            self.img_prompt = load_prompt_yaml(self.prompt_yaml)
 
 
 @dataclasses.dataclass
@@ -59,6 +97,11 @@ class RefinementConfig:
     use_tile_vae: bool = False
     encoder_tile_size: int = 512
     decoder_tile_size: int = 64
+    # pixel-size bucket for the sampling jit: inputs are edge-padded up to the
+    # next multiple so a folder of mixed /64 sizes reuses ONE compiled scan
+    # (the reference recompiles nothing because torch is eager; under jit an
+    # exact-shape key would recompile the 50-step program per size). 0 = off.
+    size_bucket: int = 512
     a_prompt: str = (
         "Cinematic, High Contrast, highly detailed aerial photo taken using a "
         "high-resolution drone or satellite, hyper detailed photo-realistic "
