@@ -133,21 +133,36 @@ class LlamaBlock(nn.Module):
                                                (0, start_pos, 0, 0))
         layer_v = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype),
                                                (0, start_pos, 0, 0))
-        t = layer_k.shape[1]
         rep = cfg.heads // cfg.kv_heads
-        kk = jnp.repeat(layer_k, rep, axis=2)  # [B,T,H,hd]
-        vv = jnp.repeat(layer_v, rep, axis=2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kk.astype(q.dtype),
-                            preferred_element_type=jnp.float32) / (hd ** 0.5)
-        q_pos = positions[None, None, :, None]
-        k_pos = jnp.arange(t)[None, None, None, :]
-        mask = (k_pos <= q_pos) & (k_pos < valid_len)
-        if cfg.sliding_window is not None:
-            mask = mask & (k_pos > q_pos - cfg.sliding_window)
-        logits = jnp.where(mask, logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, vv,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        if (s > 1 and isinstance(start_pos, int) and start_pos == 0
+                and cfg.sliding_window is None):
+            # prefill from position 0: no cache history to attend — use the
+            # attention dispatcher (Pallas flash on TPU for anyres-length
+            # prompts; no [S,S] fp32 logits materialization). GQA repeat is
+            # a one-time prefill cost here, not a per-decode-step one.
+            from ...ops.attention import attention as attn_op
+            kk = jnp.repeat(k, rep, axis=2).astype(q.dtype)
+            vv = jnp.repeat(v, rep, axis=2).astype(q.dtype)
+            o = attn_op(q, kk, vv, causal=True).astype(x.dtype)
+        else:
+            # decode / general path: grouped-query einsum directly against
+            # the UNREPEATED cache — the old jnp.repeat streamed a
+            # heads/kv_heads x larger K/V copy out of HBM every decode step
+            t = layer_k.shape[1]
+            qg = q.reshape(b, s, cfg.kv_heads, rep, hd)
+            logits = jnp.einsum(
+                "bqgrd,bkgd->bgrqk", qg, layer_k.astype(q.dtype),
+                preferred_element_type=jnp.float32) / (hd ** 0.5)
+            q_pos = positions[None, None, None, :, None]
+            k_pos = jnp.arange(t)[None, None, None, None, :]
+            mask = (k_pos <= q_pos) & (k_pos < valid_len)
+            if cfg.sliding_window is not None:
+                mask = mask & (k_pos > q_pos - cfg.sliding_window)
+            logits = jnp.where(mask, logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1).astype(layer_v.dtype)
+            o = jnp.einsum("bgrqk,bkgd->bqgrd", probs, layer_v,
+                           preferred_element_type=jnp.float32)
+            o = o.reshape(b, s, cfg.heads, hd).astype(x.dtype)
         o = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
                      name="o_proj")(o.reshape(b, s, cfg.heads * hd))
         x = x + o

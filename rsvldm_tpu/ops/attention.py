@@ -31,6 +31,31 @@ def _xla_attention(q, k, v, *, causal: bool = False, scale: float | None = None)
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_diff(q, k, v, causal, scale):
+    """Flash forward with an XLA-recompute backward: pallas_call has no
+    autodiff rule, so training paths that reach the flash kernel get exact
+    gradients by differentiating the einsum formulation instead (one extra
+    forward of recompute — the usual flash-attention trade)."""
+    from .flash_attention import flash_attention
+    return flash_attention(q, k, v, causal=causal, scale=scale)
+
+
+def _flash_diff_fwd(q, k, v, causal, scale):
+    return _flash_diff(q, k, v, causal, scale), (q, k, v)
+
+
+def _flash_diff_bwd(causal, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention(q, k, v, causal=causal, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
               causal: bool = False, scale: float | None = None,
               impl: str = "auto") -> jnp.ndarray:
@@ -44,6 +69,5 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         long_seq = q.shape[1] >= 1024 and k.shape[1] >= 1024
         impl = "flash" if (on_tpu and long_seq) else "xla"
     if impl == "flash":
-        from .flash_attention import flash_attention
-        return flash_attention(q, k, v, causal=causal, scale=scale)
+        return _flash_diff(q, k, v, causal, scale)
     return _xla_attention(q, k, v, causal=causal, scale=scale)

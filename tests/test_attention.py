@@ -44,3 +44,25 @@ def test_flash_bf16():
     out = flash_attention(q, q, q, block_q=64, block_k=64, interpret=True)
     np.testing.assert_allclose(np.array(out, np.float32), np.array(ref, np.float32),
                                atol=3e-2)
+
+
+def test_flash_dispatch_gradient_matches_xla():
+    """The flash path is reachable from training code: its custom_vjp must
+    produce the same gradients as the einsum formulation."""
+    from rsvldm_tpu.ops.attention import _flash_diff
+    b, s, h, d = 1, 64, 2, 16
+    q = _rand((b, s, h, d), 5)
+    k = _rand((b, s, h, d), 6)
+    v = _rand((b, s, h, d), 7)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash_diff(q, k, v, True, None) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, causal=True) ** 2)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_x):
+        np.testing.assert_allclose(np.array(a), np.array(b_), atol=1e-4,
+                                   rtol=1e-3)
