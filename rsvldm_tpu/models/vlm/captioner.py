@@ -76,7 +76,8 @@ def _apply_lora(sd: dict, adapter_dir: Path) -> dict:
 
 class LlavaCaptioner:
     def __init__(self, llama, llama_params, vision, vision_params,
-                 projector, projector_params, image_newline, tokenizer):
+                 projector, projector_params, image_newline, tokenizer,
+                 mesh=None):
         self.llama = llama
         self.llama_params = llama_params
         self.vision = vision
@@ -85,11 +86,17 @@ class LlavaCaptioner:
         self.projector_params = projector_params
         self.image_newline = image_newline
         self.tokenizer = tokenizer
+        self.mesh = mesh
 
     @classmethod
     def load(cls, ckpt_dir: str | Path, llama_cfg=LLAMA3_8B_CONFIG,
              vision_cfg=CLIP_VIT_L_336_CONFIG,
-             tokenizer=None) -> Optional["LlavaCaptioner"]:
+             tokenizer=None, mesh=None) -> Optional["LlavaCaptioner"]:
+        """mesh: optional jax.sharding.Mesh — the 8B decoder weights are
+        tensor-sharded over its 'data' axis (Megatron col/row rules,
+        parallel/llama_sharding.py) so the caption stage, the wall-clock
+        dominant stage, scales over the slice instead of one chip (the
+        reference pins LLaVA to its own single GPU, infer.py:31-32)."""
         d = Path(ckpt_dir) / "llava"
         if not d.is_dir():
             return None
@@ -111,12 +118,21 @@ class LlavaCaptioner:
         projector_params = convert_hf.convert_mm_projector(sd)
         newline = jnp.asarray(np.asarray(sd["model.image_newline"], np.float32))
 
+        if mesh is not None:
+            from ...parallel.llama_sharding import shard_llama_params
+            from ...parallel.mesh import replicate
+            llama_params = shard_llama_params(llama_params, mesh)
+            rep = replicate(mesh)
+            vision_params = jax.device_put(vision_params, rep)
+            projector_params = jax.device_put(projector_params, rep)
+            newline = jax.device_put(newline, rep)
+
         if tokenizer is None:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(d),
                                                       local_files_only=True)
         return cls(llama, llama_params, vision, vision_params, projector,
-                   projector_params, newline, tokenizer)
+                   projector_params, newline, tokenizer, mesh=mesh)
 
     def caption(self, image, llava_cfg, rng: jax.Array | None = None) -> str:
         """Full Stage-2a on one PIL image (get_img_describe parity)."""
@@ -131,4 +147,5 @@ class LlavaCaptioner:
         return caption_image(self.llama, self.llama_params, vision_apply,
                              proj_apply, image, prompt, encode, decode,
                              self.image_newline, cfg, rng,
-                             patch_size=self.vision.cfg.image_size)
+                             patch_size=self.vision.cfg.image_size,
+                             mesh=self.mesh)

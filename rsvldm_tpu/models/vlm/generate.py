@@ -75,9 +75,14 @@ class GenerateConfig:
 
 
 def generate(model: LlamaModel, params: Any, input_embeds: jnp.ndarray,
-             cfg: GenerateConfig, rng: jax.Array) -> np.ndarray:
+             cfg: GenerateConfig, rng: jax.Array, mesh=None) -> np.ndarray:
     """input_embeds: [S, D] spliced prompt -> np.int32 generated ids
-    (trimmed at the first eot)."""
+    (trimmed at the first eot).
+
+    mesh: when the params are tensor-sharded (parallel/llama_sharding.py)
+    the KV cache is sharded over kv heads on the same axis so every decode
+    matmul stays local to its shard (XLA all-reduces only the row-parallel
+    projections)."""
     s = input_embeds.shape[0]
     s_pad = -(-s // cfg.pad_to) * cfg.pad_to
     total = s_pad + cfg.max_new_tokens
@@ -89,6 +94,11 @@ def generate(model: LlamaModel, params: Any, input_embeds: jnp.ndarray,
     embeds = jnp.pad(input_embeds, ((0, pad), (0, 0)))[None]  # [1, s_pad, D]
 
     cache = KVCache.init(model.cfg, 1, total, dtype=model.cfg.dtype)
+    if mesh is not None:
+        from ...parallel.llama_sharding import shard_kv_cache
+        from ...parallel.mesh import replicate
+        cache = shard_kv_cache(cache, mesh)
+        embeds = jax.device_put(embeds, replicate(mesh))
     logits, cache = model.apply(params, embeds, cache, 0)
     last_logits = logits[0, s - 1]  # last REAL prompt position
 
@@ -127,7 +137,8 @@ def generate(model: LlamaModel, params: Any, input_embeds: jnp.ndarray,
 def caption_image(model, params, vision_apply, projector_apply, image,
                   prompt_text: str, encode_fn, decode_fn, image_newline,
                   cfg: GenerateConfig = GenerateConfig(),
-                  rng: jax.Array | None = None, patch_size: int = 336) -> str:
+                  rng: jax.Array | None = None, patch_size: int = 336,
+                  mesh=None) -> str:
     """Full Stage-2a: anyres -> vision tower -> projector -> spatial_unpad
     assembly -> splice -> generate -> decode (infer.py:145-166)."""
     from . import anyres
@@ -147,5 +158,5 @@ def caption_image(model, params, vision_apply, projector_apply, image,
     safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
     text_embeds = model.apply(params, safe_ids, method=model.embed)
     spliced = splice_image_embeds(ids, text_embeds, jnp.asarray(tokens))
-    out_ids = generate(model, params, spliced, cfg, rng)
+    out_ids = generate(model, params, spliced, cfg, rng, mesh=mesh)
     return decode_fn(out_ids.tolist()).lstrip()

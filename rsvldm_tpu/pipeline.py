@@ -82,9 +82,11 @@ def bucket_pad(x: np.ndarray, bucket: int) -> np.ndarray:
 class SuperResolutionPipeline:
     """Loads all stages once, then processes images (infer.py:79-101)."""
 
-    def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False):
+    def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
+                 mesh=None):
         self.cfg = cfg
         self.debug_tiny = debug_tiny
+        self.mesh = mesh  # TP-shards the captioner; shards folder batches
         self.rng = jax.random.PRNGKey(cfg.seed)
         t = _tiny_overrides() if debug_tiny else None
 
@@ -230,7 +232,7 @@ class SuperResolutionPipeline:
         if not self.cfg.no_llava and not self.debug_tiny:
             try:
                 from .models.vlm.captioner import LlavaCaptioner
-                self.llava = LlavaCaptioner.load(cd)
+                self.llava = LlavaCaptioner.load(cd, mesh=self.mesh)
             except Exception as e:  # assets missing/partial
                 log.warning("LLaVA load failed (%s) — captioning disabled", e)
 
@@ -508,7 +510,8 @@ class ImageBatchProcessor:
                  mesh=None):
         self.cfg = cfg
         self.mesh = mesh  # shard batched stage-1 over the data axis
-        self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny)
+        self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny,
+                                            mesh=mesh)
 
     def run(self, batch_stage1: bool = True):
         from PIL import Image

@@ -120,3 +120,31 @@ def test_lora_merge_dir(tmp_path):
     q1 = np.asarray(cap.llama_params["params"]["layer_0"]["q_proj"]["kernel"])
     q0 = np.asarray(cap0.llama_params["params"]["layer_0"]["q_proj"]["kernel"])
     assert not np.allclose(q1, q0)
+
+
+def test_captioner_tp_matches_single(tmp_path):
+    """Mesh-sharded captioner (Megatron TP over the data axis) produces the
+    same caption as the unsharded one — the wiring the caption stage uses in
+    the pipeline (SuperResolutionPipeline(mesh=...))."""
+    from safetensors.torch import save_file
+    from rsvldm_tpu.parallel import make_mesh
+
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (50, 70, 3), dtype=np.uint8))
+    lcfg = LlavaConfig(max_new_tokens=6, temperature=0.0, do_sample=False)
+
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer())
+    ref = cap.caption(img, lcfg)
+
+    mesh = make_mesh(2, tile=1)  # kv_heads=2 shards 2-way
+    cap_tp = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                                 tokenizer=FakeTokenizer(), mesh=mesh)
+    assert cap_tp.mesh is mesh
+    q = cap_tp.llama_params["params"]["layer_0"]["q_proj"]["kernel"]
+    assert len(q.sharding.device_set) == 2  # actually sharded, not replicated
+    out = cap_tp.caption(img, lcfg)
+    assert out == ref
