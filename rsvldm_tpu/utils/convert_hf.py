@@ -148,3 +148,70 @@ def convert_mm_projector(sd: Dict[str, Any], prefix: str = "model.mm_projector")
     """mlp2x_gelu projector: Sequential(Linear, GELU, Linear) -> fc0/fc1."""
     return {"params": {"fc0": _dense(sd, f"{prefix}.0"),
                        "fc1": _dense(sd, f"{prefix}.2")}}
+
+
+# ------------------------------------------------------------- resamplers
+
+def convert_qformer(sd: Dict[str, Any], cfg) -> Dict:
+    """BLIP-2 Qformer resampler state_dict (llava/model/multimodal_resampler/
+    qformer.py:1092-1123) -> QFormerResampler params. Torch naming:
+    query_tokens, ln_vision, Qformer.bert.embeddings.LayerNorm,
+    Qformer.bert.encoder.layer.{i}.{attention.{self.{query,key,value},
+    output.{dense,LayerNorm}}, crossattention.<same>, intermediate_query,
+    output_query.{dense,LayerNorm}}."""
+    p: Dict[str, Any] = {
+        "query_tokens": t2n(sd["query_tokens"]).reshape(
+            cfg.num_latents, cfg.hidden_size),
+        "ln_vision": _lnorm(sd, "ln_vision"),
+        "emb_ln": _lnorm(sd, "Qformer.bert.embeddings.LayerNorm"),
+    }
+    for i in range(cfg.layers):
+        lp = f"Qformer.bert.encoder.layer.{i}"
+        blk = {
+            "self_query": _dense(sd, f"{lp}.attention.self.query"),
+            "self_key": _dense(sd, f"{lp}.attention.self.key"),
+            "self_value": _dense(sd, f"{lp}.attention.self.value"),
+            "self_out": _dense(sd, f"{lp}.attention.output.dense"),
+            "self_ln": _lnorm(sd, f"{lp}.attention.output.LayerNorm"),
+            "ffn_fc": _dense(sd, f"{lp}.intermediate_query.dense"),
+            "ffn_out": _dense(sd, f"{lp}.output_query.dense"),
+            "ffn_ln": _lnorm(sd, f"{lp}.output_query.LayerNorm"),
+        }
+        if f"{lp}.crossattention.self.query.weight" in sd:
+            blk.update({
+                "cross_query": _dense(sd, f"{lp}.crossattention.self.query"),
+                "cross_key": _dense(sd, f"{lp}.crossattention.self.key"),
+                "cross_value": _dense(sd, f"{lp}.crossattention.self.value"),
+                "cross_out": _dense(sd, f"{lp}.crossattention.output.dense"),
+                "cross_ln": _lnorm(sd, f"{lp}.crossattention.output.LayerNorm"),
+            })
+        p[f"layer_{i}"] = blk
+    return {"params": p}
+
+
+def convert_perceiver(sd: Dict[str, Any], cfg) -> Dict:
+    """Flamingo perceiver resampler state_dict (llava/model/
+    multimodal_resampler/perceiver.py:131-149) -> PerceiverResampler params.
+    Torch naming: perceiver.latents, perceiver.layers.{i}.0 (attention:
+    norm_media/norm_latents/to_q/to_kv/to_out), perceiver.layers.{i}.1
+    (FeedForward Sequential: 0=LayerNorm, 1=Linear, 3=Linear),
+    perceiver.norm."""
+    p: Dict[str, Any] = {
+        "latents": t2n(sd["perceiver.latents"]),
+        "norm": _lnorm(sd, "perceiver.norm"),
+    }
+    for i in range(cfg.depth):
+        ap = f"perceiver.layers.{i}.0"
+        p[f"attn_{i}"] = {
+            "norm_media": _lnorm(sd, f"{ap}.norm_media"),
+            "norm_latents": _lnorm(sd, f"{ap}.norm_latents"),
+            "to_q": {"kernel": lin_w(sd[f"{ap}.to_q.weight"])},
+            "to_kv": {"kernel": lin_w(sd[f"{ap}.to_kv.weight"])},
+            "to_out": {"kernel": lin_w(sd[f"{ap}.to_out.weight"])},
+        }
+        fp = f"perceiver.layers.{i}.1"
+        if f"{fp}.0.weight" in sd:  # ff_mult > 0
+            p[f"ff_{i}_norm"] = _lnorm(sd, f"{fp}.0")
+            p[f"ff_{i}_fc"] = {"kernel": lin_w(sd[f"{fp}.1.weight"])}
+            p[f"ff_{i}_out"] = {"kernel": lin_w(sd[f"{fp}.3.weight"])}
+    return {"params": p}
