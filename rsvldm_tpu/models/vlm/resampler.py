@@ -221,6 +221,12 @@ class PerceiverResampler(nn.Module):
                 f = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
                              name=f"ff_{i}_out")(f)
                 latents = f + latents
+            else:
+                # reference quirk: ff_mult<=0 swaps FeedForward for
+                # nn.Identity but the loop still computes
+                # `latents = ff(latents) + latents` — i.e. latents DOUBLE
+                # every layer (perceiver.py:97,127). Matched exactly.
+                latents = latents + latents
         return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype,
                             name="norm")(latents)
 
