@@ -44,6 +44,12 @@ class LlamaConfig:
     act: str = "silu"              # Gemma: "gelu_tanh"
     scale_embeds: bool = False     # Gemma: embeds *= sqrt(dim)
     tie_lm_head: bool = False      # Gemma: lm_head = embed_tokens^T
+    # MoE knobs (Mixtral / Qwen2-MoE; llava_mixtral.py / llava_qwen_moe.py)
+    num_experts: int = 0           # 0 = dense FFN
+    experts_per_tok: int = 2       # Mixtral top-2; Qwen2-MoE top-4
+    moe_ffn_dim: int | None = None     # per-expert FFN width (def: ffn_dim)
+    norm_topk_prob: bool = True    # Mixtral: renormalize top-k weights
+    shared_expert_dim: int | None = None  # Qwen2-MoE sigmoid-gated shared FFN
 
     @property
     def head_dim(self) -> int:
@@ -64,6 +70,17 @@ GEMMA_7B_CONFIG = LlamaConfig(vocab_size=256000, dim=3072, layers=28,
                               rope_theta=10000.0, rms_eps=1e-6,
                               norm_plus_one=True, scale_embeds=True,
                               tie_lm_head=True, act="gelu_tanh")
+MIXTRAL_8X7B_CONFIG = LlamaConfig(vocab_size=32000, dim=4096, layers=32,
+                                  heads=32, kv_heads=8, ffn_dim=14336,
+                                  rope_theta=1000000.0, rms_eps=1e-5,
+                                  num_experts=8, experts_per_tok=2)
+QWEN2_MOE_A2_7B_CONFIG = LlamaConfig(vocab_size=151936, dim=2048, layers=24,
+                                     heads=16, kv_heads=16, ffn_dim=5632,
+                                     rope_theta=1000000.0, rms_eps=1e-6,
+                                     attn_bias=True, num_experts=60,
+                                     experts_per_tok=4, moe_ffn_dim=1408,
+                                     norm_topk_prob=False,
+                                     shared_expert_dim=5632)
 
 
 class KVCache(NamedTuple):
@@ -168,15 +185,69 @@ class LlamaBlock(nn.Module):
         x = x + o
 
         h = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="mlp_norm")(x)
-        gate = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
-                        name="gate_proj")(h)
-        up = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
-                      name="up_proj")(h)
         act = nn.silu if cfg.act == "silu" else \
             (lambda v: nn.gelu(v, approximate=True))
-        down = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
-                        name="down_proj")(act(gate) * up)
+        if cfg.num_experts > 0:
+            down = MoEFFN(cfg, name="moe")(h)
+        else:
+            gate = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
+                            name="gate_proj")(h)
+            up = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
+                          name="up_proj")(h)
+            down = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
+                            name="down_proj")(act(gate) * up)
         return x + down, layer_k, layer_v
+
+
+class MoEFFN(nn.Module):
+    """Sparse-MoE FFN (Mixtral MixtralSparseMoeBlock / Qwen2-MoE
+    Qwen2MoeSparseMoeBlock semantics): fp32-softmax router, top-k expert
+    selection (optionally renormalized), SwiGLU experts, plus Qwen2-MoE's
+    sigmoid-gated shared expert.
+
+    TPU design: expert kernels live STACKED on a leading expert axis and
+    every expert runs on every token as one batched einsum (dense-mix); the
+    top-k routing weights zero out non-selected experts, so the result is
+    numerically identical to gather-dispatch. On a mesh, shard the expert
+    axis (expert parallelism) — each device computes its expert shard and
+    XLA reduces the weighted sum; no capacity limits, no token dropping,
+    and no dynamic shapes under jit."""
+    cfg: "LlamaConfig"
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        e, d = cfg.num_experts, cfg.dim
+        f = cfg.moe_ffn_dim or cfg.ffn_dim
+        router = nn.Dense(e, use_bias=False, dtype=cfg.dtype, name="router")
+        probs = jax.nn.softmax(router(h).astype(jnp.float32), axis=-1)
+        topv, topi = jax.lax.top_k(probs, cfg.experts_per_tok)
+        if cfg.norm_topk_prob:
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        # [B,S,E] combine weights (zero for unselected experts)
+        w = jnp.einsum("bske,bsk->bse",
+                       jax.nn.one_hot(topi, e, dtype=jnp.float32), topv)
+        init = nn.initializers.lecun_normal()
+        gate_k = self.param("experts_gate", init, (e, d, f))
+        up_k = self.param("experts_up", init, (e, d, f))
+        down_k = self.param("experts_down", init, (e, f, d))
+        hc = h.astype(cfg.dtype)
+        g = jnp.einsum("bsd,edf->bsef", hc, gate_k.astype(cfg.dtype))
+        u = jnp.einsum("bsd,edf->bsef", hc, up_k.astype(cfg.dtype))
+        y = jnp.einsum("bsef,efd->bsed", nn.silu(g) * u,
+                       down_k.astype(cfg.dtype))
+        out = jnp.einsum("bsed,bse->bsd", y, w.astype(y.dtype))
+        if cfg.shared_expert_dim:
+            sg = nn.Dense(cfg.shared_expert_dim, use_bias=False,
+                          dtype=cfg.dtype, name="shared_gate_proj")(hc)
+            su = nn.Dense(cfg.shared_expert_dim, use_bias=False,
+                          dtype=cfg.dtype, name="shared_up_proj")(hc)
+            sd = nn.Dense(d, use_bias=False, dtype=cfg.dtype,
+                          name="shared_down_proj")(nn.silu(sg) * su)
+            gate1 = nn.Dense(1, use_bias=False, dtype=cfg.dtype,
+                             name="shared_expert_gate")(hc)
+            out = out + jax.nn.sigmoid(gate1) * sd
+        return out.astype(h.dtype)
 
 
 class LlamaModel(nn.Module):

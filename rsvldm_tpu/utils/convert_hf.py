@@ -130,24 +130,94 @@ def convert_llama(sd: Dict[str, Any], cfg, prefix: str = "model") -> Dict:
         p["lm_head"] = {"kernel": lin_w(sd["lm_head.weight"])}
     for i in range(cfg.layers):
         lp = f"{prefix}.layers.{i}"
-        p[f"layer_{i}"] = {
+        layer = {
             "attn_norm": rms(f"{lp}.input_layernorm"),
             "mlp_norm": rms(f"{lp}.post_attention_layernorm"),
             "q_proj": _dense(sd, f"{lp}.self_attn.q_proj"),
             "k_proj": _dense(sd, f"{lp}.self_attn.k_proj"),
             "v_proj": _dense(sd, f"{lp}.self_attn.v_proj"),
             "o_proj": _dense(sd, f"{lp}.self_attn.o_proj"),
-            "gate_proj": _dense(sd, f"{lp}.mlp.gate_proj"),
-            "up_proj": _dense(sd, f"{lp}.mlp.up_proj"),
-            "down_proj": _dense(sd, f"{lp}.mlp.down_proj"),
         }
+        if getattr(cfg, "num_experts", 0):
+            layer["moe"] = _convert_moe_layer(sd, lp, cfg)
+        else:
+            layer.update({
+                "gate_proj": _dense(sd, f"{lp}.mlp.gate_proj"),
+                "up_proj": _dense(sd, f"{lp}.mlp.up_proj"),
+                "down_proj": _dense(sd, f"{lp}.mlp.down_proj"),
+            })
+        p[f"layer_{i}"] = layer
     return {"params": p}
+
+
+def _convert_moe_layer(sd: Dict[str, Any], lp: str, cfg) -> Dict:
+    """MoE FFN of one decoder layer -> stacked-expert MoEFFN params.
+
+    Mixtral naming (modeling_mixtral): {lp}.block_sparse_moe.gate.weight +
+    .experts.{e}.{w1=gate, w3=up, w2=down}.weight.
+    Qwen2-MoE naming (modeling_qwen2_moe): {lp}.mlp.gate.weight +
+    .experts.{e}.{gate,up,down}_proj.weight + shared_expert(+gate)."""
+    import numpy as np
+    if f"{lp}.block_sparse_moe.gate.weight" in sd:  # Mixtral
+        mp = f"{lp}.block_sparse_moe"
+        names = {"gate": "w1", "up": "w3", "down": "w2"}
+        expert = lambda e, part: lin_w(sd[f"{mp}.experts.{e}.{names[part]}.weight"])
+    else:  # Qwen2-MoE
+        mp = f"{lp}.mlp"
+        expert = lambda e, part: lin_w(sd[f"{mp}.experts.{e}.{part}_proj.weight"])
+    out = {
+        "router": {"kernel": lin_w(sd[f"{mp}.gate.weight"])},
+        "experts_gate": np.stack([expert(e, "gate")
+                                  for e in range(cfg.num_experts)]),
+        "experts_up": np.stack([expert(e, "up")
+                                for e in range(cfg.num_experts)]),
+        "experts_down": np.stack([expert(e, "down")
+                                  for e in range(cfg.num_experts)]),
+    }
+    if f"{mp}.shared_expert.gate_proj.weight" in sd:
+        out["shared_gate_proj"] = {
+            "kernel": lin_w(sd[f"{mp}.shared_expert.gate_proj.weight"])}
+        out["shared_up_proj"] = {
+            "kernel": lin_w(sd[f"{mp}.shared_expert.up_proj.weight"])}
+        out["shared_down_proj"] = {
+            "kernel": lin_w(sd[f"{mp}.shared_expert.down_proj.weight"])}
+        out["shared_expert_gate"] = {
+            "kernel": lin_w(sd[f"{mp}.shared_expert_gate.weight"])}
+    return out
 
 
 def convert_mm_projector(sd: Dict[str, Any], prefix: str = "model.mm_projector") -> Dict:
     """mlp2x_gelu projector: Sequential(Linear, GELU, Linear) -> fc0/fc1."""
     return {"params": {"fc0": _dense(sd, f"{prefix}.0"),
                        "fc1": _dense(sd, f"{prefix}.2")}}
+
+
+def convert_mpt(sd: Dict[str, Any], cfg) -> Dict:
+    """HF MptForCausalLM state_dict -> MPTModel params. HF naming:
+    transformer.wte, transformer.blocks.{i}.{norm_1, attn.Wqkv,
+    attn.out_proj, norm_2, ffn.up_proj, ffn.down_proj}, transformer.norm_f;
+    lm_head is tied to wte."""
+    def ln(pfx):
+        out = {"scale": t2n(sd[f"{pfx}.weight"])}
+        if f"{pfx}.bias" in sd and sd[f"{pfx}.bias"] is not None:
+            out["bias"] = t2n(sd[f"{pfx}.bias"])
+        return out
+
+    p: Dict[str, Any] = {
+        "wte": {"embedding": t2n(sd["transformer.wte.weight"])},
+        "norm_f": ln("transformer.norm_f"),
+    }
+    for i in range(cfg.layers):
+        lp = f"transformer.blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm_1": ln(f"{lp}.norm_1"),
+            "wqkv": _dense(sd, f"{lp}.attn.Wqkv"),
+            "out_proj": _dense(sd, f"{lp}.attn.out_proj"),
+            "norm_2": ln(f"{lp}.norm_2"),
+            "up_proj": _dense(sd, f"{lp}.ffn.up_proj"),
+            "down_proj": _dense(sd, f"{lp}.ffn.down_proj"),
+        }
+    return {"params": p}
 
 
 # ------------------------------------------------------------- resamplers
