@@ -105,3 +105,56 @@ class LRHRDataset:
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 items = [self[j] for j in order[i:i + batch_size]]
                 yield tuple(np.stack(col) for col in zip(*items))
+
+
+class LmdbLRHRDataset:
+    """lmdb triplet backend (data/LRHR_dataset.py:20-88): keys
+    'hr_{r}_{idx:05d}' / 'sr_{l}_{r}_{idx:05d}' / 'lr_{l}_{idx:05d}' holding
+    encoded image bytes, plus a 'length' record. `env` may be an open
+    lmdb.Environment-like object (anything with .begin() returning a
+    context manager with .get(bytes)) or a path string, opened with lmdb
+    when the library is importable (it is env-gated in this image)."""
+
+    def __init__(self, env, l_res: int, r_res: int, split: str = "train",
+                 data_len: int = -1, need_lr: bool = False, hflip: bool = True):
+        if isinstance(env, (str, Path)):
+            try:
+                import lmdb
+            except ImportError as e:
+                raise ImportError(
+                    "lmdb backend requested but the lmdb package is not "
+                    "installed; pass an env-like object or use LRHRDataset "
+                    "(image-dir backend)") from e
+            env = lmdb.open(str(env), readonly=True, lock=False,
+                            readahead=False, meminit=False)
+        self.env = env
+        self.l_res = l_res
+        self.r_res = r_res
+        self.need_lr = need_lr
+        self.hflip = hflip and split == "train"
+        with self.env.begin() as txn:
+            n = int(txn.get(b"length"))
+        self.data_len = n if data_len <= 0 else min(data_len, n)
+
+    def __len__(self):
+        return self.data_len
+
+    def _decode(self, raw: bytes):
+        import io
+        return _to_pm1(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+    def __getitem__(self, idx: int):
+        with self.env.begin() as txn:
+            hr = txn.get(f"hr_{self.r_res}_{str(idx).zfill(5)}".encode())
+            sr = txn.get(
+                f"sr_{self.l_res}_{self.r_res}_{str(idx).zfill(5)}".encode())
+            lr = txn.get(f"lr_{self.l_res}_{str(idx).zfill(5)}".encode()) \
+                if self.need_lr else None
+        if hr is None or sr is None:
+            raise KeyError(f"missing lmdb record for index {idx}")
+        arrays = [self._decode(hr), self._decode(sr)]
+        if self.need_lr:
+            arrays.append(self._decode(lr))
+        if self.hflip:
+            arrays = augment(arrays, hflip=True)
+        return tuple(arrays)

@@ -157,3 +157,19 @@ def assemble_spatial_unpad(features: np.ndarray, image_size,
     newline = np.broadcast_to(image_newline, (grid.shape[0], 1, c))
     grid = np.concatenate([grid, newline], axis=1)
     return np.concatenate([base, grid.reshape(-1, c)], axis=0)
+
+
+def expand2square(pil_img, background_color):
+    """Pad a PIL image to square with the given fill, centered — the "pad"
+    image_aspect_ratio mode (llava/mm_utils.py:302-313, train.py:1127-1141)."""
+    from PIL import Image
+    width, height = pil_img.size
+    if width == height:
+        return pil_img
+    if width > height:
+        result = Image.new(pil_img.mode, (width, width), background_color)
+        result.paste(pil_img, (0, (width - height) // 2))
+        return result
+    result = Image.new(pil_img.mode, (height, height), background_color)
+    result.paste(pil_img, ((height - width) // 2, 0))
+    return result

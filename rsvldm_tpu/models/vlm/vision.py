@@ -104,3 +104,44 @@ def normalize_pixels(x: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.asarray(CLIP_MEAN, x.dtype)
     std = jnp.asarray(CLIP_STD, x.dtype)
     return (x - mean) / std
+
+
+def s2_multiscale_features(vision_apply, images, scales=(336, 672),
+                           patch_size: int = 14):
+    """S2 multiscale wrapper (clip_encoder.py:129-174 via s2wrapper): for
+    each scale, resize the [N, H, W, 3] batch, split into
+    (scale/base)^2 base-size tiles, run the tower on all tiles in ONE
+    batched call, reassemble the tile token grids spatially, average-pool
+    back to the base token grid, and concatenate scales channel-wise.
+    Output [N, T_base, C * len(scales)] — matching S2's hidden_size *
+    len(s2_scales) contract (clip_encoder.py:172-174).
+
+    TPU notes: tiles are batched (not looped) so every scale is one big
+    MXU-friendly vision forward; resizes are jax.image bilinear like
+    torch's interpolate(mode='bilinear')."""
+    import jax
+    import jax.numpy as jnp
+
+    scales = sorted(scales)
+    base = scales[0]
+    n = images.shape[0]
+    t_side = base // patch_size
+    outs = []
+    for scale in scales:
+        k = scale // base
+        img = jax.image.resize(images, (n, scale, scale, images.shape[-1]),
+                               method="bilinear")
+        # [N, k, base, k, base, C] -> [N*k*k, base, base, C]
+        tiles = img.reshape(n, k, base, k, scale // k, images.shape[-1])
+        tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n * k * k, base, base, images.shape[-1])
+        feats = vision_apply(tiles)                    # [N*k*k, t^2, C]
+        c = feats.shape[-1]
+        grid = feats.reshape(n, k, k, t_side, t_side, c)
+        grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, k * t_side, k * t_side, c)
+        if k > 1:  # pool the high-res token grid back to the base grid
+            grid = jnp.mean(grid.reshape(n, t_side, k, t_side, k, c),
+                            axis=(2, 4))
+        outs.append(grid.reshape(n, t_side * t_side, c))
+    return jnp.concatenate(outs, axis=-1)

@@ -192,6 +192,18 @@ def convert_mm_projector(sd: Dict[str, Any], prefix: str = "model.mm_projector")
                        "fc1": _dense(sd, f"{prefix}.2")}}
 
 
+def convert_pooler_projector(sd: Dict[str, Any],
+                             prefix: str = "model.mm_projector") -> Dict:
+    """PoolerProjector: conv_pool (NCHW conv -> HWIO kernel) + proj
+    Sequential(GELU, Linear) (pooler_projector.py:14-19)."""
+    from .convert import conv_w
+    return {"params": {
+        "conv_pool": {"kernel": conv_w(sd[f"{prefix}.conv_pool.weight"]),
+                      "bias": t2n(sd[f"{prefix}.conv_pool.bias"])},
+        "proj": _dense(sd, f"{prefix}.proj.1"),
+    }}
+
+
 def convert_mpt(sd: Dict[str, Any], cfg) -> Dict:
     """HF MptForCausalLM state_dict -> MPTModel params. HF naming:
     transformer.wte, transformer.blocks.{i}.{norm_1, attn.Wqkv,
