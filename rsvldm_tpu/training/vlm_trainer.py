@@ -51,8 +51,11 @@ def init_lora(params: Dict, cfg: LoraConfig, rng: jax.Array) -> Dict:
         for k, v in tree.items():
             if isinstance(v, dict) and "kernel" in v and any(
                     t == k for t in cfg.targets):
+                import zlib
                 kern = v["kernel"]
-                rng_k = jax.random.fold_in(rng, hash("/".join(path + [k])) % (2**31))
+                # crc32: stable across processes (hash() is salted)
+                rng_k = jax.random.fold_in(
+                    rng, zlib.crc32("/".join(path + [k]).encode()) % (2**31))
                 out[k] = {
                     "a": jax.random.normal(rng_k, (kern.shape[0], cfg.r),
                                            jnp.float32) / cfg.r,
