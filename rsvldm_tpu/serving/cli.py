@@ -1,0 +1,125 @@
+"""Interactive CLI chat with the captioner (llava/serve/cli.py parity).
+
+Multi-turn: the first user message carries the <image> token; later turns
+append to the conversation and the whole prompt re-prefills (the reference
+relies on HF generate with cache reuse per call; at CLI interactivity
+scale a re-prefill per turn is equivalent and keeps the scan-decode path
+untouched). Dependency-free REPL over LlavaCaptioner internals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..models.vlm.generate import (DEFAULT_IMAGE_TOKEN, GenerateConfig,
+                                   IMAGE_TOKEN_INDEX, SYSTEM_PROMPT,
+                                   splice_image_embeds, tokenize_with_image)
+
+
+def render_llama3_chat(turns: List[Tuple[str, str]],
+                       system: str = SYSTEM_PROMPT) -> str:
+    """Multi-turn llama-3 chat prompt with generation header
+    (conversation.py llama_3 template)."""
+    out = ["<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+           f"{system}<|eot_id|>"]
+    for role, msg in turns:
+        out.append(f"<|start_header_id|>{role}<|end_header_id|>\n\n"
+                   f"{msg}<|eot_id|>")
+    out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    return "".join(out)
+
+
+@dataclasses.dataclass
+class ChatSession:
+    """Conversation state + one image (cli.py:54-93: image embeds attach to
+    the first user message only)."""
+    captioner: object
+    image: object
+    cfg: GenerateConfig = GenerateConfig(max_new_tokens=512)
+    turns: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
+    _image_tokens: Optional[np.ndarray] = None
+
+    def _encode_image(self):
+        if self._image_tokens is not None:
+            return self._image_tokens
+        from ..models.vlm import anyres
+        from ..models.vlm.vision import normalize_pixels
+        import jax.numpy as jnp
+        cap = self.captioner
+        patch = cap.vision.cfg.image_size
+        grid = (anyres.DEFAULT_GRID_PINPOINTS if patch == 336
+                else anyres.grid_pinpoints_for(patch))
+        patches = anyres.process_anyres_image(self.image, patch, grid)
+        feats = cap.projector.apply(
+            cap.projector_params,
+            cap.vision.apply(cap.vision_params,
+                             normalize_pixels(jnp.asarray(patches))))
+        self._image_tokens = anyres.assemble_spatial_unpad(
+            np.asarray(feats), self.image.size,
+            np.asarray(cap.image_newline), grid, patch)
+        return self._image_tokens
+
+    def ask(self, user_msg: str, rng: jax.Array | None = None) -> str:
+        from ..models.vlm.generate import generate
+        import jax.numpy as jnp
+        cap = self.captioner
+        if not self.turns:  # first turn carries the image (cli.py:68-73)
+            user_msg = DEFAULT_IMAGE_TOKEN + "\n" + user_msg
+        self.turns.append(("user", user_msg))
+        prompt = render_llama3_chat(self.turns)
+        encode = lambda s: cap.tokenizer.encode(s, add_special_tokens=False)
+        ids = tokenize_with_image(prompt, encode)
+        safe = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
+        text_embeds = cap.llama.apply(cap.llama_params, safe,
+                                      method=cap.llama.embed)
+        if (ids == IMAGE_TOKEN_INDEX).any():
+            embeds = splice_image_embeds(ids, text_embeds,
+                                         jnp.asarray(self._encode_image()))
+        else:
+            embeds = text_embeds
+        rng = jax.random.PRNGKey(len(self.turns)) if rng is None else rng
+        out_ids = generate(cap.llama, cap.llama_params, embeds, self.cfg,
+                           rng, mesh=getattr(cap, "mesh", None))
+        reply = cap.tokenizer.decode(out_ids.tolist(),
+                                     skip_special_tokens=True).strip()
+        self.turns.append(("assistant", reply))
+        return reply
+
+
+def main(argv=None):
+    import argparse
+    from pathlib import Path
+    from PIL import Image
+    from ..models.vlm.captioner import LlavaCaptioner
+
+    ap = argparse.ArgumentParser(description="LLaVA CLI chat (serve/cli.py)")
+    ap.add_argument("--ckpt_dir", default="./CKPT_PTH")
+    ap.add_argument("--image-file", required=True)
+    ap.add_argument("--temperature", type=float, default=0.2)
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    cap = LlavaCaptioner.load(Path(args.ckpt_dir))
+    if cap is None:
+        raise SystemExit(f"no llava assets under {args.ckpt_dir}")
+    sess = ChatSession(cap, Image.open(args.image_file).convert("RGB"),
+                       GenerateConfig(max_new_tokens=args.max_new_tokens,
+                                      temperature=args.temperature,
+                                      do_sample=args.temperature > 0))
+    while True:
+        try:
+            inp = input("user: ")
+        except EOFError:
+            inp = ""
+        if not inp:
+            print("exit...")
+            break
+        print("assistant:", sess.ask(inp))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Minimal web frontend (llava/serve/gradio_web_server.py equivalent).
+
+The reference's gradio UI posts to the controller, which picks a worker by
+lottery/shortest-queue; the worker runs the model. Same topology here with
+zero dependencies: a stdlib http.server that serves an upload form, asks
+the controller for a worker address (/get_worker_address) and forwards the
+base64 image to the worker's /worker_generate. The sglang variant
+(sglang_worker.py) is descoped: it is an alternate inference runtime not
+present in this environment (and vestigial in the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+PAGE = """<!doctype html>
+<title>rsvldm-tpu</title>
+<h1>Remote-sensing super-resolution</h1>
+<form method=post enctype=application/json onsubmit=\"return go(event)\">
+  <input type=file id=f accept=image/*> <button>Upscale</button>
+</form>
+<pre id=out></pre>
+<script>
+async function go(e) {
+  e.preventDefault();
+  const file = document.getElementById('f').files[0];
+  const b64 = await new Promise(r => { const fr = new FileReader();
+    fr.onload = () => r(fr.result.split(',')[1]); fr.readAsDataURL(file); });
+  const resp = await fetch('/generate', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({image: b64, model: 'rsvldm-sr'})});
+  document.getElementById('out').textContent = await resp.text();
+  return false;
+}
+</script>"""
+
+
+class WebServer:
+    """dispatch_fn(payload_dict) -> result_dict. The default dispatcher
+    routes via the controller like gradio_web_server.http_bot."""
+
+    def __init__(self, controller_url: str | None = None,
+                 dispatch_fn=None, host: str = "127.0.0.1", port: int = 0):
+        self.controller_url = controller_url
+        self.dispatch = dispatch_fn or self._controller_dispatch
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    self._send(200, PAGE.encode(), "text/html")
+                else:
+                    self._send(404, b"{}")
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._send(404, b"{}")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(n))
+                    result = outer.dispatch(payload)
+                    self._send(200, json.dumps(result).encode())
+                except Exception as e:  # surface worker errors to the UI
+                    self._send(500, json.dumps({"error": str(e)}).encode())
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+
+    def _post_json(self, url: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            url, json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    def _controller_dispatch(self, payload: dict) -> dict:
+        """gradio_web_server.http_bot topology: ask the controller for a
+        worker, then forward the job."""
+        addr = self._post_json(self.controller_url + "/get_worker_address",
+                               {"model": payload.get("model", "rsvldm-sr")})
+        worker = addr.get("address")
+        if not worker:
+            return {"error": "no available worker"}
+        return self._post_json(worker + "/worker_generate", payload)
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
