@@ -122,9 +122,14 @@ def derive_project_specs(cfg: SDXLUNetConfig):
 def project_specs(mode: str = "XL-base", project_channel_scale: float = 2.0):
     """Reference-order (torch ModuleList index) plan, for converter parity
     (SR_modules.py:544-579). Consumption order is the reverse."""
-    specs = derive_project_specs(XL_BASE_CONFIG if mode == "XL-base"
-                                 else XL_BASE_CONFIG)
-    return list(reversed(specs))
+    from .unet import XL_REFINE_CONFIG
+    if mode == "XL-base":
+        cfg = XL_BASE_CONFIG
+    elif mode == "XL-refine":
+        cfg = XL_REFINE_CONFIG
+    else:
+        raise NotImplementedError(mode)  # SR_modules.py:556
+    return list(reversed(derive_project_specs(cfg)))
 
 
 class GLVControl(nn.Module):

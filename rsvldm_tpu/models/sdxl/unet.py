@@ -56,6 +56,17 @@ class SDXLUNetConfig:
 
 XL_BASE_CONFIG = SDXLUNetConfig()
 
+# SDXL refiner UNet (the mode='XL-refine' branch of SR_modules.py:550-555;
+# shape constants from Stability's sd_xl_refiner config): 384 base channels,
+# 4 levels, depth-4 transformers at every attention level, 1280-d context
+# (bigG only), 2560-d vector cond
+XL_REFINE_CONFIG = SDXLUNetConfig(model_channels=384,
+                                  channel_mult=(1, 2, 4, 4),
+                                  num_res_blocks=2,
+                                  attention_resolutions=(2, 4),
+                                  transformer_depth=(4, 4, 4, 4),
+                                  context_dim=1280, adm_in_channels=2560)
+
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
     """Sinusoidal timestep embedding, [cos|sin] order (util.py:206-231)."""

@@ -131,3 +131,16 @@ def test_derive_project_specs_matches_xl_refine_table():
         [384] * 2 + [768] * 3 + [1536] * 7 + [0]
     zca_idx = [i for i, s in enumerate(specs) if s["kind"] == "zca"]
     assert zca_idx == [3, 7, 11]
+
+
+def test_project_specs_xl_refine_mode_plumbed():
+    """mode='XL-refine' resolves through XL_REFINE_CONFIG (round-1 gap #7:
+    the derivation existed but the refiner config was not plumbed)."""
+    from rsvldm_tpu.models.sdxl import XL_REFINE_CONFIG
+    from rsvldm_tpu.models.sdxl.control import derive_project_specs
+    import pytest as _pt
+    specs = project_specs("XL-refine")
+    assert specs == list(reversed(derive_project_specs(XL_REFINE_CONFIG)))
+    assert len(specs) == 16
+    with _pt.raises(NotImplementedError):
+        project_specs("XL-v9")
