@@ -19,6 +19,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def llama_param_spec(path: tuple, leaf, axis: str = "data") -> P:
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(n) for n in names)
+    if leaf.ndim == 3 and "experts_" in joined:
+        # expert parallelism: stacked expert kernels [E, in, out] shard over
+        # the expert axis; every device computes its expert shard on all
+        # tokens and XLA reduces the routed sum (MoEFFN dense-mix)
+        return P(axis, None, None)
     if leaf.ndim == 2:
         # column-parallel: shard OUTPUT features
         if any(k in joined for k in ("q_proj", "k_proj", "v_proj",

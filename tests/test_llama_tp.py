@@ -55,3 +55,32 @@ def test_tp_matches_replicated():
     # params remained sharded (no silent full replication of a big kernel)
     q = sparams["params"]["layer_0"]["q_proj"]["kernel"]
     assert len(q.sharding.device_set) == 4
+
+
+def test_moe_expert_sharding():
+    """EP: stacked expert kernels shard over the mesh axis; TP decode of an
+    MoE config matches the replicated forward."""
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(4, tile=1)
+    cfg = LlamaConfig(vocab_size=128, dim=32, layers=2, heads=8, kv_heads=4,
+                      ffn_dim=64, num_experts=4, experts_per_tok=2,
+                      moe_ffn_dim=16)
+    model = LlamaModel(cfg)
+    toks = jnp.array([[3, 17, 99, 42]], jnp.int32)
+    cache = KVCache.init(cfg, 1, 8)
+    params = model.init(jax.random.PRNGKey(0), toks, cache, 0,
+                        method=model.from_tokens)
+    ref, _ = model.apply(params, toks, cache, 0, method=model.from_tokens)
+    assert llama_param_spec(
+        (jax.tree_util.DictKey("layer_0"), jax.tree_util.DictKey("moe"),
+         jax.tree_util.DictKey("experts_gate")),
+        jnp.zeros((4, 32, 16))) == P("data", None, None)
+    with mesh:
+        sp = shard_llama_params(params, mesh)
+        eg = sp["params"]["layer_0"]["moe"]["experts_gate"]
+        assert len(eg.sharding.device_set) == 4
+        out, _ = jax.jit(lambda p, t, c: model.apply(
+            p, t, c, 0, method=model.from_tokens))(
+            sp, toks, shard_kv_cache(cache, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
+                               rtol=1e-3)
