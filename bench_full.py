@@ -81,15 +81,24 @@ def part_sdxl():
     up = zeros_like_shapes(jax.eval_shape(
         lambda k: unet.init(k, x, t, ca, vec, feats), jax.random.PRNGKey(1)))
 
-    def step(up, cp, xx, sigma):
-        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
-                              control_params=cp)
-        return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+    den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                          control_params=cp)
+    sigmas = jnp.linspace(14.6, 0.03, 50)
 
-    f2 = jax.jit(step)
-    sigma = jnp.full((n,), 14.6)
-    dt = timed(lambda xx: f2(up, cp, xx, sigma), x, n=2)
-    return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt}
+    # 50 steps inside ONE jitted scan — matching the real sampler's shape;
+    # a single-step jit call pays the ~33ms relay dispatch per step and
+    # overestimates the stage by ~60% (CLAUDE.md measurement gotcha)
+    def scan50(xx):
+        def body(c, sigma):
+            d = den(c, jnp.full((n,), sigma),
+                    dict(crossattn=ca, vector=vec, control=c))
+            return d.astype(c.dtype), 0.0
+        out, _ = jax.lax.scan(body, xx, sigmas)
+        return out
+
+    f2 = jax.jit(scan50)
+    dt = timed(lambda xx: f2(xx), x, n=2)
+    return {"sdxl_step_64lat_s": dt / 50, "stage2_50step_est_s": dt}
 
 
 def part_vae():
@@ -101,8 +110,21 @@ def part_vae():
         lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3))),
         jax.random.PRNGKey(2)))
     z = jnp.zeros((1, 64, 64, 4))
-    fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
-    return {"vae_decode_512px_s": timed(lambda zz: fv(vp, zz), z, n=2)}
+
+    # amortize the relay dispatch over 4 chained decodes (one jit)
+    def scan4(zz):
+        def body(c, _):
+            img = vae.apply(vp, c, method=vae.decode)       # [1,512,512,3]
+            pooled = jax.lax.reduce_window(
+                img, 0.0, jax.lax.add, (1, 8, 8, 1), (1, 8, 8, 1),
+                "VALID") / 64.0                              # [1,64,64,3]
+            c = c + 0.01 * jnp.concatenate([pooled, pooled[..., :1]], -1)
+            return c.astype(zz.dtype), 0.0
+        out, _ = jax.lax.scan(body, zz, jnp.arange(4))
+        return out
+
+    fv = jax.jit(scan4)
+    return {"vae_decode_512px_s": timed(lambda zz: fv(zz), z, n=2) / 4}
 
 
 def part_llama():
