@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu) — overrides the "
                          "site-injected TPU relay selection")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard folder batches + tensor-shard the captioner "
+                         "over this many devices (0 = all when >1 device)")
     args = ap.parse_args()
 
     if args.platform:
@@ -39,7 +42,15 @@ def main():
     cfg.refine.img_threshold = args.img_threshold
     cfg.refine.edm_steps = args.num_steps
 
-    proc = ImageBatchProcessor(cfg, debug_tiny=args.debug_tiny)
+    mesh = None
+    import jax
+    n_dev = len(jax.devices())
+    want = args.mesh or (n_dev if n_dev > 1 else 0)
+    if want > 1:
+        from rsvldm_tpu.parallel import make_mesh
+        mesh = make_mesh(min(want, n_dev), tile=1)
+
+    proc = ImageBatchProcessor(cfg, debug_tiny=args.debug_tiny, mesh=mesh)
     results = proc.run()
     ok = sum(1 for _, s in results if s in ("ok", "stage1"))
     print(f"processed {ok}/{len(results)} images")

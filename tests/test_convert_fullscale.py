@@ -321,3 +321,55 @@ def test_clip_vit_l_336_fullscale_keys_and_shapes():
                            jnp.zeros((1, 336, 336, 3))))
     _assert_tree_matches(converted, init_shapes)
     assert _count(converted) == _count(sd) - pl_count
+
+
+def test_controlled_unet_fullscale_forward_parity():
+    """Full-production-scale numerics (round-2 review weak #5): GLVControl +
+    LightGLVUNet XL-base with ALL reference-table injections, random
+    weights, vs our ControlledUNet with converted weights. The tiny-config
+    parity test rebuilds the project modules at derived sizes; at the real
+    scale the reference's hardcoded channel plan is used as-is, so this
+    also cross-checks derive_project_specs against SR_modules.py:544-548.
+    zero-init modules are randomized so every injection path contributes."""
+    from models.modules.SR_modules import (GLVControl as TGLV,
+                                           LightGLVUNet as TLight)
+    torch.manual_seed(7)
+    tglv = TGLV(input_upscale=1, **XL_KW)
+    tunet = TLight(mode="XL-base", project_type="ZeroSFT",
+                   project_channel_scale=2, **XL_KW)
+    for m in (tglv, tunet):
+        for p in m.parameters():
+            p.data.normal_(0, 0.02)
+        m.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    lq = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    t = np.asarray([500.0], np.float32)
+    ctx = rng.normal(size=(1, 7, 2048)).astype(np.float32) * 0.1
+    y = rng.normal(size=(1, 2816)).astype(np.float32) * 0.1
+
+    def nchw(a):
+        return torch.from_numpy(a.transpose(0, 3, 1, 2).copy())
+
+    with torch.no_grad():
+        control = tglv(nchw(lq), torch.from_numpy(t), nchw(x),
+                       context=torch.from_numpy(ctx), y=torch.from_numpy(y))
+        ref = tunet(nchw(x), torch.from_numpy(t),
+                    context=torch.from_numpy(ctx), y=torch.from_numpy(y),
+                    control=[c.clone() for c in control], control_scale=0.7,
+                    fbcache_mode="none").numpy()
+
+    cparams = convert.convert_glv_control(tglv.state_dict(), XL_CFG)
+    uparams = convert.convert_controlled_unet(tunet.state_dict(), XL_CFG)
+    feats = GLVControl(XL_CFG).apply(
+        cparams, jnp.asarray(lq), jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(ctx), jnp.asarray(y))
+    for o, r in zip(feats, control):
+        np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2),
+                                   r.numpy(), atol=5e-3, rtol=2e-2)
+    ours = ControlledUNet(XL_CFG).apply(
+        uparams, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(y), feats, 0.7)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               atol=1e-2, rtol=2e-2)
