@@ -27,7 +27,7 @@ import numpy as np
 
 from ...utils import convert_hf
 from ...utils.checkpoint import load_torch_state_dict
-from .generate import GenerateConfig, caption_image
+from .generate import GenerateConfig, caption_image, caption_images
 from .llama import LLAMA3_8B_CONFIG, LlamaModel
 from .projector import MLPProjector
 from .vision import CLIP_VIT_L_336_CONFIG, CLIPVisionTower
@@ -149,3 +149,21 @@ class LlavaCaptioner:
                              self.image_newline, cfg, rng,
                              patch_size=self.vision.cfg.image_size,
                              mesh=self.mesh)
+
+    def caption_batch(self, images, llava_cfg,
+                      rng: jax.Array | None = None) -> list:
+        """Folder-batched Stage-2a: one decode serves every image (the
+        per-step weight stream is the single-chip bottleneck)."""
+        prompt = llava_cfg.img_prompt.format(DEFAULT_IMAGE_TOKEN="<image>")
+        cfg = GenerateConfig(max_new_tokens=llava_cfg.max_new_tokens,
+                             temperature=llava_cfg.temperature,
+                             do_sample=llava_cfg.do_sample)
+        encode = lambda s: self.tokenizer.encode(s, add_special_tokens=False)
+        decode = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
+        vision_apply = lambda px: self.vision.apply(self.vision_params, px)
+        proj_apply = lambda f: self.projector.apply(self.projector_params, f)
+        return caption_images(self.llama, self.llama_params, vision_apply,
+                              proj_apply, images, prompt, encode, decode,
+                              self.image_newline, cfg, rng,
+                              patch_size=self.vision.cfg.image_size,
+                              mesh=self.mesh)

@@ -134,6 +134,77 @@ def generate(model: LlamaModel, params: Any, input_embeds: jnp.ndarray,
     return out
 
 
+def generate_batch(model: LlamaModel, params: Any,
+                   input_embeds_list: Sequence[jnp.ndarray],
+                   cfg: GenerateConfig, rng: jax.Array,
+                   mesh=None) -> list:
+    """Batched decode: B spliced prompts (varying lengths) share every
+    weight read — on one chip the ~16GB/step parameter stream is the decode
+    bottleneck, so batching folder captions multiplies caption throughput
+    by ~B (the reference captions strictly per image, infer_dir.py:142-152).
+
+    Prompts are LEFT-padded to a common bucket so all rows' last prompt
+    token sits at the same position (one logits read), and each row tracks
+    its own eot `done` flag. Returns a list of np.int32 id arrays."""
+    b = len(input_embeds_list)
+    if b == 1:
+        return [generate(model, params, input_embeds_list[0], cfg, rng,
+                         mesh=mesh)]
+    d = input_embeds_list[0].shape[-1]
+    s_max = max(e.shape[0] for e in input_embeds_list)
+    s_pad = -(-s_max // cfg.pad_to) * cfg.pad_to
+    total = s_pad + cfg.max_new_tokens
+    embeds = jnp.stack([jnp.pad(e, ((s_pad - e.shape[0], 0), (0, 0)))
+                        for e in input_embeds_list])  # [B, s_pad, D]
+    # per-row pad_lens mask the left-pad positions out of attention, and
+    # RoPE's relative-position invariance makes the constant shift of each
+    # row's absolute positions a no-op — batched rows match their unpadded
+    # single-row decode
+    lens = jnp.asarray([e.shape[0] for e in input_embeds_list])
+
+    cache = KVCache.init(model.cfg, b, total, dtype=model.cfg.dtype)
+    if mesh is not None:
+        from ...parallel.llama_sharding import shard_kv_cache
+        from ...parallel.mesh import replicate
+        cache = shard_kv_cache(cache, mesh)
+        embeds = jax.device_put(embeds, replicate(mesh))
+
+    pad_lens = s_pad - lens  # [B] number of left-pad positions per row
+    logits, cache = model.apply(params, embeds, cache, 0,
+                                pad_lens=pad_lens)
+    last_logits = logits[:, s_pad - 1]  # [B, vocab]
+
+    def sample(lg, key):
+        if cfg.do_sample and cfg.temperature > 0:
+            return jax.random.categorical(key, lg / cfg.temperature, axis=-1)
+        return jnp.argmax(lg, axis=-1)
+
+    tok0 = sample(last_logits, rng)  # [B]
+    eot = jnp.asarray(list(cfg.eot_ids))
+
+    def body(carry, i):
+        tok, cache, done = carry
+        emb = model.apply(params, tok[:, None], method=model.embed)
+        lg, cache = model.apply(params, emb, cache, s_pad + i,
+                                pad_lens=pad_lens)
+        key = jax.random.fold_in(rng, i + 1)
+        nxt = sample(lg[:, -1], key)
+        nxt = jnp.where(done, eot[0], nxt)
+        done = jnp.logical_or(done, jnp.isin(nxt, eot))
+        return (nxt, cache, done), tok
+
+    done0 = jnp.isin(tok0, eot)
+    (last_tok, _, _), toks = jax.lax.scan(
+        body, (tok0, cache, done0), jnp.arange(cfg.max_new_tokens - 1))
+    all_toks = np.asarray(jnp.concatenate([toks, last_tok[None]]))  # [T, B]
+    outs = []
+    for j in range(b):
+        row = all_toks[:, j]
+        stops = np.isin(row, np.asarray(list(cfg.eot_ids)))
+        outs.append(row[: int(np.argmax(stops))] if stops.any() else row)
+    return outs
+
+
 def caption_image(model, params, vision_apply, projector_apply, image,
                   prompt_text: str, encode_fn, decode_fn, image_newline,
                   cfg: GenerateConfig = GenerateConfig(),
@@ -160,3 +231,36 @@ def caption_image(model, params, vision_apply, projector_apply, image,
     spliced = splice_image_embeds(ids, text_embeds, jnp.asarray(tokens))
     out_ids = generate(model, params, spliced, cfg, rng, mesh=mesh)
     return decode_fn(out_ids.tolist()).lstrip()
+
+
+def caption_images(model, params, vision_apply, projector_apply, images,
+                   prompt_text: str, encode_fn, decode_fn, image_newline,
+                   cfg: GenerateConfig = GenerateConfig(),
+                   rng: jax.Array | None = None, patch_size: int = 336,
+                   mesh=None) -> list:
+    """Batched Stage-2a over a folder: per-image vision/anyres assembly
+    (cheap, variable patch counts), then ONE batched LLM decode — the
+    parameter stream that dominates single-chip decode is shared across the
+    whole batch (generate_batch)."""
+    from . import anyres
+    from .vision import normalize_pixels
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    grid = (anyres.DEFAULT_GRID_PINPOINTS if patch_size == 336
+            else anyres.grid_pinpoints_for(patch_size))
+    prompt = llama3_chat_prompt(prompt_text)
+    ids = tokenize_with_image(prompt, encode_fn)
+    safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
+    text_embeds = model.apply(params, safe_ids, method=model.embed)
+    spliced = []
+    for image in images:
+        patches = anyres.process_anyres_image(image, patch_size, grid)
+        pixels = normalize_pixels(jnp.asarray(patches))
+        feats = projector_apply(vision_apply(pixels))
+        tokens = anyres.assemble_spatial_unpad(np.asarray(feats), image.size,
+                                               np.asarray(image_newline),
+                                               grid, patch_size)
+        spliced.append(splice_image_embeds(ids, text_embeds,
+                                           jnp.asarray(tokens)))
+    outs = generate_batch(model, params, spliced, cfg, rng, mesh=mesh)
+    return [decode_fn(o.tolist()).lstrip() for o in outs]

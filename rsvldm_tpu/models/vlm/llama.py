@@ -127,9 +127,12 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, layer_k, layer_v, start_pos, valid_len):
+    def __call__(self, x, layer_k, layer_v, start_pos, valid_len,
+                 pad_lens=None):
         """x: [B, S, D] new tokens at absolute positions start_pos..+S.
         layer_k/v: [B, T, kvh, hd] cache for this layer (full buffer).
+        pad_lens: optional [B] per-row LEFT-pad counts (batched generate) —
+        positions < pad_lens[b] are masked out of row b's attention.
         Returns (out, new_layer_k, new_layer_v)."""
         cfg = self.cfg
         b, s, _ = x.shape
@@ -152,7 +155,7 @@ class LlamaBlock(nn.Module):
                                                (0, start_pos, 0, 0))
         rep = cfg.heads // cfg.kv_heads
         if (s > 1 and isinstance(start_pos, int) and start_pos == 0
-                and cfg.sliding_window is None):
+                and cfg.sliding_window is None and pad_lens is None):
             # prefill from position 0: no cache history to attend — use the
             # attention dispatcher (Pallas flash on TPU for anyres-length
             # prompts; no [S,S] fp32 logits materialization). GQA repeat is
@@ -173,6 +176,8 @@ class LlamaBlock(nn.Module):
             q_pos = positions[None, None, None, :, None]
             k_pos = jnp.arange(t)[None, None, None, None, :]
             mask = (k_pos <= q_pos) & (k_pos < valid_len)
+            if pad_lens is not None:
+                mask = mask & (k_pos >= pad_lens[:, None, None, None, None])
             if cfg.sliding_window is not None:
                 mask = mask & (k_pos > q_pos - cfg.sliding_window)
             logits = jnp.where(mask, logits, -1e30)
@@ -270,17 +275,21 @@ class LlamaModel(nn.Module):
             e = e * jnp.sqrt(jnp.float32(self.cfg.dim)).astype(e.dtype)
         return e
 
-    def from_tokens(self, tokens: jnp.ndarray, cache: KVCache, start_pos):
+    def from_tokens(self, tokens: jnp.ndarray, cache: KVCache, start_pos,
+                    pad_lens=None):
         """Token-id entry point (also ensures init touches embed_tokens)."""
-        return self(self.embed(tokens), cache, start_pos)
+        return self(self.embed(tokens), cache, start_pos, pad_lens)
 
-    def __call__(self, embeds: jnp.ndarray, cache: KVCache, start_pos):
-        """embeds: [B, S, D]; returns (logits [B, S, vocab], new cache)."""
+    def __call__(self, embeds: jnp.ndarray, cache: KVCache, start_pos,
+                 pad_lens=None):
+        """embeds: [B, S, D]; returns (logits [B, S, vocab], new cache).
+        pad_lens: optional [B] left-pad counts for batched generate."""
         valid_len = start_pos + embeds.shape[1]
         x = embeds.astype(self.cfg.dtype)
         new_k, new_v = [], []
         for i, block in enumerate(self.blocks):
-            x, lk, lv = block(x, cache.k[i], cache.v[i], start_pos, valid_len)
+            x, lk, lv = block(x, cache.k[i], cache.v[i], start_pos, valid_len,
+                              pad_lens)
             new_k.append(lk)
             new_v.append(lv)
         x = self.norm(x)

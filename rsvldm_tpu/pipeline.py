@@ -507,9 +507,10 @@ class ImageBatchProcessor:
     trees output/ + sr3_output/."""
 
     def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
-                 mesh=None):
+                 mesh=None, caption_batch: int = 8):
         self.cfg = cfg
         self.mesh = mesh  # shard batched stage-1 over the data axis
+        self.caption_batch = max(int(caption_batch), 1)
         self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny,
                                             mesh=mesh)
 
@@ -535,6 +536,28 @@ class ImageBatchProcessor:
                 log.exception("batched stage-1 failed (%s); falling back to "
                               "per-image", e)
 
+        # batched Stage-2a: one LLM decode serves up to caption_batch
+        # images — the per-step parameter stream dominates single-chip
+        # decode, so folder captions cost ~1/B of the per-image loop
+        # (the reference captions strictly per image, infer_dir.py:142-152)
+        captions: dict = {}
+        if (stage1_out and not self.cfg.stage1_only
+                and not self.cfg.no_llava and len(images) > 1):
+            try:
+                self.pipe._ensure_stage2()
+                if self.pipe.llava is not None:
+                    todo = [p for p in images if stage1_out.get(p) is not None]
+                    pils = [Image.fromarray(stage1_out[p]) for p in todo]
+                    for i in range(0, len(todo), self.caption_batch):
+                        caps = self.pipe.llava.caption_batch(
+                            pils[i:i + self.caption_batch], self.cfg.llava)
+                        captions.update(zip(todo[i:i + self.caption_batch],
+                                            caps))
+            except Exception as e:
+                log.exception("batched captioning failed (%s); falling back "
+                              "to per-image", e)
+                captions = {}
+
         for p in images:
             try:
                 sr_np = stage1_out.get(p)
@@ -545,7 +568,9 @@ class ImageBatchProcessor:
                 if self.cfg.stage1_only:
                     results.append((p.name, "stage1"))
                     continue
-                caption = self.pipe.run_caption(sr_pil)
+                caption = captions.get(p)
+                if caption is None:
+                    caption = self.pipe.run_caption(sr_pil)
                 final = self.pipe.run_refinement(sr_pil, caption)
                 final.save(final_dir / f"{p.stem}_final_0.png")
                 results.append((p.name, "ok"))

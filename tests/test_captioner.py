@@ -148,3 +148,22 @@ def test_captioner_tp_matches_single(tmp_path):
     assert len(q.sharding.device_set) == 2  # actually sharded, not replicated
     out = cap_tp.caption(img, lcfg)
     assert out == ref
+
+
+def test_caption_batch_matches_single(tmp_path):
+    """Batched decode (left-padded rows, per-row pad masking, shared RoPE
+    shift) must reproduce each image's individual greedy caption."""
+    from safetensors.torch import save_file
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer())
+    rng = np.random.default_rng(3)
+    # different sizes -> different anyres token counts -> different pad_lens
+    imgs = [Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+            for h, w in ((40, 60), (64, 40), (30, 30))]
+    lcfg = LlavaConfig(max_new_tokens=6, temperature=0.0, do_sample=False)
+    singles = [cap.caption(im, lcfg) for im in imgs]
+    batched = cap.caption_batch(imgs, lcfg)
+    assert batched == singles
