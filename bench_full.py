@@ -83,12 +83,13 @@ def part_sdxl():
 
     den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
                           control_params=cp)
-    sigmas = jnp.linspace(14.6, 0.03, 50)
+    STEPS = 12  # scan length: amortizes the ~33ms relay dispatch to ~4%/step
+    # while keeping the XLA program small enough for the remote-compile
+    # relay (a 50-step scan of the full XL denoiser stalls it; the real
+    # pipeline compiles its own 50-step scan once per run shape)
+    sigmas = jnp.linspace(14.6, 0.03, STEPS)
 
-    # 50 steps inside ONE jitted scan — matching the real sampler's shape;
-    # a single-step jit call pays the ~33ms relay dispatch per step and
-    # overestimates the stage by ~60% (CLAUDE.md measurement gotcha)
-    def scan50(xx):
+    def scan_steps(xx):
         def body(c, sigma):
             d = den(c, jnp.full((n,), sigma),
                     dict(crossattn=ca, vector=vec, control=c))
@@ -96,9 +97,9 @@ def part_sdxl():
         out, _ = jax.lax.scan(body, xx, sigmas)
         return out
 
-    f2 = jax.jit(scan50)
-    dt = timed(lambda xx: f2(xx), x, n=2)
-    return {"sdxl_step_64lat_s": dt / 50, "stage2_50step_est_s": dt}
+    f2 = jax.jit(scan_steps)
+    dt = timed(lambda xx: f2(xx), x, n=2) / STEPS
+    return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt}
 
 
 def part_vae():

@@ -192,6 +192,40 @@ def convert_mm_projector(sd: Dict[str, Any], prefix: str = "model.mm_projector")
                        "fc1": _dense(sd, f"{prefix}.2")}}
 
 
+def convert_t5_encoder(sd: Dict[str, Any], cfg) -> Dict:
+    """HF T5EncoderModel state_dict -> T5Encoder params. HF naming:
+    shared.weight, encoder.block.{i}.layer.0.SelfAttention.{q,k,v,o}
+    (+ layer 0's relative_attention_bias), layer.0/1.layer_norm,
+    encoder.block.{i}.layer.1.DenseReluDense.{wi_0,wi_1|wi,wo},
+    encoder.final_layer_norm."""
+    p: Dict[str, Any] = {
+        "shared": {"embedding": t2n(sd["shared.weight"])},
+        "relative_attention_bias": t2n(
+            sd["encoder.block.0.layer.0.SelfAttention."
+               "relative_attention_bias.weight"]),
+        "ln_final": {"weight": t2n(sd["encoder.final_layer_norm.weight"])},
+    }
+    for i in range(cfg.layers):
+        bp = f"encoder.block.{i}"
+        blk = {
+            "ln_attn": {"weight": t2n(sd[f"{bp}.layer.0.layer_norm.weight"])},
+            "ln_ff": {"weight": t2n(sd[f"{bp}.layer.1.layer_norm.weight"])},
+            "q": _dense(sd, f"{bp}.layer.0.SelfAttention.q"),
+            "k": _dense(sd, f"{bp}.layer.0.SelfAttention.k"),
+            "v": _dense(sd, f"{bp}.layer.0.SelfAttention.v"),
+            "o": _dense(sd, f"{bp}.layer.0.SelfAttention.o"),
+        }
+        ff = f"{bp}.layer.1.DenseReluDense"
+        if f"{ff}.wi_0.weight" in sd:
+            blk["wi_0"] = _dense(sd, f"{ff}.wi_0")
+            blk["wi_1"] = _dense(sd, f"{ff}.wi_1")
+        else:
+            blk["wi"] = _dense(sd, f"{ff}.wi")
+        blk["wo"] = _dense(sd, f"{ff}.wo")
+        p[f"block_{i}"] = blk
+    return {"params": p}
+
+
 def convert_pooler_projector(sd: Dict[str, Any],
                              prefix: str = "model.mm_projector") -> Dict:
     """PoolerProjector: conv_pool (NCHW conv -> HWIO kernel) + proj
