@@ -83,21 +83,20 @@ def part_sdxl():
 
     den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
                           control_params=cp)
-    STEPS = 12  # scan length: amortizes the ~33ms relay dispatch to ~4%/step
-    # while keeping the XLA program small enough for the remote-compile
-    # relay (a 50-step scan of the full XL denoiser stalls it; the real
-    # pipeline compiles its own 50-step scan once per run shape)
-    sigmas = jnp.linspace(14.6, 0.03, STEPS)
+    STEPS = 4  # unrolled chain: amortizes the ~33ms relay dispatch to ~8ms
+    # per step. NOT lax.scan — a scan around the full XL denoiser stalls
+    # the remote-compile relay (same class of failure as the round-1
+    # monolithic stage-2b jit); an unrolled chain compiles fine.
+    sigmas = [14.6, 7.0, 2.0, 0.5]
 
-    def scan_steps(xx):
-        def body(c, sigma):
-            d = den(c, jnp.full((n,), sigma),
-                    dict(crossattn=ca, vector=vec, control=c))
-            return d.astype(c.dtype), 0.0
-        out, _ = jax.lax.scan(body, xx, sigmas)
-        return out
+    def chain(xx):
+        c = xx
+        for s in sigmas:
+            c = den(c, jnp.full((n,), s),
+                    dict(crossattn=ca, vector=vec, control=c)).astype(c.dtype)
+        return c
 
-    f2 = jax.jit(scan_steps)
+    f2 = jax.jit(chain)
     dt = timed(lambda xx: f2(xx), x, n=2) / STEPS
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt}
 

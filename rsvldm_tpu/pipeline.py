@@ -341,9 +341,16 @@ class SuperResolutionPipeline:
         arr = jnp.asarray(out)
         return arr, arr
 
-    def run_refinement(self, sr_image, caption: str) -> "Any":
+    def run_refinement(self, sr_image, caption: str,
+                       use_bucket: bool = True) -> "Any":
         """just_sampling (models/SR_model.py:200-298) + color fix.
-        sr_image: PIL image (the saved Stage-1 output). Returns PIL."""
+        sr_image: PIL image (the saved Stage-1 output). Returns PIL.
+
+        use_bucket: edge-pad to the next size_bucket multiple so mixed /64
+        sizes in a folder share one compiled 50-step sampling program (the
+        padded margin is cropped off right after decode). Single-image runs
+        pass False — there is no compile to reuse, so padding would only
+        add compute."""
         from PIL import Image
         self._ensure_stage2()
         r = self.cfg.refine
@@ -351,11 +358,8 @@ class SuperResolutionPipeline:
         if self.debug_tiny:
             from .ops.image import resize_bicubic
             x = np.asarray(resize_bicubic(jnp.asarray(x)[None], (64, 64))[0])
-        # shape bucketing: edge-pad to the next size_bucket multiple so mixed
-        # /64 sizes in a folder share one compiled 50-step sampling program;
-        # the padded margin is cropped off right after decode
         h_real, w_real = x.shape[0], x.shape[1]
-        if not self.debug_tiny:
+        if use_bucket and not self.debug_tiny:
             x = bucket_pad(np.asarray(x), r.size_bucket)
         x = jnp.asarray(x)[None]
         if r.num_samples > 1:  # just_sampling num_samples (SR_model.py:231-235)
@@ -493,7 +497,7 @@ class SuperResolutionPipeline:
                  caption[:120])
 
         t0 = time.perf_counter()
-        final = self.run_refinement(sr_pil, caption)
+        final = self.run_refinement(sr_pil, caption, use_bucket=False)
         finals = final if isinstance(final, list) else [final]
         for i, f in enumerate(finals):
             fp = out_dir / f"{path.stem}_final_{i}.png"
