@@ -36,6 +36,18 @@ def timed(f, *args, n=2):
     return best
 
 
+def dispatch_overhead():
+    """Measured per-call cost of the axon relay round trip (~33 ms): timed
+    on a trivial jitted op, subtracted from single-call kernel timings.
+    Anything that runs inside ONE jit in the real pipeline (scan loops)
+    must not be charged for per-step dispatch — but big multi-step programs
+    stall the remote-compile relay when built standalone, so parts measure
+    one step and correct with this."""
+    x = jnp.zeros((8, 8))
+    f = jax.jit(lambda v: v + 1.0)
+    return timed(lambda: f(x), n=4)
+
+
 def zeros_like_shapes(tree):
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
@@ -83,21 +95,20 @@ def part_sdxl():
 
     den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
                           control_params=cp)
-    STEPS = 4  # unrolled chain: amortizes the ~33ms relay dispatch to ~8ms
-    # per step. NOT lax.scan — a scan around the full XL denoiser stalls
-    # the remote-compile relay (same class of failure as the round-1
-    # monolithic stage-2b jit); an unrolled chain compiles fine.
-    sigmas = [14.6, 7.0, 2.0, 0.5]
 
-    def chain(xx):
-        c = xx
-        for s in sigmas:
-            c = den(c, jnp.full((n,), s),
-                    dict(crossattn=ca, vector=vec, control=c)).astype(c.dtype)
-        return c
+    # single step, dispatch-corrected. Both a lax.scan and an unrolled
+    # multi-step chain around the full XL denoiser stall the remote-compile
+    # relay when built standalone (the real pipeline's 50-step sampling
+    # scan is compiled once per run shape on the chip itself); in the real
+    # sampler all steps live inside one jit, so per-step dispatch must not
+    # be charged.
+    def step(xx, sigma):
+        return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
 
-    f2 = jax.jit(chain)
-    dt = timed(lambda xx: f2(xx), x, n=2) / STEPS
+    f2 = jax.jit(step)
+    sigma = jnp.full((n,), 14.6)
+    raw = timed(lambda xx: f2(xx, sigma), x, n=3)
+    dt = max(raw - dispatch_overhead(), raw / 4)
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt}
 
 
@@ -110,21 +121,11 @@ def part_vae():
         lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3))),
         jax.random.PRNGKey(2)))
     z = jnp.zeros((1, 64, 64, 4))
-
-    # amortize the relay dispatch over 4 chained decodes (one jit)
-    def scan4(zz):
-        def body(c, _):
-            img = vae.apply(vp, c, method=vae.decode)       # [1,512,512,3]
-            pooled = jax.lax.reduce_window(
-                img, 0.0, jax.lax.add, (1, 8, 8, 1), (1, 8, 8, 1),
-                "VALID") / 64.0                              # [1,64,64,3]
-            c = c + 0.01 * jnp.concatenate([pooled, pooled[..., :1]], -1)
-            return c.astype(zz.dtype), 0.0
-        out, _ = jax.lax.scan(body, zz, jnp.arange(4))
-        return out
-
-    fv = jax.jit(scan4)
-    return {"vae_decode_512px_s": timed(lambda zz: fv(zz), z, n=2) / 4}
+    fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
+    raw = timed(lambda zz: fv(vp, zz), z, n=3)
+    # dispatch-corrected (see dispatch_overhead)
+    dt = max(raw - dispatch_overhead(), raw / 4)
+    return {"vae_decode_512px_s": dt}
 
 
 def part_llama():

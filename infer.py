@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
     ap.add_argument("--no_llava", action="store_true")
     ap.add_argument("--stage1_only", action="store_true")
+    ap.add_argument("--stage1_sampler", type=str, default="ddpm",
+                    choices=["ddpm", "ddim"],
+                    help="ddim runs a few-step sampler on the SR3 schedule")
+    ap.add_argument("--stage1_steps", type=int, default=50,
+                    help="DDIM step count (sampler=ddim)")
     ap.add_argument("--debug_tiny", action="store_true",
                     help="shrunken models (smoke testing)")
     ap.add_argument("--platform", type=str, default=None,
@@ -43,6 +48,8 @@ def main():
                          ckpt_dir=args.ckpt_dir, no_llava=args.no_llava,
                          stage1_only=args.stage1_only)
     cfg.refine.img_threshold = args.img_threshold
+    cfg.stage1.sampler = args.stage1_sampler
+    cfg.stage1.ddim_steps = args.stage1_steps
     cfg.refine.edm_steps = args.edm_steps
 
     pipeline = SuperResolutionPipeline(cfg, debug_tiny=args.debug_tiny)

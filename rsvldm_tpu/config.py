@@ -25,6 +25,11 @@ class Stage1Config:
     channel_mults: tuple = (1, 2, 4, 8, 8)
     attn_res: tuple = (28,)
     res_blocks: int = 1
+    # "ddpm" = the reference's 500-step ancestral loop; "ddim" runs the
+    # few-step DDIM sampler on the same schedule (~steps/ddim_steps speedup)
+    sampler: str = "ddpm"
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
 
 
 # prompts/prompt_config.yaml img_prompt, verbatim (YAML folded scalar: the

@@ -80,6 +80,60 @@ def sr3_sample(diff: SR3Diffusion, apply_fn: Callable, params: Any,
     return x_final
 
 
+def sr3_sample_ddim(diff: SR3Diffusion, apply_fn: Callable, params: Any,
+                    cond: jnp.ndarray, rng: jax.Array, num_steps: int = 50,
+                    eta: float = 0.0):
+    """DDIM sampling (Song et al., arXiv:2010.02502) on the SR3 schedule —
+    a few-step alternative to the 500-step ancestral loop (the reference
+    ships only ancestral; 25-50 DDIM steps give a ~10-20x Stage-1 speedup).
+
+    Same UNet conditioning as ancestral (continuous noise level
+    sqrt(abar_t)). With eta=1 and the full step count this reduces exactly
+    to the ancestral sampler (sigma^2 equals the DDPM posterior variance
+    and the mean identity holds) — tested; eta=0 is deterministic."""
+    buf = diff.buffers
+    T = buf.num_timesteps
+    num_steps = min(num_steps, T)
+    # equally-spaced subset, descending; conceptual "-1" maps to abar=1
+    ts = jnp.round(jnp.linspace(T - 1, 0, num_steps)).astype(jnp.int32)
+    prev_ts = jnp.concatenate([ts[1:], jnp.asarray([-1], jnp.int32)])
+    # abar from the buffers: sqrt_recip_alphas_cumprod = 1/sqrt(abar)
+    abar = 1.0 / (buf.sqrt_recip_alphas_cumprod ** 2)
+    abar_with_one = jnp.concatenate([abar, jnp.ones((1,), abar.dtype)])
+
+    rng, init_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, cond.shape, cond.dtype)
+
+    def body(x, tt):
+        t, t_prev = tt
+        b = x.shape[0]
+        noise_level = jnp.full((b, 1), buf.sqrt_alphas_cumprod_prev[t + 1])
+        eps = apply_fn(params, jnp.concatenate([cond, x], axis=-1),
+                       noise_level)
+        x_recon = buf.sqrt_recip_alphas_cumprod[t] * x - \
+            buf.sqrt_recipm1_alphas_cumprod[t] * eps
+        if diff.clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        # recompute eps from the (possibly clipped) x0 so the update stays
+        # consistent with the clip, mirroring the ancestral posterior path
+        eps_eff = (x - jnp.sqrt(abar[t]) * x_recon) / \
+            jnp.sqrt(jnp.maximum(1.0 - abar[t], 1e-20))
+        a_prev = abar_with_one[t_prev]  # t_prev=-1 -> abar=1 (final step)
+        sigma = eta * jnp.sqrt(
+            jnp.maximum((1.0 - a_prev) / jnp.maximum(1.0 - abar[t], 1e-20)
+                        * (1.0 - abar[t] / a_prev), 0.0))
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) \
+            * eps_eff
+        noise = jax.random.normal(jax.random.fold_in(rng, t), x.shape,
+                                  x.dtype)
+        noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
+        x_next = jnp.sqrt(a_prev) * x_recon + dir_xt + sigma * noise
+        return x_next, 0.0
+
+    x_final, _ = jax.lax.scan(body, x0, (ts, prev_ts))
+    return x_final
+
+
 def sr3_loss(diff: SR3Diffusion, apply_fn: Callable, params: Any,
              hr: jnp.ndarray, sr_bicubic: jnp.ndarray, rng: jax.Array,
              loss_type: str = "l1"):

@@ -33,7 +33,8 @@ import numpy as np
 
 from .config import PipelineConfig
 from .diffusion.samplers import RestoreEDMConfig, restore_edm_sample
-from .models.sr3 import SR3Diffusion, SR3UNet, SR3UNetConfig, sr3_sample
+from .models.sr3 import (SR3Diffusion, SR3UNet, SR3UNetConfig, sr3_sample,
+                         sr3_sample_ddim)
 from .models.sdxl import ControlledUNet, GLVControl, SDXLUNetConfig
 from .models.sdxl.denoiser import ControlDenoiser
 from .models.text import (CLIP_L_CONFIG, OPENCLIP_BIGG_CONFIG, CLIPTextConfig,
@@ -241,6 +242,17 @@ class SuperResolutionPipeline:
             self.clip_l, self.big_g, self.clip_l_params, self.big_g_params)
 
     # ------------------------------------------------------------- stage 1
+    def _stage1_sample_fn(self):
+        """ddpm = the reference's full ancestral loop; ddim = few-step
+        sampler on the same schedule (Stage1Config.sampler)."""
+        apply_fn = lambda p, x, nl: self.sr3.apply(p, x, nl)
+        s1 = self.cfg.stage1
+        if s1.sampler == "ddim":
+            return lambda p, c, r: sr3_sample_ddim(
+                self.sr3_diff, apply_fn, p, c, r,
+                num_steps=s1.ddim_steps, eta=s1.ddim_eta)
+        return lambda p, c, r: sr3_sample(self.sr3_diff, apply_fn, p, c, r)
+
     def run_stage1(self, image_path: str) -> np.ndarray:
         """Bicubic x upscale + 500-step SR3 ancestral loop (infer.py:123-143).
         Returns uint8 HWC."""
@@ -249,11 +261,9 @@ class SuperResolutionPipeline:
             from .ops.image import resize_bicubic
             s = self.sr3_cfg.image_size
             cond = resize_bicubic(jnp.asarray(cond), (s, s))
-        apply_fn = lambda p, x, nl: self.sr3.apply(p, x, nl)
         key = "stage1"
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda p, c, r: sr3_sample(self.sr3_diff, apply_fn, p, c, r))
+            self._jit_cache[key] = jax.jit(self._stage1_sample_fn())
         self.rng, sub = jax.random.split(self.rng)
         out = self._jit_cache[key](self.sr3_params, jnp.asarray(cond), sub)
         return to_uint8(np.asarray(out[0]))
@@ -274,11 +284,9 @@ class SuperResolutionPipeline:
         for i, c in enumerate(conds):
             groups.setdefault(c.shape, []).append(i)
 
-        apply_fn = lambda p, x, nl: self.sr3.apply(p, x, nl)
         key = "stage1_batch"
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda p, c, r: sr3_sample(self.sr3_diff, apply_fn, p, c, r))
+            self._jit_cache[key] = jax.jit(self._stage1_sample_fn())
         results: list = [None] * len(conds)
         n_dev = 1
         if mesh is not None:

@@ -84,3 +84,19 @@ def test_num_samples(tmp_path, sample_image):
     out = pipe.process(str(sample_image))
     assert (tmp_path / "ns" / "test_final_0.png").exists()
     assert (tmp_path / "ns" / "test_final_1.png").exists()
+
+
+def test_stage1_ddim_sampler(tmp_path):
+    from rsvldm_tpu.config import PipelineConfig, Stage1Config
+    from rsvldm_tpu.pipeline import SuperResolutionPipeline
+    from PIL import Image
+    import numpy as np
+    img = tmp_path / "x.png"
+    Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (24, 24, 3), dtype=np.uint8)).save(img)
+    cfg = PipelineConfig(output_dir=str(tmp_path), ckpt_dir=str(tmp_path),
+                         no_llava=True, stage1_only=True)
+    cfg.stage1 = Stage1Config(steps=16, sampler="ddim", ddim_steps=4)
+    pipe = SuperResolutionPipeline(cfg, debug_tiny=True)
+    out = pipe.run_stage1(str(img))
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8

@@ -83,3 +83,45 @@ def test_sr3_loss(unet_and_params):
     g = jax.grad(lambda p: sr3_loss(diff, apply_fn, p, hr, sr, jax.random.PRNGKey(3)))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_ddim_eta1_fullsteps_equals_ancestral():
+    """DDIM with eta=1 at the full step count reduces algebraically to the
+    ancestral sampler (sigma^2 = DDPM posterior variance + posterior-mean
+    identity) — bitwise-comparable since both draw fold_in(rng, t) noise."""
+    from rsvldm_tpu.models.sr3 import (SR3Diffusion, SR3UNet, SR3UNetConfig,
+                                       sr3_sample, sr3_sample_ddim)
+    cfg = SR3UNetConfig(inner_channel=8, norm_groups=4, channel_mults=(1, 2),
+                        attn_res=(4,), res_blocks=1, image_size=8)
+    model = SR3UNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 6)),
+                        jnp.ones((1, 1)))
+    diff = SR3Diffusion.from_schedule(n_timestep=6)
+    apply_fn = lambda p, x, nl: model.apply(p, x, nl)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3)) * 0.3
+    rng = jax.random.PRNGKey(2)
+    anc = sr3_sample(diff, apply_fn, params, cond, rng)
+    ddim = sr3_sample_ddim(diff, apply_fn, params, cond, rng,
+                           num_steps=6, eta=1.0)
+    np.testing.assert_allclose(np.asarray(ddim), np.asarray(anc),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_ddim_fewstep_deterministic():
+    from rsvldm_tpu.models.sr3 import (SR3Diffusion, SR3UNet, SR3UNetConfig,
+                                       sr3_sample_ddim)
+    cfg = SR3UNetConfig(inner_channel=8, norm_groups=4, channel_mults=(1, 2),
+                        attn_res=(4,), res_blocks=1, image_size=8)
+    model = SR3UNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 6)),
+                        jnp.ones((1, 1)))
+    diff = SR3Diffusion.from_schedule(n_timestep=100)
+    apply_fn = lambda p, x, nl: model.apply(p, x, nl)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3)) * 0.3
+    a = sr3_sample_ddim(diff, apply_fn, params, cond, jax.random.PRNGKey(3),
+                        num_steps=8, eta=0.0)
+    # eta=0: only the INITIAL x_T draw depends on rng; same rng -> identical
+    b = sr3_sample_ddim(diff, apply_fn, params, cond, jax.random.PRNGKey(3),
+                        num_steps=8, eta=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(a)))
