@@ -213,3 +213,20 @@ def test_consolidate():
     sd = {"base_model.model.model.layers.0.w": 1, "other": 2}
     out = consolidate(sd)
     assert out == {"model.layers.0.w": 1, "other": 2}
+
+
+def test_sample_video_frames(tmp_path):
+    from rsvldm_tpu.models.vlm.video import (sample_video_frames,
+                                             time_instruction)
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(tmp_path / f"f{i:03d}.png")
+    frames, vt, ft = sample_video_frames(tmp_path, num_frames=5)
+    assert len(frames) == 5
+    assert vt == 10.0  # 20 frames / 2 fps
+    assert ft.startswith("0.00s,") and ft.endswith("9.50s")
+    txt = time_instruction(vt, 5, ft)
+    assert "lasts for 10.00 seconds" in txt and "5 frames" in txt
+    with pytest.raises(FileNotFoundError):
+        sample_video_frames(tmp_path / "empty")
