@@ -53,8 +53,16 @@ def run_part(name: str) -> dict:
 
 
 def main():
+    import time
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    t0 = time.time()
     res = {}
-    for name in ("stage1", "sdxl", "vae", "llama"):
+    # priority order: stage1 is the round-1 contract and the fallback
+    # metric; later parts are skipped if relay congestion eats the budget
+    for name in ("stage1", "sdxl", "llama", "vae"):
+        if time.time() - t0 > budget:
+            res[f"{name}_error"] = "skipped: bench budget exceeded"
+            continue
         res.update(run_part(name))
 
     extras = {}
