@@ -84,10 +84,13 @@ class SuperResolutionPipeline:
     """Loads all stages once, then processes images (infer.py:79-101)."""
 
     def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
-                 mesh=None):
+                 mesh=None, llava_load_kw: dict | None = None):
         self.cfg = cfg
         self.debug_tiny = debug_tiny
         self.mesh = mesh  # TP-shards the captioner; shards folder batches
+        # override LlavaCaptioner.load kwargs (llama_cfg/vision_cfg/
+        # tokenizer) — lets tests run the REAL caption stage at tiny scale
+        self.llava_load_kw = llava_load_kw
         self.rng = jax.random.PRNGKey(cfg.seed)
         t = _tiny_overrides() if debug_tiny else None
 
@@ -230,10 +233,12 @@ class SuperResolutionPipeline:
             self.tokenizer = None
 
         self.llava = None
-        if not self.cfg.no_llava and not self.debug_tiny:
+        if not self.cfg.no_llava and (not self.debug_tiny
+                                      or self.llava_load_kw):
             try:
                 from .models.vlm.captioner import LlavaCaptioner
-                self.llava = LlavaCaptioner.load(cd, mesh=self.mesh)
+                self.llava = LlavaCaptioner.load(cd, mesh=self.mesh,
+                                                 **(self.llava_load_kw or {}))
             except Exception as e:  # assets missing/partial
                 log.warning("LLaVA load failed (%s) — captioning disabled", e)
 
@@ -519,12 +524,14 @@ class ImageBatchProcessor:
     trees output/ + sr3_output/."""
 
     def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
-                 mesh=None, caption_batch: int = 8):
+                 mesh=None, caption_batch: int = 8,
+                 llava_load_kw: dict | None = None):
         self.cfg = cfg
         self.mesh = mesh  # shard batched stage-1 over the data axis
         self.caption_batch = max(int(caption_batch), 1)
         self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny,
-                                            mesh=mesh)
+                                            mesh=mesh,
+                                            llava_load_kw=llava_load_kw)
 
     def run(self, batch_stage1: bool = True):
         from PIL import Image

@@ -100,3 +100,41 @@ def test_stage1_ddim_sampler(tmp_path):
     pipe = SuperResolutionPipeline(cfg, debug_tiny=True)
     out = pipe.run_stage1(str(img))
     assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+
+
+def test_full_three_stage_with_tiny_captioner(tmp_path):
+    """End-to-end process() with the REAL caption stage at tiny scale: the
+    caption text flows into the refinement conditioning (previously the
+    caption stage was only testable outside the pipeline)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import test_captioner as tc
+    from safetensors.torch import save_file
+    from PIL import Image
+    from rsvldm_tpu.config import PipelineConfig, Stage1Config
+    from rsvldm_tpu.pipeline import SuperResolutionPipeline
+    import numpy as np
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "llava").mkdir(parents=True)
+    save_file(tc._tiny_llava_state_dict(),
+              str(ckpt / "llava" / "model.safetensors"))
+    img = tmp_path / "x.png"
+    Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (24, 24, 3), dtype=np.uint8)).save(img)
+
+    cfg = PipelineConfig(input_img=str(img), output_dir=str(tmp_path / "o"),
+                         ckpt_dir=str(ckpt))
+    cfg.stage1 = Stage1Config(steps=2)
+    cfg.refine.edm_steps = 2
+    cfg.llava.max_new_tokens = 4
+    cfg.llava.temperature = 0.0
+    cfg.llava.do_sample = False
+    pipe = SuperResolutionPipeline(
+        cfg, debug_tiny=True,
+        llava_load_kw=dict(llama_cfg=tc.LCFG, vision_cfg=tc.VCFG,
+                           tokenizer=tc.FakeTokenizer()))
+    out = pipe.process()
+    assert out.size == (16, 16)  # debug_tiny stage-1 output size
+    assert pipe.llava is not None  # caption stage actually ran
+    assert (tmp_path / "o" / "x_final_0.png").exists()
