@@ -42,9 +42,13 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_part(name: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench_full.py"), name],
-        capture_output=True, text=True, timeout=1800)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench_full.py"), name],
+            capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        # never break the one-JSON-line contract on a hung part
+        return {f"{name}_error": "timeout after 1800s"}
     line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
     try:
         return json.loads(line)

@@ -93,21 +93,22 @@ def part_sdxl():
     up = zeros_like_shapes(jax.eval_shape(
         lambda k: unet.init(k, x, t, ca, vec, feats), jax.random.PRNGKey(1)))
 
-    den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
-                          control_params=cp)
-
     # single step, dispatch-corrected. Both a lax.scan and an unrolled
     # multi-step chain around the full XL denoiser stall the remote-compile
     # relay when built standalone (the real pipeline's 50-step sampling
     # scan is compiled once per run shape on the chip itself); in the real
     # sampler all steps live inside one jit, so per-step dispatch must not
-    # be charged.
-    def step(xx, sigma):
+    # be charged. Params are jit ARGUMENTS (like the pipeline's _sample_jit)
+    # — closing over them would bake them in as constants and let XLA fold
+    # the known-zero weights, faking a faster step.
+    def step(up, cp, xx, sigma):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
         return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
 
     f2 = jax.jit(step)
     sigma = jnp.full((n,), 14.6)
-    raw = timed(lambda xx: f2(xx, sigma), x, n=3)
+    raw = timed(lambda xx: f2(up, cp, xx, sigma), x, n=3)
     dt = max(raw - dispatch_overhead(), raw / 4)
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt}
 
@@ -122,7 +123,7 @@ def part_vae():
         jax.random.PRNGKey(2)))
     z = jnp.zeros((1, 64, 64, 4))
     fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
-    raw = timed(lambda zz: fv(vp, zz), z, n=3)
+    raw = timed(lambda zz: fv(vp, zz), z, n=3)  # params as jit args
     # dispatch-corrected (see dispatch_overhead)
     dt = max(raw - dispatch_overhead(), raw / 4)
     return {"vae_decode_512px_s": dt}

@@ -52,9 +52,10 @@ def load_prompt_yaml(path) -> str:
         return yaml.safe_load(text)["img_prompt"]
     except ImportError:
         lines = text.splitlines()
-        out, folding = [], False
+        out, folding, seen = [], False, False
         for ln in lines:
             if ln.startswith("img_prompt:"):
+                seen = True
                 rest = ln.split(":", 1)[1].strip()
                 if rest == ">":
                     folding = True
@@ -65,6 +66,8 @@ def load_prompt_yaml(path) -> str:
                     out.append(ln.strip())
                 elif ln.strip():
                     break
+        if not seen:  # match the pyyaml path's KeyError, never silently ""
+            raise KeyError("img_prompt")
         return " ".join(out) + "\n"
 
 

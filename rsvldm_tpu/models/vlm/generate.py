@@ -32,13 +32,22 @@ SYSTEM_PROMPT = ("You are a helpful language and vision assistant. "
                  "natural language.")
 
 
+def render_llama3_chat(turns, system: str = SYSTEM_PROMPT) -> str:
+    """Multi-turn llama-3 chat template with generation header (the
+    llava_llama_3 conversation renders via tokenizer.apply_chat_template).
+    turns: sequence of (role, message)."""
+    out = ["<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+           f"{system}<|eot_id|>"]
+    for role, msg in turns:
+        out.append(f"<|start_header_id|>{role}<|end_header_id|>\n\n"
+                   f"{msg}<|eot_id|>")
+    out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    return "".join(out)
+
+
 def llama3_chat_prompt(user_message: str, system: str = SYSTEM_PROMPT) -> str:
-    """Llama-3 chat template with generation header (the llava_llama_3
-    conversation renders via tokenizer.apply_chat_template)."""
-    return ("<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
-            f"{system}<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n"
-            f"{user_message}<|eot_id|>"
-            "<|start_header_id|>assistant<|end_header_id|>\n\n")
+    """Single-turn convenience over render_llama3_chat."""
+    return render_llama3_chat([("user", user_message)], system)
 
 
 def tokenize_with_image(prompt: str, encode_fn: Callable[[str], list],
@@ -143,23 +152,22 @@ def generate_batch(model: LlamaModel, params: Any,
     bottleneck, so batching folder captions multiplies caption throughput
     by ~B (the reference captions strictly per image, infer_dir.py:142-152).
 
-    Prompts are LEFT-padded to a common bucket so all rows' last prompt
-    token sits at the same position (one logits read), and each row tracks
+    Layout: prompts are RIGHT-padded to a shared bucket, so each row stays
+    contiguous in its cache (physical slot == logical position; masking is
+    purely causal). The prefill is ONE batched call through the flash path
+    — pad garbage is strictly in the causal future of every real token —
+    and decode writes at per-row slots lens[b]+i, progressively overwriting
+    the pad garbage before any causal frontier reaches it. Each row tracks
     its own eot `done` flag. Returns a list of np.int32 id arrays."""
     b = len(input_embeds_list)
     if b == 1:
         return [generate(model, params, input_embeds_list[0], cfg, rng,
                          mesh=mesh)]
-    d = input_embeds_list[0].shape[-1]
     s_max = max(e.shape[0] for e in input_embeds_list)
     s_pad = -(-s_max // cfg.pad_to) * cfg.pad_to
     total = s_pad + cfg.max_new_tokens
-    embeds = jnp.stack([jnp.pad(e, ((s_pad - e.shape[0], 0), (0, 0)))
+    embeds = jnp.stack([jnp.pad(e, ((0, s_pad - e.shape[0]), (0, 0)))
                         for e in input_embeds_list])  # [B, s_pad, D]
-    # per-row pad_lens mask the left-pad positions out of attention, and
-    # RoPE's relative-position invariance makes the constant shift of each
-    # row's absolute positions a no-op — batched rows match their unpadded
-    # single-row decode
     lens = jnp.asarray([e.shape[0] for e in input_embeds_list])
 
     cache = KVCache.init(model.cfg, b, total, dtype=model.cfg.dtype)
@@ -169,10 +177,10 @@ def generate_batch(model: LlamaModel, params: Any,
         cache = shard_kv_cache(cache, mesh)
         embeds = jax.device_put(embeds, replicate(mesh))
 
-    pad_lens = s_pad - lens  # [B] number of left-pad positions per row
-    logits, cache = model.apply(params, embeds, cache, 0,
-                                pad_lens=pad_lens)
-    last_logits = logits[:, s_pad - 1]  # [B, vocab]
+    logits, cache = model.apply(params, embeds, cache, 0)
+    # last REAL prompt position per row
+    last_logits = jnp.take_along_axis(
+        logits, (lens - 1)[:, None, None], axis=1)[:, 0]  # [B, vocab]
 
     def sample(lg, key):
         if cfg.do_sample and cfg.temperature > 0:
@@ -185,8 +193,7 @@ def generate_batch(model: LlamaModel, params: Any,
     def body(carry, i):
         tok, cache, done = carry
         emb = model.apply(params, tok[:, None], method=model.embed)
-        lg, cache = model.apply(params, emb, cache, s_pad + i,
-                                pad_lens=pad_lens)
+        lg, cache = model.apply(params, emb, cache, lens + i)
         key = jax.random.fold_in(rng, i + 1)
         nxt = sample(lg[:, -1], key)
         nxt = jnp.where(done, eot[0], nxt)

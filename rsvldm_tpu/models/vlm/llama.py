@@ -127,16 +127,17 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, layer_k, layer_v, start_pos, valid_len,
-                 pad_lens=None):
+    def __call__(self, x, layer_k, layer_v, start_pos, valid_len):
         """x: [B, S, D] new tokens at absolute positions start_pos..+S.
         layer_k/v: [B, T, kvh, hd] cache for this layer (full buffer).
-        pad_lens: optional [B] per-row LEFT-pad counts (batched generate) —
-        positions < pad_lens[b] are masked out of row b's attention.
+        start_pos: scalar, or a [B] array for batched decode of rows with
+        different prompt lengths (each row stays CONTIGUOUS in its cache:
+        physical slot == logical position, so masking is purely causal).
         Returns (out, new_layer_k, new_layer_v)."""
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
+        per_row = getattr(start_pos, "ndim", 0) == 1
         h = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="attn_norm")(x)
         bias = cfg.attn_bias
         q = nn.Dense(cfg.heads * hd, use_bias=bias, dtype=cfg.dtype,
@@ -145,21 +146,34 @@ class LlamaBlock(nn.Module):
                      name="k_proj")(h).reshape(b, s, cfg.kv_heads, hd)
         v = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=cfg.dtype,
                      name="v_proj")(h).reshape(b, s, cfg.kv_heads, hd)
-        positions = start_pos + jnp.arange(s)
+        if per_row:
+            positions = start_pos[:, None] + jnp.arange(s)[None]  # [B,S]
+        else:
+            positions = start_pos + jnp.arange(s)                 # [S]
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
-        layer_k = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype),
-                                               (0, start_pos, 0, 0))
-        layer_v = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype),
-                                               (0, start_pos, 0, 0))
+        if per_row:
+            rows = jnp.arange(b)[:, None]
+            layer_k = layer_k.at[rows, positions].set(
+                k.astype(layer_k.dtype))
+            layer_v = layer_v.at[rows, positions].set(
+                v.astype(layer_v.dtype))
+        else:
+            layer_k = jax.lax.dynamic_update_slice(
+                layer_k, k.astype(layer_k.dtype), (0, start_pos, 0, 0))
+            layer_v = jax.lax.dynamic_update_slice(
+                layer_v, v.astype(layer_v.dtype), (0, start_pos, 0, 0))
         rep = cfg.heads // cfg.kv_heads
         if (s > 1 and isinstance(start_pos, int) and start_pos == 0
-                and cfg.sliding_window is None and pad_lens is None):
+                and cfg.sliding_window is None):
             # prefill from position 0: no cache history to attend — use the
             # attention dispatcher (Pallas flash on TPU for anyres-length
             # prompts; no [S,S] fp32 logits materialization). GQA repeat is
             # a one-time prefill cost here, not a per-decode-step one.
+            # Batched prompts RIGHT-pad to a shared bucket before this call:
+            # pad garbage is strictly in the causal future of every real
+            # token, and decode later overwrites it slot by slot.
             from ...ops.attention import attention as attn_op
             kk = jnp.repeat(k, rep, axis=2).astype(q.dtype)
             vv = jnp.repeat(v, rep, axis=2).astype(q.dtype)
@@ -173,11 +187,14 @@ class LlamaBlock(nn.Module):
             logits = jnp.einsum(
                 "bqgrd,bkgd->bgrqk", qg, layer_k.astype(q.dtype),
                 preferred_element_type=jnp.float32) / (hd ** 0.5)
-            q_pos = positions[None, None, None, :, None]
+            if per_row:
+                q_pos = positions[:, None, None, :, None]
+                vl = valid_len.reshape(b, 1, 1, 1, 1)
+            else:
+                q_pos = positions[None, None, None, :, None]
+                vl = valid_len
             k_pos = jnp.arange(t)[None, None, None, None, :]
-            mask = (k_pos <= q_pos) & (k_pos < valid_len)
-            if pad_lens is not None:
-                mask = mask & (k_pos >= pad_lens[:, None, None, None, None])
+            mask = (k_pos <= q_pos) & (k_pos < vl)
             if cfg.sliding_window is not None:
                 mask = mask & (k_pos > q_pos - cfg.sliding_window)
             logits = jnp.where(mask, logits, -1e30)
@@ -275,21 +292,18 @@ class LlamaModel(nn.Module):
             e = e * jnp.sqrt(jnp.float32(self.cfg.dim)).astype(e.dtype)
         return e
 
-    def from_tokens(self, tokens: jnp.ndarray, cache: KVCache, start_pos,
-                    pad_lens=None):
+    def from_tokens(self, tokens: jnp.ndarray, cache: KVCache, start_pos):
         """Token-id entry point (also ensures init touches embed_tokens)."""
-        return self(self.embed(tokens), cache, start_pos, pad_lens)
+        return self(self.embed(tokens), cache, start_pos)
 
-    def __call__(self, embeds: jnp.ndarray, cache: KVCache, start_pos,
-                 pad_lens=None):
+    def __call__(self, embeds: jnp.ndarray, cache: KVCache, start_pos):
         """embeds: [B, S, D]; returns (logits [B, S, vocab], new cache).
-        pad_lens: optional [B] left-pad counts for batched generate."""
+        start_pos: scalar, or [B] per-row positions (batched decode)."""
         valid_len = start_pos + embeds.shape[1]
         x = embeds.astype(self.cfg.dtype)
         new_k, new_v = [], []
         for i, block in enumerate(self.blocks):
-            x, lk, lv = block(x, cache.k[i], cache.v[i], start_pos, valid_len,
-                              pad_lens)
+            x, lk, lv = block(x, cache.k[i], cache.v[i], start_pos, valid_len)
             new_k.append(lk)
             new_v.append(lv)
         x = self.norm(x)

@@ -17,20 +17,8 @@ import numpy as np
 
 from ..models.vlm.generate import (DEFAULT_IMAGE_TOKEN, GenerateConfig,
                                    IMAGE_TOKEN_INDEX, SYSTEM_PROMPT,
-                                   splice_image_embeds, tokenize_with_image)
-
-
-def render_llama3_chat(turns: List[Tuple[str, str]],
-                       system: str = SYSTEM_PROMPT) -> str:
-    """Multi-turn llama-3 chat prompt with generation header
-    (conversation.py llama_3 template)."""
-    out = ["<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
-           f"{system}<|eot_id|>"]
-    for role, msg in turns:
-        out.append(f"<|start_header_id|>{role}<|end_header_id|>\n\n"
-                   f"{msg}<|eot_id|>")
-    out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
-    return "".join(out)
+                                   render_llama3_chat, splice_image_embeds,
+                                   tokenize_with_image)
 
 
 @dataclasses.dataclass

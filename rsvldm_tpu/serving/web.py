@@ -43,6 +43,9 @@ class WebServer:
 
     def __init__(self, controller_url: str | None = None,
                  dispatch_fn=None, host: str = "127.0.0.1", port: int = 0):
+        if controller_url is None and dispatch_fn is None:
+            raise ValueError("WebServer needs a controller_url or a "
+                             "dispatch_fn (fail fast, not per-request)")
         self.controller_url = controller_url
         self.dispatch = dispatch_fn or self._controller_dispatch
         outer = self

@@ -53,13 +53,10 @@ def _norm_msg(msg: Dict) -> tuple[str, str]:
 
 def _encode_with_image(text: str, encode: Callable[[str], List[int]]
                        ) -> List[int]:
-    """tokenizer_image_token: splice IMAGE_TOKEN_INDEX at <image>."""
-    chunks = [encode(c) for c in text.split(DEFAULT_IMAGE_TOKEN)]
-    ids: List[int] = list(chunks[0])
-    for chunk in chunks[1:]:
-        ids.append(IMAGE_TOKEN_INDEX)
-        ids.extend(chunk)
-    return ids
+    """tokenizer_image_token: splice IMAGE_TOKEN_INDEX at <image> (the one
+    implementation lives in models/vlm/generate.py)."""
+    from ..models.vlm.generate import tokenize_with_image
+    return tokenize_with_image(text, encode).tolist()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +158,16 @@ def preprocess_v1(source: Sequence[Dict], encode, bos: int = 1,
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Vicuna v1 (preprocess_v1, train.py:725-801): rendered as
     '{system} USER: {q} ASSISTANT: {a}</s>...'; only assistant responses
-    (+ the closing </s>) supervise."""
+    (+ the closing </s>) supervise.
+
+    Fidelity caveat: rounds are tokenized as (prompt chunk, answer chunk)
+    rather than one string, so a BPE/SentencePiece tokenizer may merge the
+    chunk boundary differently than whole-round tokenization. The reference
+    has the same class of issue (it tokenizes parts[0] separately and
+    applies -2/-1 length fudges, train.py:777-786); exact-id parity for v1
+    needs the real tokenizer assets, unavailable in this environment. The
+    llama_3/chatml templates are boundary-safe (chunks split on special
+    tokens)."""
     msgs = list(source)
     if msgs and _norm_msg(msgs[0])[0] != "user":
         msgs = msgs[1:]
