@@ -15,16 +15,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _xla_attention(q, k, v, *, causal: bool = False, scale: float | None = None):
+def _xla_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
+                   q_offset: int | None = None):
     """Plain batched attention with fp32 accumulation; XLA fuses the softmax
-    chain into the matmuls on TPU. Fine for short/medium sequences."""
+    chain into the matmuls on TPU. Fine for short/medium sequences.
+
+    q_offset: global position of q's first row (used by the chunked flash
+    backward); the default reproduces the usual aligned-suffix causal mask."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if causal:
         sq, sk = logits.shape[-2], logits.shape[-1]
-        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        off = q_offset if q_offset is not None else sk - sq
+        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=off)
         logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
@@ -45,12 +50,38 @@ def _flash_diff_fwd(q, k, v, causal, scale):
     return _flash_diff(q, k, v, causal, scale), (q, k, v)
 
 
+_BWD_CHUNK_Q = 1024
+
+
 def _flash_diff_bwd(causal, scale, res, g):
+    """Chunked recompute backward: the einsum VJP is taken per Q-chunk so
+    peak memory is [B,H,chunk,S] fp32 instead of [B,H,S,S] — long sequences
+    whose FORWARD needed the flash kernel would otherwise OOM here. Rows of
+    a chunk see the full K/V with the causal mask offset to the chunk's
+    global position; dK/dV accumulate across chunks, dQ concatenates."""
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _xla_attention(q, k, v, causal=causal, scale=scale),
-        q, k, v)
-    return vjp(g)
+    sq = q.shape[1]
+    if sq <= _BWD_CHUNK_Q:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _xla_attention(q, k, v, causal=causal,
+                                           scale=scale), q, k, v)
+        return vjp(g)
+    dq_chunks = []
+    dk = jnp.zeros_like(k, dtype=jnp.float32)
+    dv = jnp.zeros_like(v, dtype=jnp.float32)
+    for o in range(0, sq, _BWD_CHUNK_Q):
+        qc = q[:, o:o + _BWD_CHUNK_Q]
+        gc = g[:, o:o + _BWD_CHUNK_Q]
+        _, vjp = jax.vjp(
+            lambda qc, k, v: _xla_attention(qc, k, v, causal=causal,
+                                            scale=scale, q_offset=o),
+            qc, k, v)
+        dqc, dkc, dvc = vjp(gc)
+        dq_chunks.append(dqc)
+        dk = dk + dkc.astype(jnp.float32)
+        dv = dv + dvc.astype(jnp.float32)
+    return (jnp.concatenate(dq_chunks, axis=1), dk.astype(k.dtype),
+            dv.astype(v.dtype))
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

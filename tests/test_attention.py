@@ -66,3 +66,31 @@ def test_flash_dispatch_gradient_matches_xla():
     for a, b_ in zip(g_f, g_x):
         np.testing.assert_allclose(np.array(a), np.array(b_), atol=1e-4,
                                    rtol=1e-3)
+
+
+def test_flash_bwd_chunked_matches_full():
+    """Long-sequence backward runs Q-chunked; gradients must equal the
+    unchunked einsum VJP (incl. the per-chunk causal mask offset)."""
+    import rsvldm_tpu.ops.attention as A
+    b, s, h, d = 1, 96, 2, 8
+    q = _rand((b, s, h, d), 11)
+    k = _rand((b, s, h, d), 12)
+    v = _rand((b, s, h, d), 13)
+
+    for causal in (True, False):
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_attention(q, k, v, causal=causal) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+        old = A._BWD_CHUNK_Q
+        A._BWD_CHUNK_Q = 32  # force the chunked path (3 chunks)
+        try:
+            def loss_flash(q, k, v):
+                return jnp.sum(A._flash_diff(q, k, v, causal, None) ** 2)
+            g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A._BWD_CHUNK_Q = old
+        for a, b_ in zip(g_f, g_ref):
+            np.testing.assert_allclose(np.array(a), np.array(b_),
+                                       atol=1e-4, rtol=1e-3)
