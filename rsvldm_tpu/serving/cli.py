@@ -10,15 +10,14 @@ untouched). Dependency-free REPL over LlavaCaptioner internals.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
 
 from ..models.vlm.generate import (DEFAULT_IMAGE_TOKEN, GenerateConfig,
-                                   IMAGE_TOKEN_INDEX, SYSTEM_PROMPT,
-                                   render_llama3_chat, splice_image_embeds,
-                                   tokenize_with_image)
+                                   IMAGE_TOKEN_INDEX, render_llama3_chat,
+                                   splice_image_embeds, tokenize_with_image)
 
 
 @dataclasses.dataclass
