@@ -133,3 +133,13 @@ class ImageEmbedder:
         if self.repeat_to_max_len:
             return jnp.repeat(emb[:, None], self.repeat_to_max_len, axis=1)
         return emb
+
+
+def byt5_tokenize(text: str, max_length: int = 77) -> "jnp.ndarray":
+    """ByT5 byte-level tokenization (FrozenByT5Embedder, modules.py:428-470):
+    utf-8 bytes + 3 (ids 0..2 are pad/eos/unk), eos-terminated, padded to
+    max_length — the character-aware variant runs through the same
+    T5Encoder."""
+    ids = [b + 3 for b in text.encode("utf-8")][: max_length - 1] + [1]
+    ids = ids + [0] * (max_length - len(ids))
+    return jnp.asarray(ids, jnp.int32)[None]

@@ -128,3 +128,19 @@ def test_image_embedder():
     assert np.allclose(np.asarray(masked[1]), 0)
     rep = ImageEmbedder(vision_apply=vision_apply, repeat_to_max_len=5)
     assert rep(imgs).shape == (2, 5, 8)
+
+
+def test_byt5_tokenize():
+    from rsvldm_tpu.models.text.embedders import byt5_tokenize
+    ids = byt5_tokenize("Ab", max_length=6)
+    assert ids.shape == (1, 6)
+    np.testing.assert_array_equal(np.asarray(ids[0]),
+                                  [ord("A") + 3, ord("b") + 3, 1, 0, 0, 0])
+    # matches HF ByT5Tokenizer when available
+    try:
+        from transformers import ByT5Tokenizer
+        tok = ByT5Tokenizer()
+        want = tok("Ab", padding="max_length", max_length=6).input_ids
+        np.testing.assert_array_equal(np.asarray(ids[0]), want)
+    except Exception:
+        pass
