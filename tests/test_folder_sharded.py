@@ -49,3 +49,36 @@ def test_batch_processor_sharded(image_dir, tmp_path):
     assert all(s == "stage1" for _, s in results)
     out = tmp_path / "out" / "sr3_output"
     assert len(list(out.iterdir())) == 6
+
+
+def test_batch_processor_with_tiny_captioner(image_dir, tmp_path):
+    """Folder run where Stage-2a goes through the BATCHED caption path
+    (captions precomputed in chunks between stage 1 and refinement)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import test_captioner as tc
+    from safetensors.torch import save_file
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "llava").mkdir(parents=True)
+    save_file(tc._tiny_llava_state_dict(),
+              str(ckpt / "llava" / "model.safetensors"))
+
+    cfg = PipelineConfig(image_dir=str(image_dir),
+                         output_dir=str(tmp_path / "out"),
+                         ckpt_dir=str(ckpt))
+    cfg.stage1 = Stage1Config(steps=2)
+    cfg.refine.edm_steps = 2
+    cfg.llava.max_new_tokens = 4
+    cfg.llava.temperature = 0.0
+    cfg.llava.do_sample = False
+    proc = ImageBatchProcessor(
+        cfg, debug_tiny=True, caption_batch=4,
+        llava_load_kw=dict(llama_cfg=tc.LCFG, vision_cfg=tc.VCFG,
+                           tokenizer=tc.FakeTokenizer()))
+    results = proc.run(batch_stage1=True)
+    assert len(results) == 6
+    assert all(s == "ok" for _, s in results)
+    assert proc.pipe.llava is not None
+    finals = list((tmp_path / "out" / "output").iterdir())
+    assert len(finals) == 6
