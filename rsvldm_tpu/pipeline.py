@@ -428,6 +428,84 @@ class SuperResolutionPipeline:
                 for i in range(samples.shape[0])]
         return pils[0] if len(pils) == 1 else pils
 
+    def run_refinement_batch(self, items) -> list:
+        """Batched Stage-2b over several images sharing one bucketed shape.
+        items: list of (sr_pil, caption). Measured on chip: the CFG-doubled
+        denoise step costs the SAME at batch 1 and batch 2 (the step is
+        weight-streaming-bound at these latent sizes), so folder refinement
+        batches ~free — the reference refines strictly per image
+        (infer_dir.py:154-174). Returns PIL images in order."""
+        from PIL import Image
+        self._ensure_stage2()
+        r = self.cfg.refine
+        if r.num_samples != 1 or len(items) == 1:
+            return [self.run_refinement(p, c) for p, c in items]
+
+        xs, metas = [], []
+        for pil, _ in items:
+            x, h0, w0 = pil_to_array(pil, upscale=1, min_size=r.min_size)
+            if self.debug_tiny:
+                from .ops.image import resize_bicubic
+                x = np.asarray(resize_bicubic(jnp.asarray(x)[None],
+                                              (64, 64))[0])
+            xs.append(np.asarray(x))
+            metas.append((x.shape[0], x.shape[1], h0, w0))
+        # shared padded shape: the max bucketed extent of the group (the
+        # caller groups by bucketed shape, so this is usually a no-op pad);
+        # debug_tiny images are already a fixed 64x64 — do NOT stretch them
+        # to the production 512 bucket
+        bucket = 64 if self.debug_tiny else (r.size_bucket or 64)
+        hb = max(-(-m[0] // bucket) * bucket for m in metas)
+        wb = max(-(-m[1] // bucket) * bucket for m in metas)
+        xs = [np.pad(x, ((0, hb - x.shape[0]), (0, wb - x.shape[1]), (0, 0)),
+                     mode="edge") for x in xs]
+        x = jnp.asarray(np.stack(xs))
+
+        self.rng, k_enc, k_noise, k_loop = jax.random.split(self.rng, 4)
+        sampler_cfg = RestoreEDMConfig(
+            num_steps=r.edm_steps, cfg_scale=r.s_cfg,
+            cfg_scale_start=r.spt_linear_cfg, use_linear_cfg=r.linear_cfg,
+            restore_cfg=r.s_stage1, s_churn=r.s_churn, s_noise=r.s_noise,
+            control_scale=r.s_stage2,
+            use_linear_control_scale=r.linear_s_stage2,
+            control_scale_start=r.spt_linear_s_stage2,
+            img_threshold=r.img_threshold, dec_img=1.0)
+
+        tl_c, tg_c = self._tokenize(
+            [" ".join([cap, r.a_prompt]) for _, cap in items])
+        tl_u, tg_u = self._tokenize([r.n_prompt] * len(items))
+
+        if "refine_prep" not in self._jit_cache:
+            self._jit_cache["refine_prep"] = jax.jit(self._vae_prep_jit)
+            self._jit_cache["refine_cond"] = jax.jit(self._cond_jit)
+            self._jit_cache["refine_decode"] = jax.jit(self._decode_jit)
+        skey = ("refine_sample", x.shape, sampler_cfg)
+        if skey not in self._jit_cache:
+            self._jit_cache[skey] = jax.jit(
+                lambda *a: self._sample_jit(sampler_cfg, *a))
+
+        _z, x_stage1, z_stage1 = self._jit_cache["refine_prep"](
+            self.vae_params, x, k_enc)
+        cond, uc = self._jit_cache["refine_cond"](
+            self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
+        z, hits, steps = self._jit_cache[skey](
+            self.unet_params, self.control_params, cond, uc, z_stage1,
+            k_noise, k_loop)
+        log.info("first-block cache (batch %d): %d/%d steps skipped",
+                 len(items), int(hits), int(steps))
+        samples = self._jit_cache["refine_decode"](self.vae_params, z)
+
+        outs = []
+        for i, (h_real, w_real, h0, w0) in enumerate(metas):
+            s_i = samples[i:i + 1, :h_real, :w_real]
+            x1_i = x_stage1[i:i + 1, :h_real, :w_real]
+            if r.color_fix_type == "Wavelet":
+                s_i = colorfix.wavelet_reconstruction(s_i, x1_i)
+            elif r.color_fix_type == "AdaIn":
+                s_i = colorfix.adaptive_instance_normalization(s_i, x1_i)
+            outs.append(array_to_pil(np.asarray(s_i[0]), h0, w0))
+        return outs
+
     def _use_tiles(self, hw) -> bool:
         r = self.cfg.refine
         return r.use_tile_vae and min(hw) > r.encoder_tile_size
@@ -524,11 +602,13 @@ class ImageBatchProcessor:
     trees output/ + sr3_output/."""
 
     def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
-                 mesh=None, caption_batch: int = 8,
+                 mesh=None, caption_batch: int = 8, refine_batch: int = 4,
                  llava_load_kw: dict | None = None):
         self.cfg = cfg
         self.mesh = mesh  # shard batched stage-1 over the data axis
         self.caption_batch = max(int(caption_batch), 1)
+        self.refine_batch = max(int(refine_batch), 1)
+        self.debug_tiny = debug_tiny
         self.pipe = SuperResolutionPipeline(cfg, debug_tiny=debug_tiny,
                                             mesh=mesh,
                                             llava_load_kw=llava_load_kw)
@@ -577,6 +657,9 @@ class ImageBatchProcessor:
                               "to per-image", e)
                 captions = {}
 
+        # stage 1 + captions per image; refinement-ready work accumulates
+        ready: list = []   # (path, sr_pil, caption)
+        statuses: dict = {}
         for p in images:
             try:
                 sr_np = stage1_out.get(p)
@@ -585,15 +668,54 @@ class ImageBatchProcessor:
                 sr_pil = Image.fromarray(sr_np)
                 sr_pil.save(sr3_dir / f"sr3_{p.stem}.png")
                 if self.cfg.stage1_only:
-                    results.append((p.name, "stage1"))
+                    statuses[p] = "stage1"
                     continue
                 caption = captions.get(p)
                 if caption is None:
                     caption = self.pipe.run_caption(sr_pil)
-                final = self.pipe.run_refinement(sr_pil, caption)
-                final.save(final_dir / f"{p.stem}_final_0.png")
-                results.append((p.name, "ok"))
+                ready.append((p, sr_pil, caption))
             except Exception as e:  # per-image resilience (infer_dir.py:198-202)
                 log.exception("failed on %s: %s", p, e)
-                results.append((p.name, f"error: {e}"))
+                statuses[p] = f"error: {e}"
+
+        # batched Stage-2b: refinement is weight-streaming-bound, so images
+        # whose bucketed shapes match share one CFG-doubled sampling program
+        # at ~no extra cost per image (run_refinement_batch)
+        groups: dict = {}
+        for p, sr_pil, caption in ready:
+            groups.setdefault(self._refine_group_key(sr_pil), []).append(
+                (p, sr_pil, caption))
+        for key, members in groups.items():
+            for i in range(0, len(members), self.refine_batch):
+                chunk = members[i:i + self.refine_batch]
+                try:
+                    finals = self.pipe.run_refinement_batch(
+                        [(s, c) for _, s, c in chunk])
+                    for (p, _, _), final in zip(chunk, finals):
+                        final.save(final_dir / f"{p.stem}_final_0.png")
+                        statuses[p] = "ok"
+                except Exception as e:
+                    log.exception("batched refinement failed (%s); falling "
+                                  "back per-image", e)
+                    for p, s, c in chunk:
+                        try:
+                            final = self.pipe.run_refinement(s, c)
+                            final.save(final_dir / f"{p.stem}_final_0.png")
+                            statuses[p] = "ok"
+                        except Exception as e2:
+                            log.exception("failed on %s: %s", p, e2)
+                            statuses[p] = f"error: {e2}"
+        results = [(p.name, statuses.get(p, "error: unprocessed"))
+                   for p in images]
         return results
+
+    def _refine_group_key(self, sr_pil):
+        """Bucketed post-resize shape (images in one group stack into one
+        batched sampling program)."""
+        if self.debug_tiny:
+            return (64, 64)
+        from .ops.image import pil_to_array
+        arr, _, _ = pil_to_array(sr_pil, upscale=1,
+                                 min_size=self.cfg.refine.min_size)
+        b = self.cfg.refine.size_bucket or 64
+        return (-(-arr.shape[0] // b) * b, -(-arr.shape[1] // b) * b)
