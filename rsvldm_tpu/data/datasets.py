@@ -150,7 +150,7 @@ class LmdbLRHRDataset:
                 f"sr_{self.l_res}_{self.r_res}_{str(idx).zfill(5)}".encode())
             lr = txn.get(f"lr_{self.l_res}_{str(idx).zfill(5)}".encode()) \
                 if self.need_lr else None
-        if hr is None or sr is None:
+        if hr is None or sr is None or (self.need_lr and lr is None):
             raise KeyError(f"missing lmdb record for index {idx}")
         arrays = [self._decode(hr), self._decode(sr)]
         if self.need_lr:

@@ -94,8 +94,12 @@ def sr3_sample_ddim(diff: SR3Diffusion, apply_fn: Callable, params: Any,
     buf = diff.buffers
     T = buf.num_timesteps
     num_steps = min(num_steps, T)
-    # equally-spaced subset, descending; conceptual "-1" maps to abar=1
-    ts = jnp.round(jnp.linspace(T - 1, 0, num_steps)).astype(jnp.int32)
+    # equally-spaced subset, descending; conceptual "-1" maps to abar=1.
+    # Deduplicate on host: as num_steps -> T the rounding repeats timesteps,
+    # which would both waste steps and reuse fold_in noise keys.
+    import numpy as np
+    ts_np = np.unique(np.round(np.linspace(T - 1, 0, num_steps)))[::-1]
+    ts = jnp.asarray(ts_np, jnp.int32)
     prev_ts = jnp.concatenate([ts[1:], jnp.asarray([-1], jnp.int32)])
     # abar from the buffers: sqrt_recip_alphas_cumprod = 1/sqrt(abar)
     abar = 1.0 / (buf.sqrt_recip_alphas_cumprod ** 2)

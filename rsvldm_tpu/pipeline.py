@@ -711,11 +711,18 @@ class ImageBatchProcessor:
 
     def _refine_group_key(self, sr_pil):
         """Bucketed post-resize shape (images in one group stack into one
-        batched sampling program)."""
+        batched sampling program). Computed arithmetically from the PIL size
+        (mirroring pil_to_array's min_size scale + /64 rounding) — no host
+        resize just to derive the bucket key."""
         if self.debug_tiny:
             return (64, 64)
-        from .ops.image import pil_to_array
-        arr, _, _ = pil_to_array(sr_pil, upscale=1,
-                                 min_size=self.cfg.refine.min_size)
+        from .ops.image import round_to_multiple
+        w, h = sr_pil.size
+        w, h = float(w), float(h)
+        if min(w, h) < self.cfg.refine.min_size:
+            s = self.cfg.refine.min_size / min(w, h)
+            w *= s
+            h *= s
+        hh, ww = round_to_multiple(h, 64), round_to_multiple(w, 64)
         b = self.cfg.refine.size_bucket or 64
-        return (-(-arr.shape[0] // b) * b, -(-arr.shape[1] // b) * b)
+        return (-(-hh // b) * b, -(-ww // b) * b)

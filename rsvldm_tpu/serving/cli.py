@@ -26,7 +26,8 @@ class ChatSession:
     the first user message only)."""
     captioner: object
     image: object
-    cfg: GenerateConfig = GenerateConfig(max_new_tokens=512)
+    cfg: GenerateConfig = dataclasses.field(
+        default_factory=lambda: GenerateConfig(max_new_tokens=512))
     turns: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
     _image_tokens: Optional[np.ndarray] = None
 
