@@ -88,7 +88,8 @@ def _rel_l1(cur, prev):
 
 def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
                        x_center_init: jnp.ndarray, cfg: RestoreEDMConfig,
-                       rng: jax.Array, return_aux: bool = False):
+                       rng: jax.Array, return_aux: bool = False,
+                       churn_noise: jnp.ndarray | None = None):
     """Full RestoreEDM loop with first-block cache, as one lax.scan.
 
     denoiser: ControlDenoiser (models/sdxl/denoiser.py). cond/uc: dicts with
@@ -108,10 +109,14 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
         if cfg.s_churn > 0 else 0.0
     use_cache = cfg.img_threshold > 0
 
-    def denoise(x, sigma_scalar, prev_h, cached, threshold, step_idx):
+    def denoise(x, sigma_scalar, sigma_plain, prev_h, cached, threshold,
+                step_idx):
         sigma2 = jnp.full((2 * n,), sigma_scalar)
         part = denoiser.first(jnp.concatenate([x, x], axis=0), sigma2, cond2)
-        cs = cfg.control_scale_at(sigma_scalar)
+        # linear control scale uses the PRE-churn sigma (sampler_step
+        # computes it from `sigma` before denoising at sigma_hat,
+        # sampling.py:608-609)
+        cs = cfg.control_scale_at(sigma_plain)
 
         def run_rest(part):
             d2 = denoiser.rest(part, cond2, cs)
@@ -128,7 +133,10 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
 
         def miss(_):
             den = run_rest(part)
-            return den, part.h, diff
+            # step 0 has no prev buffer: get_can_use_cache_multi returns the
+            # INPUT threshold, not a measured diff (DFBCache.py:125-128) —
+            # the adaptive threshold only starts tracking from step 1
+            return den, part.h, jnp.where(step_idx > 0, diff, threshold)
 
         denoised, new_prev, new_th = jax.lax.cond(can_use, hit, miss, None)
         return denoised, new_prev, denoised, new_th, can_use
@@ -141,12 +149,18 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
                           gamma_val, 0.0)
         sigma_hat = sigma * (gamma + 1.0)
         if gamma_val > 0:
-            eps = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
-                                    x.dtype) * cfg.s_noise
+            # churn_noise [steps, *x.shape]: injected unit normals (parity
+            # tests drive torch + jax loops with identical noise; the
+            # reference's sampler_step eps_noise hook, sampling.py:598-606)
+            if churn_noise is not None:
+                eps = churn_noise[i].astype(x.dtype) * cfg.s_noise
+            else:
+                eps = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
+                                        x.dtype) * cfg.s_noise
             x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
         denoised, prev_h, cached, new_th, was_hit = denoise(
-            x, sigma_hat, prev_h, cached, threshold, i)
+            x, sigma_hat, sigma, prev_h, cached, threshold, i)
 
         if cfg.restore_cfg > 0:
             # drift toward x_center at high sigma (sampling.py:614-616)

@@ -13,6 +13,7 @@ Expected assets under <ckpt_dir>/llava/ (a local HF checkout):
 
 from __future__ import annotations
 
+import dataclasses
 import glob
 import json
 import logging
@@ -91,12 +92,18 @@ class LlavaCaptioner:
     @classmethod
     def load(cls, ckpt_dir: str | Path, llama_cfg=LLAMA3_8B_CONFIG,
              vision_cfg=CLIP_VIT_L_336_CONFIG,
-             tokenizer=None, mesh=None) -> Optional["LlavaCaptioner"]:
+             tokenizer=None, mesh=None,
+             quant: str | None = None) -> Optional["LlavaCaptioner"]:
         """mesh: optional jax.sharding.Mesh — the 8B decoder weights are
         tensor-sharded over its 'data' axis (Megatron col/row rules,
         parallel/llama_sharding.py) so the caption stage, the wall-clock
         dominant stage, scales over the slice instead of one chip (the
-        reference pins LLaVA to its own single GPU, infer.py:31-32)."""
+        reference pins LLaVA to its own single GPU, infer.py:31-32).
+
+        quant='int8': weight-only int8 decoder (llama.quantize_llama_params;
+        the builder.py:33-37 bitsandbytes equivalent) — 8B fits ONE 16 GB
+        chip and the memory-bound decode streams half the bytes. Mutually
+        exclusive with mesh TP for now (the s8 tree has no sharding rules)."""
         d = Path(ckpt_dir) / "llava"
         if not d.is_dir():
             return None
@@ -107,8 +114,17 @@ class LlavaCaptioner:
         if adapter.is_dir():
             sd = _apply_lora(sd, adapter)
 
-        llama = LlamaModel(llama_cfg)
+        if quant and mesh is not None:
+            log.warning("quant=%s ignored: mesh TP requested (the int8 tree "
+                        "has no TP sharding rules yet)", quant)
+            quant = None
+        llama = LlamaModel(dataclasses.replace(llama_cfg, quant=quant)
+                           if quant else llama_cfg)
         llama_params = convert_hf.convert_llama(sd, llama_cfg)
+        if quant == "int8":
+            from .llama import quantize_llama_params
+            llama_params = {"params":
+                            quantize_llama_params(llama_params["params"])}
         vision = CLIPVisionTower(vision_cfg)
         vsd = {k[len("model.vision_tower.vision_tower."):]: v
                for k, v in sd.items()

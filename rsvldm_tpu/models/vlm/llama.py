@@ -44,6 +44,11 @@ class LlamaConfig:
     act: str = "silu"              # Gemma: "gelu_tanh"
     scale_embeds: bool = False     # Gemma: embeds *= sqrt(dim)
     tie_lm_head: bool = False      # Gemma: lm_head = embed_tokens^T
+    # int8 weight-only quantization (the TPU-native stand-in for the
+    # builder's bitsandbytes 4/8-bit options, llava/model/builder.py:33-37):
+    # projections + lm_head stored int8 w/ per-channel scales, contractions
+    # run s8xs8->s32 on the MXU (ops/quant.py). Lets 8B fit one 16GB chip.
+    quant: str | None = None       # None | "int8"
     # MoE knobs (Mixtral / Qwen2-MoE; llava_mixtral.py / llava_qwen_moe.py)
     num_experts: int = 0           # 0 = dense FFN
     experts_per_tok: int = 2       # Mixtral top-2; Qwen2-MoE top-4
@@ -109,6 +114,65 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+class QDense(nn.Module):
+    """Dense with int8 weight storage: params {kernel_q int8 [in,out],
+    scale f32 [out]} (+bias). The matmul stays s8 on the MXU; only the
+    [.., out] accumulator is rescaled. See ops/quant.py."""
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.quant import QuantizedLinear, int8_matmul
+        in_f = x.shape[-1]
+        q = self.param("kernel_q", nn.initializers.zeros,
+                       (in_f, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        y = int8_matmul(x, QuantizedLinear(q, scale), out_dtype=self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+def _dense(cfg: "LlamaConfig", features: int, use_bias: bool, name: str):
+    if cfg.quant == "int8":
+        return QDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+
+
+_QUANT_MODULES = ("q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj", "lm_head")
+
+
+def quantize_llama_params(params):
+    """Convert a dense LlamaModel param tree to the cfg.quant='int8' layout:
+    every _QUANT_MODULES kernel becomes {kernel_q, scale} (per-output-channel
+    absmax); everything else (embeds, norms, biases) passes through."""
+    from ...ops.quant import quantize_weight
+
+    def walk(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if k in _QUANT_MODULES and "kernel" in v:
+                    ql = quantize_weight(jnp.asarray(v["kernel"]))
+                    nv = {"kernel_q": ql.q, "scale": ql.scale}
+                    if "bias" in v:
+                        nv["bias"] = jnp.asarray(v["bias"], jnp.float32)
+                    out[k] = nv
+                else:
+                    out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-5
     plus_one: bool = False  # Gemma convention: scale by (1 + w)
@@ -140,12 +204,12 @@ class LlamaBlock(nn.Module):
         per_row = getattr(start_pos, "ndim", 0) == 1
         h = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="attn_norm")(x)
         bias = cfg.attn_bias
-        q = nn.Dense(cfg.heads * hd, use_bias=bias, dtype=cfg.dtype,
-                     name="q_proj")(h).reshape(b, s, cfg.heads, hd)
-        k = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=cfg.dtype,
-                     name="k_proj")(h).reshape(b, s, cfg.kv_heads, hd)
-        v = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=cfg.dtype,
-                     name="v_proj")(h).reshape(b, s, cfg.kv_heads, hd)
+        q = _dense(cfg, cfg.heads * hd, bias,
+                   "q_proj")(h).reshape(b, s, cfg.heads, hd)
+        k = _dense(cfg, cfg.kv_heads * hd, bias,
+                   "k_proj")(h).reshape(b, s, cfg.kv_heads, hd)
+        v = _dense(cfg, cfg.kv_heads * hd, bias,
+                   "v_proj")(h).reshape(b, s, cfg.kv_heads, hd)
         if per_row:
             positions = start_pos[:, None] + jnp.arange(s)[None]  # [B,S]
         else:
@@ -202,8 +266,8 @@ class LlamaBlock(nn.Module):
             o = jnp.einsum("bgrqk,bkgd->bqgrd", probs, layer_v,
                            preferred_element_type=jnp.float32)
             o = o.reshape(b, s, cfg.heads, hd).astype(x.dtype)
-        o = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
-                     name="o_proj")(o.reshape(b, s, cfg.heads * hd))
+        o = _dense(cfg, cfg.dim, False,
+                   "o_proj")(o.reshape(b, s, cfg.heads * hd))
         x = x + o
 
         h = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="mlp_norm")(x)
@@ -212,12 +276,9 @@ class LlamaBlock(nn.Module):
         if cfg.num_experts > 0:
             down = MoEFFN(cfg, name="moe")(h)
         else:
-            gate = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
-                            name="gate_proj")(h)
-            up = nn.Dense(cfg.ffn_dim, use_bias=False, dtype=cfg.dtype,
-                          name="up_proj")(h)
-            down = nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype,
-                            name="down_proj")(act(gate) * up)
+            gate = _dense(cfg, cfg.ffn_dim, False, "gate_proj")(h)
+            up = _dense(cfg, cfg.ffn_dim, False, "up_proj")(h)
+            down = _dense(cfg, cfg.dim, False, "down_proj")(act(gate) * up)
         return x + down, layer_k, layer_v
 
 
@@ -283,8 +344,7 @@ class LlamaModel(nn.Module):
                        for i in range(cfg.layers)]
         self.norm = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="norm")
         if not cfg.tie_lm_head:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    dtype=cfg.dtype, name="lm_head")
+            self.lm_head = _dense(cfg, cfg.vocab_size, False, "lm_head")
 
     def embed(self, tokens: jnp.ndarray) -> jnp.ndarray:
         e = self.embed_tokens(tokens).astype(self.cfg.dtype)

@@ -237,8 +237,9 @@ class SuperResolutionPipeline:
                                       or self.llava_load_kw):
             try:
                 from .models.vlm.captioner import LlavaCaptioner
-                self.llava = LlavaCaptioner.load(cd, mesh=self.mesh,
-                                                 **(self.llava_load_kw or {}))
+                kw = {"quant": self.cfg.llava.quant or None,
+                      **(self.llava_load_kw or {})}
+                self.llava = LlavaCaptioner.load(cd, mesh=self.mesh, **kw)
             except Exception as e:  # assets missing/partial
                 log.warning("LLaVA load failed (%s) — captioning disabled", e)
 
