@@ -62,8 +62,10 @@ def main():
     t0 = time.time()
     res = {}
     # priority order: stage1 is the round-1 contract and the fallback
-    # metric; later parts are skipped if relay congestion eats the budget
-    for name in ("stage1", "sdxl", "llama", "vae"):
+    # metric; later parts are skipped if relay congestion eats the budget.
+    # llama_int8 MEASURES the caption stage at the true 8B geometry (the
+    # bf16 "llama" proxy stays as a comparison point, run last).
+    for name in ("stage1", "sdxl", "llama_int8", "vae", "llama"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"
             continue
@@ -78,13 +80,17 @@ def main():
         extras["vae_decode_ms"] = round(1000 * res["vae_decode_512px_s"], 1)
     if "llama8B_est_tok_s" in res:
         extras["llama8B_est_tok_s"] = round(res["llama8B_est_tok_s"], 1)
+    if "llama8B_int8_tok_s" in res:
+        extras["llama8B_int8_tok_s"] = round(res["llama8B_int8_tok_s"], 1)
 
-    needed = ("stage1_500step_s", "sdxl_step_64lat_s", "vae_decode_512px_s",
-              "llama8B_est_tok_s")
-    if all(k in res for k in needed):
+    # caption term: prefer the MEASURED full-geometry int8 decode over the
+    # bf16 proxy extrapolation (round-2 review Weak #1)
+    tok_s = res.get("llama8B_int8_tok_s") or res.get("llama8B_est_tok_s")
+    needed = ("stage1_500step_s", "sdxl_step_64lat_s", "vae_decode_512px_s")
+    if all(k in res for k in needed) and tok_s:
         composite = (res["stage1_500step_s"] + 50 * res["sdxl_step_64lat_s"]
                      + 2 * res["vae_decode_512px_s"]
-                     + 256 / res["llama8B_est_tok_s"])
+                     + 256 / tok_s)
         extras["composite_s_per_image"] = round(composite, 2)
         print(json.dumps({
             "metric": "e2e_seconds_per_image_512px_est",

@@ -156,8 +156,51 @@ def part_llama():
     return {"llama2B_tok_s": tok_s, "llama8B_est_tok_s": tok_s / 4}
 
 
+def part_llama_int8():
+    """MEASURED decode at the FULL 8B geometry (32 layers, real dims,
+    128k vocab, 4k KV cache) — weight-only int8 keeps the whole model
+    (~7.5 GB projections int8 + bf16 embed) on ONE 16 GB chip, which bf16
+    cannot do. Per the round-2 review, this replaces the extrapolated
+    8-layer-proxy/4 number with a real one. Decode tok/s is the HBM weight
+    stream: every token reads every int8 weight byte once."""
+    import dataclasses
+
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
+                                             LlamaModel)
+    lcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                               quant="int8")
+    lm = LlamaModel(lcfg)
+    cache = KVCache.init(lcfg, 1, 4096, jnp.bfloat16)
+    # build the int8 param tree directly at size (no fp32 8B intermediate:
+    # host-side eval_shape -> zeros of the already-quantized layout)
+    shapes = jax.eval_shape(
+        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
+                          method=lm.from_tokens), jax.random.PRNGKey(0))
+
+    def mk(s):
+        if s.dtype == jnp.float32 and s.shape == (lcfg.vocab_size, lcfg.dim):
+            return jnp.zeros(s.shape, jnp.bfloat16)  # embed table bf16
+        return jnp.ones(s.shape, s.dtype)
+    lp = jax.tree_util.tree_map(mk, shapes)
+
+    def decode(params, cache, n):
+        def body(carry, i):
+            tok, cache = carry
+            emb = lm.apply(params, tok[None, None], method=lm.embed)
+            lg, cache = lm.apply(params, emb, cache, 3500 + i)
+            return (jnp.argmax(lg[0, -1]).astype(jnp.int32), cache), 0.0
+        (tok, cache), _ = jax.lax.scan(body, (jnp.int32(1), cache),
+                                       jnp.arange(n))
+        return tok
+
+    fd = jax.jit(decode, static_argnums=2)
+    n = 16
+    dt = timed(lambda: fd(lp, cache, n), n=2)
+    return {"llama8B_int8_tok_s": n / dt}
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
-         "llama": part_llama}
+         "llama": part_llama, "llama_int8": part_llama_int8}
 
 
 def main():

@@ -32,6 +32,7 @@ class CLIPTextConfig:
     context_length: int = 77
     quick_gelu: bool = True     # HF CLIP-L; OpenCLIP bigG uses plain gelu
     use_text_projection: bool = False
+    projection_dim: int | None = None   # None -> width (bigG is square)
     dtype: jnp.dtype = jnp.float32
 
 
@@ -112,6 +113,6 @@ class CLIPTextTransformer(nn.Module):
         pooled = lnf[jnp.arange(tokens.shape[0]), eot]
         if cfg.use_text_projection:
             proj = self.param("text_projection", nn.initializers.normal(0.02),
-                              (cfg.width, cfg.width))
+                              (cfg.width, cfg.projection_dim or cfg.width))
             pooled = pooled @ proj.astype(pooled.dtype)
         return dict(penultimate=penultimate, last=last, pooled=pooled)

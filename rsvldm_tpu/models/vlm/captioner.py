@@ -123,8 +123,8 @@ class LlavaCaptioner:
         llama_params = convert_hf.convert_llama(sd, llama_cfg)
         if quant == "int8":
             from .llama import quantize_llama_params
-            llama_params = {"params":
-                            quantize_llama_params(llama_params["params"])}
+            llama_params = {"params": quantize_llama_params(
+                llama_params["params"], embed_dtype=jnp.bfloat16)}
         vision = CLIPVisionTower(vision_cfg)
         vsd = {k[len("model.vision_tower.vision_tower."):]: v
                for k, v in sd.items()

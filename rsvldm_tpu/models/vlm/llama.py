@@ -148,10 +148,12 @@ _QUANT_MODULES = ("q_proj", "k_proj", "v_proj", "o_proj",
                   "gate_proj", "up_proj", "down_proj", "lm_head")
 
 
-def quantize_llama_params(params):
+def quantize_llama_params(params, embed_dtype=None):
     """Convert a dense LlamaModel param tree to the cfg.quant='int8' layout:
     every _QUANT_MODULES kernel becomes {kernel_q, scale} (per-output-channel
-    absmax); everything else (embeds, norms, biases) passes through."""
+    absmax); everything else (embeds, norms, biases) passes through.
+    embed_dtype: optionally narrow the embedding table (bf16 halves the
+    second-largest buffer; the fp32 table alone is 2.1 GB at 8B scale)."""
     from ...ops.quant import quantize_weight
 
     def walk(d):
@@ -166,6 +168,8 @@ def quantize_llama_params(params):
                     out[k] = nv
                 else:
                     out[k] = walk(v)
+            elif k == "embedding" and embed_dtype is not None:
+                out[k] = jnp.asarray(v, embed_dtype)
             else:
                 out[k] = v
         return out

@@ -33,6 +33,7 @@ class CLIPVisionConfig:
     layers: int = 24
     heads: int = 16
     select_layer: int = -2
+    keep_cls: bool = False      # True: return [N, 1+T, W] with CLS at 0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -96,7 +97,31 @@ class CLIPVisionTower(nn.Module):
             x = ViTBlock(cfg, name=f"block_{i}")(x)
             if i == n_run - 1:
                 selected = x
+        if cfg.keep_cls:
+            return selected
         return selected[:, 1:, :]  # drop CLS ('patch' select_feature)
+
+
+class CLIPVisionEmbedder(nn.Module):
+    """Full CLIP image embedding: ViT CLS (all layers) -> post-LN -> visual
+    projection. This is the HF CLIPModel.get_image_features surface the
+    LLaVA tower (patch features only) doesn't expose — needed by the
+    CLIP-IQA / SMS quality harness (utils/metrics.CLIPScorer), whose
+    reference counterpart scores with a full CLIP model
+    (torchmetrics CLIP-IQA; README.md:30-85 metric columns)."""
+    cfg: CLIPVisionConfig
+    projection_dim: int = 768
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        tower_cfg = dataclasses.replace(self.cfg, select_layer=-1,
+                                        keep_cls=True)
+        feats = CLIPVisionTower(tower_cfg, name="tower")(pixels)
+        cls = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name="ln_post")(feats[:, 0])
+        proj = self.param("visual_projection", nn.initializers.normal(0.02),
+                          (self.cfg.width, self.projection_dim))
+        return cls.astype(jnp.float32) @ proj.astype(jnp.float32)
 
 
 def normalize_pixels(x: jnp.ndarray) -> jnp.ndarray:

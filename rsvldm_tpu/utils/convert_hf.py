@@ -44,6 +44,21 @@ def convert_hf_clip_text(sd: Dict[str, Any], cfg) -> Dict:
             "mlp_fc": _dense(sd, f"{lp}.mlp.fc1"),
             "mlp_proj": _dense(sd, f"{lp}.mlp.fc2"),
         }
+    if getattr(cfg, "use_text_projection", False) \
+            and "text_projection.weight" in sd:
+        # HF CLIPModel text_projection: Linear no-bias, weight [proj, width]
+        p["text_projection"] = t2n(sd["text_projection.weight"]).T
+    return {"params": p}
+
+
+def convert_hf_clip_embedder(sd: Dict[str, Any], cfg) -> Dict:
+    """HF CLIPModel (full, vision side) -> CLIPVisionEmbedder params:
+    the vision tower plus post_layernorm + visual_projection (the
+    get_image_features head the quality harness scores with)."""
+    tower = convert_hf_clip_vision(sd, cfg)["params"]
+    p = {"tower": tower,
+         "ln_post": _lnorm(sd, "vision_model.post_layernorm"),
+         "visual_projection": t2n(sd["visual_projection.weight"]).T}
     return {"params": p}
 
 
