@@ -38,7 +38,8 @@ class SR3Diffusion:
         return cls(buffers=ddpm_buffers(betas), **kw)
 
 
-def _p_step(diff: SR3Diffusion, apply_fn, params, cond, x, t, rng):
+def _p_step(diff: SR3Diffusion, apply_fn, params, cond, x, t, rng,
+            noise: jnp.ndarray | None = None):
     """One ancestral step x_t -> x_{t-1} (diffusion.py:152-175)."""
     buf = diff.buffers
     b = x.shape[0]
@@ -50,31 +51,48 @@ def _p_step(diff: SR3Diffusion, apply_fn, params, cond, x, t, rng):
         x_recon = jnp.clip(x_recon, -1.0, 1.0)
     mean = buf.posterior_mean_coef1[t] * x_recon + buf.posterior_mean_coef2[t] * x
     log_var = buf.posterior_log_variance_clipped[t]
-    noise = jax.random.normal(rng, x.shape, x.dtype)
-    noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+    if noise is None:
+        noise = jax.random.normal(rng, x.shape, x.dtype)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
     return mean + noise * jnp.exp(0.5 * log_var)
 
 
 def sr3_sample(diff: SR3Diffusion, apply_fn: Callable, params: Any,
                cond: jnp.ndarray, rng: jax.Array,
-               return_intermediates: bool = False):
+               return_intermediates: bool = False,
+               noise_override: jnp.ndarray | None = None):
     """Full reverse diffusion conditioned on `cond` ([N,H,W,3] in [-1,1]).
 
     Equivalent of GaussianDiffusion.super_resolution / p_sample_loop
     (diffusion.py:177-211) as a lax.scan from t=T-1 down to 0.
+
+    noise_override [T+1, *cond.shape]: injected unit normals — [0] is the
+    initial x_T, [1+i] the posterior noise of loop step i (E2E parity tests
+    drive the torch and jax loops with identical noise).
     """
     T = diff.buffers.num_timesteps
     rng, init_rng = jax.random.split(rng)
-    x0 = jax.random.normal(init_rng, cond.shape, cond.dtype)
+    if noise_override is not None:
+        x0 = noise_override[0].astype(cond.dtype)
+    else:
+        x0 = jax.random.normal(init_rng, cond.shape, cond.dtype)
 
-    def body(x, t):
-        step_rng = jax.random.fold_in(rng, t)
-        x_next = _p_step(diff, apply_fn, params, cond, x, t, step_rng)
+    def body(carry, ti):
+        x = carry
+        i, t = ti
+        if noise_override is not None:
+            noise = noise_override[1 + i].astype(x.dtype)
+            noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+            x_next = _p_step(diff, apply_fn, params, cond, x, t, None,
+                             noise=noise)
+        else:
+            step_rng = jax.random.fold_in(rng, t)
+            x_next = _p_step(diff, apply_fn, params, cond, x, t, step_rng)
         out = x_next if return_intermediates else 0.0
         return x_next, out
 
     ts = jnp.arange(T - 1, -1, -1)
-    x_final, inter = jax.lax.scan(body, x0, ts)
+    x_final, inter = jax.lax.scan(body, x0, (jnp.arange(T), ts))
     if return_intermediates:
         return x_final, inter
     return x_final

@@ -67,3 +67,57 @@ def install():
     if REF not in sys.path:
         sys.path.insert(0, REF)
     _installed = True
+
+
+_sr_model_installed = False
+
+
+def install_sr_model():
+    """Extra stubs so /root/reference/models/SR_model.py (SR_backbone — the
+    production Stage-2b engine) imports on CPU without lpips/torchmetrics/
+    llava/peft/cv2: only PIL2Tensor/Tensor2PIL and the sgm stack are used by
+    the E2E parity tests, none of the stubbed surfaces."""
+    global _sr_model_installed
+    install()
+    if _sr_model_installed:
+        return
+    import torch
+
+    class _FakeLPIPS:
+        def __init__(self, net="vgg"):
+            pass
+
+        def eval(self):
+            return self
+
+        def to(self, d):
+            return self
+
+        def __call__(self, *a, **k):
+            return torch.zeros(1)
+
+    _stub("lpips", LPIPS=_FakeLPIPS)
+    tm = _stub("torchmetrics")
+    tm.functional = _stub(
+        "torchmetrics.functional",
+        peak_signal_noise_ratio=lambda *a, **k: torch.zeros(1),
+        structural_similarity_index_measure=lambda *a, **k: torch.zeros(1))
+    _stub("llava")
+    _stub("llava.mm_utils", tokenizer_image_token=None)
+    _stub("llava.model")
+    _stub("llava.model.builder", load_pretrained_model=None)
+    _stub("peft", PeftModel=None)
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        _stub("cv2", INTER_LANCZOS4=4, INTER_AREA=3, resize=None)
+    try:
+        import diffusers  # noqa: F401
+    except ImportError:
+        _stub("diffusers")
+        _stub("diffusers.utils")
+        _stub("diffusers.utils.import_utils",
+              is_xformers_available=lambda: False)
+        _stub("diffusers.models")
+        _stub("diffusers.models.attention_processor", Attention=object)
+    _sr_model_installed = True
