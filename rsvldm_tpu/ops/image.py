@@ -73,7 +73,9 @@ def array_to_pil(x: np.ndarray, h0: int | None = None, w0: int | None = None):
     """
     x = np.asarray(x)
     if h0 is not None and w0 is not None and (x.shape[0] != h0 or x.shape[1] != w0):
-        x = np.asarray(resize_bicubic(jnp.asarray(x)[None], (h0, w0))[0])
+        # torch-interpolate bicubic (A=-0.75, no antialias), NOT jax cubic —
+        # the final-output downscale is visually different otherwise
+        x = resize_bicubic_torch(x[None], (h0, w0))[0]
     x = (x * 127.5 + 127.5).clip(0, 255).astype(np.uint8)
     return Image.fromarray(x)
 
@@ -91,6 +93,47 @@ def resize_bicubic(x: jnp.ndarray, size: tuple[int, int], antialias: bool = True
     n, _, _, c = x.shape
     return jax.image.resize(x, (n, size[0], size[1], c), method="cubic",
                             antialias=antialias)
+
+
+def _torch_cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] row-stochastic resample matrix reproducing torch
+    F.interpolate(mode='bicubic', align_corners=False, antialias=False):
+    cubic convolution with A=-0.75, half-pixel centers, clamped (replicate)
+    border taps — NOT the Keys A=-0.5 + antialias kernel jax.image uses.
+    (aten/native UpSampleBicubic2d semantics.)"""
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    A = -0.75
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1, ((A + 2) * x - (A + 3)) * x * x + 1,
+            np.where(x < 2, (((x - 5) * x + 8) * x - 4) * A, 0.0))
+
+    w = np.zeros((out_size, in_size), np.float64)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(i0 + tap, 0, in_size - 1)
+        np.add.at(w, (np.arange(out_size), idx), k(frac - tap))
+    return w.astype(np.float32)
+
+
+def resize_bicubic_torch(x, size: tuple[int, int]) -> np.ndarray:
+    """NHWC resize matching torch F.interpolate(..., mode='bicubic') — the
+    kernel Tensor2PIL (models/util.py:159-166) resizes the final output
+    with. Separable host-side matmuls in fp32 (exact vs the torch kernel;
+    a device einsum would round through bf16 on the MXU)."""
+    x = np.asarray(x, np.float32)
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    wh = _torch_cubic_matrix(h_in, h_out)
+    ww = _torch_cubic_matrix(w_in, w_out)
+    y = np.einsum("oh,nhwc->nowc", wh, x)
+    return np.einsum("pw,nowc->nopc", ww, y)
 
 
 def degrade_image(img, down_factor: float = 1.5):

@@ -37,7 +37,15 @@ def install():
         return
     import torch
 
-    _stub("pytorch_lightning", LightningModule=torch.nn.Module)
+    class _LightningModule(torch.nn.Module):
+        @property
+        def device(self):
+            try:
+                return next(self.parameters()).device
+            except StopIteration:
+                return torch.device("cpu")
+
+    _stub("pytorch_lightning", LightningModule=_LightningModule)
     # NOTE: xformers is deliberately NOT stubbed — sgm guards its import and
     # falls back to torch SDPA, which is what we compare against.
     _stub("k_diffusion")
