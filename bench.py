@@ -82,6 +82,9 @@ def main():
         extras["llama8B_est_tok_s"] = round(res["llama8B_est_tok_s"], 1)
     if "llama8B_int8_tok_s" in res:
         extras["llama8B_int8_tok_s"] = round(res["llama8B_int8_tok_s"], 1)
+    # roofline columns (compiled-program cost_analysis vs v5e ceilings)
+    extras.update({k: v for k, v in res.items()
+                   if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})
 
     # caption term: prefer the MEASURED full-geometry int8 decode over the
     # bf16 proxy extrapolation (round-2 review Weak #1)

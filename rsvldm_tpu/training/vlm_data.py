@@ -155,19 +155,22 @@ def preprocess_chatml(source: Sequence[Dict], encode,
 
 def preprocess_v1(source: Sequence[Dict], encode, bos: int = 1,
                   sep2_id: int = 2, system: str = "",
+                  boundary_compat: bool = False,
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Vicuna v1 (preprocess_v1, train.py:725-801): rendered as
     '{system} USER: {q} ASSISTANT: {a}</s>...'; only assistant responses
     (+ the closing </s>) supervise.
 
-    Fidelity caveat: rounds are tokenized as (prompt chunk, answer chunk)
-    rather than one string, so a BPE/SentencePiece tokenizer may merge the
-    chunk boundary differently than whole-round tokenization. The reference
-    has the same class of issue (it tokenizes parts[0] separately and
-    applies -2/-1 length fudges, train.py:777-786); exact-id parity for v1
-    needs the real tokenizer assets, unavailable in this environment. The
-    llama_3/chatml templates are boundary-safe (chunks split on special
-    tokens)."""
+    Default path tokenizes each ROUND as one string (rounds are delimited
+    by the hard </s>/sep2 boundary, so the concatenation equals whole-
+    conversation tokenization) and masks by the cumulative prompt-prefix
+    span — the token STREAM matches inference-time tokenization exactly;
+    only the mask boundary can shift by one BPE merge, which beats the
+    reference's separate (prompt, answer) chunk tokenization with -2/-1
+    length fudges (train.py:777-786).
+
+    boundary_compat=True reproduces the reference's chunked tokenization
+    bug-for-bug (for exact-id parity against reference-produced data)."""
     msgs = list(source)
     if msgs and _norm_msg(msgs[0])[0] != "user":
         msgs = msgs[1:]
@@ -179,10 +182,18 @@ def preprocess_v1(source: Sequence[Dict], encode, bos: int = 1,
     for i in range(0, len(msgs) - 1, 2):
         _, q = _norm_msg(msgs[i])
         _, a = _norm_msg(msgs[i + 1])
-        prompt = _encode_with_image(f"USER: {q} ASSISTANT: ", encode)
-        answer = _encode_with_image(a, encode) + [sep2_id]
-        ids += prompt + answer
-        labels += [IGNORE_INDEX] * len(prompt) + answer
+        if boundary_compat:
+            prompt = _encode_with_image(f"USER: {q} ASSISTANT: ", encode)
+            answer = _encode_with_image(a, encode) + [sep2_id]
+            ids += prompt + answer
+            labels += [IGNORE_INDEX] * len(prompt) + answer
+        else:
+            prompt_text = f"USER: {q} ASSISTANT: "
+            round_ids = _encode_with_image(prompt_text + a, encode)
+            prompt_len = len(_encode_with_image(prompt_text, encode))
+            ids += round_ids + [sep2_id]
+            labels += [IGNORE_INDEX] * prompt_len \
+                + round_ids[prompt_len:] + [sep2_id]
     ids_np = np.asarray(ids, np.int32)
     labels_np = np.asarray(labels, np.int32)
     labels_np[ids_np == IMAGE_TOKEN_INDEX] = IGNORE_INDEX

@@ -83,6 +83,36 @@ def test_v1_masking():
         assert t in labels
 
 
+def test_v1_boundary_fix():
+    """The default v1 path tokenizes whole rounds, so a merge-happy
+    tokenizer produces the same ids as inference-time whole-string
+    tokenization; boundary_compat reproduces the reference's chunked
+    stream (train.py:777-786) which differs at the prompt|answer seam."""
+    def pair_encode(text):
+        # tokens = consecutive 2-char windows: concatenating separately
+        # encoded chunks re-pairs differently than one-shot encoding
+        s = text.replace("<image>", "@")
+        return [ord(s[i]) * 256 + ord(s[i + 1]) if i + 1 < len(s)
+                else ord(s[i]) for i in range(0, len(s), 2)]
+
+    src = SRC[2:]  # one round, no image token (pure boundary test)
+    q = "zoom in"
+    a = "sandbars visible"
+    whole = pair_encode(f"USER: {q} ASSISTANT: {a}")
+
+    ids_fix, labels_fix = preprocess_v1(src, pair_encode, bos=1, sep2_id=2)
+    assert list(ids_fix[1:-1]) == whole          # stream == inference-time
+    assert ids_fix[-1] == 2 and labels_fix[-1] == 2
+
+    ids_old, _ = preprocess_v1(src, pair_encode, bos=1, sep2_id=2,
+                               boundary_compat=True)
+    assert list(ids_old[1:-1]) != whole          # the reference's defect
+
+    # supervised span still covers the answer and only the answer tail
+    sup = labels_fix != IGNORE_INDEX
+    assert sup.sum() >= len(pair_encode(a)) - 1
+
+
 def test_plain_masking():
     ids, labels = preprocess_plain(SRC[:2], encode)
     assert ids[0] == IMAGE_TOKEN_INDEX and labels[0] == IGNORE_INDEX
