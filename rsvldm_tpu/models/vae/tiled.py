@@ -72,14 +72,26 @@ def stitch_tiles(tiles: jnp.ndarray, grid: list, out_hw: tuple[int, int],
 
 def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
                 tile: int, pad: int, out_scale: tuple[int, int],
-                axis_name: str | None = None) -> jnp.ndarray:
+                axis_name: str | None = None, mesh=None,
+                mesh_axis: str = "tile") -> jnp.ndarray:
     """Run `fn` over halo-padded tiles of x ([1,H,W,C]) with tile-collective
     GroupNorm, then stitch. out_scale=(num,den) is fn's spatial scaling
-    (encode: (1,8); decode: (8,1))."""
+    (encode: (1,8); decode: (8,1)).
+
+    mesh: optional jax.sharding.Mesh — shard the tile batch over its
+    `mesh_axis` via shard_map; GroupNorm statistics psum across the axis
+    (SURVEY P6: the ONE algorithmic collective of inference parity). Falls
+    back to single-device tile batching when the tile count is not
+    divisible by the axis size (trace-time static check)."""
     _, h, w, _ = x.shape
     tiles, grid = split_tiles(x, tile, pad)
-    with tile_collective_gn(axis_name):
-        ytiles = fn(tiles)
+    if mesh is not None and mesh_axis in mesh.axis_names \
+            and tiles.shape[0] % mesh.shape[mesh_axis] == 0:
+        from ...parallel.mesh import shard_tiled_gn_apply
+        ytiles = shard_tiled_gn_apply(fn, mesh, mesh_axis)(tiles)
+    else:
+        with tile_collective_gn(axis_name):
+            ytiles = fn(tiles)
     num, den = out_scale
     return stitch_tiles(ytiles, grid, (h * num // den, w * num // den), pad,
                         num, den)
@@ -87,17 +99,19 @@ def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
 
 def tiled_encode(apply_encode: Callable, x: jnp.ndarray,
                  tile: int = 512, pad: int = ENCODER_PAD,
-                 axis_name: str | None = None) -> jnp.ndarray:
+                 axis_name: str | None = None, mesh=None) -> jnp.ndarray:
     """apply_encode: [T,h,w,3] -> [T,h/8,w/8,z] (already includes
     quant-conv + mode + scale_factor). Default 512-px tiles
     (infer.py encoder_tile_size=512)."""
     assert tile % 8 == 0 and pad % 8 == 0
-    return tiled_apply(apply_encode, x, tile, pad, (1, 8), axis_name)
+    return tiled_apply(apply_encode, x, tile, pad, (1, 8), axis_name,
+                       mesh=mesh)
 
 
 def tiled_decode(apply_decode: Callable, z: jnp.ndarray,
                  tile: int = 64, pad: int = DECODER_PAD,
-                 axis_name: str | None = None) -> jnp.ndarray:
+                 axis_name: str | None = None, mesh=None) -> jnp.ndarray:
     """apply_decode: [T,hz,wz,z] -> [T,8hz,8wz,3]. Default 64-latent tiles
     (infer.py decoder_tile_size=64)."""
-    return tiled_apply(apply_decode, z, tile, pad, (8, 1), axis_name)
+    return tiled_apply(apply_decode, z, tile, pad, (8, 1), axis_name,
+                       mesh=mesh)

@@ -526,11 +526,25 @@ class SuperResolutionPipeline:
             def dec(t):
                 return vae.apply(vae_params, t, method=vae.decode)
 
-            _z = tiled.tiled_encode(enc_den, x, tile=r.encoder_tile_size)
-            x_stage1 = tiled.tiled_decode(dec, _z, tile=r.decoder_tile_size)
-            enc_s = lambda t: vae.apply(vae_params, t, k_enc, method=vae.encode)
-            z_stage1 = tiled.tiled_encode(enc_s, x_stage1,
-                                          tile=r.encoder_tile_size)
+            # tiles shard over the mesh's 'tile' axis with psum'd GroupNorm
+            # stats (SURVEY P6) when a mesh is attached — the reference
+            # walks tiles sequentially on one GPU (tilevae.py:893-956)
+            _z = tiled.tiled_encode(enc_den, x, tile=r.encoder_tile_size,
+                                    mesh=self.mesh)
+            x_stage1 = tiled.tiled_decode(dec, _z, tile=r.decoder_tile_size,
+                                          mesh=self.mesh)
+            # sampled encode: tile the deterministic moments, sample ONCE on
+            # the stitched latent — keeps the posterior draw independent of
+            # the tile sharding layout (a per-tile rng inside shard_map
+            # would draw different noise per shard shape)
+            from .models.vae.model import DiagonalGaussian
+            enc_m = lambda t: vae.apply(
+                vae_params, t, method=lambda m, tt: m.quant_conv(m.encoder(tt)))
+            moments = tiled.tiled_encode(enc_m, x_stage1,
+                                         tile=r.encoder_tile_size,
+                                         mesh=self.mesh)
+            dg = DiagonalGaussian(moments)
+            z_stage1 = self.vae_cfg.scale_factor * dg.sample(k_enc)
         else:
             _z = vae.apply(vae_params, x, method=vae.encode_with_denoise)
             x_stage1 = vae.apply(vae_params, _z, method=vae.decode)
@@ -563,7 +577,7 @@ class SuperResolutionPipeline:
             from .models.vae import tiled
             return tiled.tiled_decode(
                 lambda t: vae.apply(vae_params, t, method=vae.decode), z,
-                tile=r.decoder_tile_size)
+                tile=r.decoder_tile_size, mesh=self.mesh)
         return vae.apply(vae_params, z, method=vae.decode)
 
     # ------------------------------------------------------------- driver

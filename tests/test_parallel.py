@@ -86,3 +86,42 @@ def test_dp_train_step_sr3():
         lambda a, l: a + float(jnp.abs(l).sum()),
         jax.tree_util.tree_map(jnp.subtract, new_params, params), 0.0)
     assert delta > 0
+
+
+def test_pipeline_tiled_vae_mesh_equivalence():
+    """The pipeline's tiled VAE prep with tiles sharded over the mesh 'tile'
+    axis (shard_map + psum'd GroupNorm stats) equals the unsharded tile
+    batch — SURVEY P6 reachable from the pipeline itself (round-2 review
+    Missing #4)."""
+    import rsvldm_tpu.pipeline as PL
+    from rsvldm_tpu.config import PipelineConfig
+    from rsvldm_tpu.models.vae import VAEConfig
+    from rsvldm_tpu.parallel import make_mesh
+
+    tiny = PL._tiny_overrides()
+    tiny["vae"] = VAEConfig(ch=8, ch_mult=(1, 1, 1, 1), num_res_blocks=1)
+    orig = PL._tiny_overrides
+    PL._tiny_overrides = lambda: dict(tiny)
+    try:
+        def build(mesh):
+            cfg = PipelineConfig(input_img="x", output_dir="/tmp/o")
+            cfg.refine.use_tile_vae = True
+            cfg.refine.encoder_tile_size = 32
+            cfg.refine.decoder_tile_size = 4
+            p = PL.SuperResolutionPipeline(cfg, debug_tiny=True, mesh=mesh)
+            p._ensure_stage2()
+            return p
+
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 64, 64, 3))
+        k = jax.random.PRNGKey(7)
+        p0 = build(None)
+        ref = jax.jit(p0._vae_prep_jit)(p0.vae_params, x, k)
+        pm = build(make_mesh(8, tile=2))
+        # identical tiny init seeds -> identical params across the two
+        out = jax.jit(pm._vae_prep_jit)(pm.vae_params, x, k)
+        for a, b in zip(ref, out):
+            # psum vs local-mean reduction order: tiny fp drift expected
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-3)
+    finally:
+        PL._tiny_overrides = orig
