@@ -4,20 +4,27 @@ Replaces xformers memory_efficient_attention / torch SDPA / flash-attn from
 the reference stack. One kernel serves the SDXL SpatialTransformer self/cross
 attention (up to 16k image tokens at 128x128 latents) and LLaMA prefill.
 
-Design (per pallas_guide.md): grid over (batch*heads, q-blocks); K/V live in
-VMEM per grid row; the kernel walks K in `block_k` chunks with a fori_loop
-carrying (m, l, acc) running max / normalizer / fp32 accumulator — the
-standard flash recurrence. MXU matmuls via jnp.dot with fp32 accumulation.
-Falls back to interpret mode off-TPU so CPU tests exercise the same code.
+v2 design (per pallas_guide.md): grid over (batch*heads, q-blocks,
+kv-blocks) with the kv dimension INNERMOST — each K/V block streams
+HBM->VMEM through Pallas' grid pipeline (double-buffered DMA overlapped
+with the MXU), instead of v1's whole-K/V-per-grid-row VMEM residency which
+both capped the sequence length and serialized transfer behind compute.
+The flash recurrence (m, l, acc) lives in VMEM scratch persisting across
+the sequential kv grid steps; the output block is written on the last kv
+step. Causal q-blocks skip compute for blocks beyond the diagonal.
 
-Measured (v5e, 4096 tokens, bf16, amortized over 8 calls in one jit — the
-axon relay costs ~33 ms per dispatch, so single-call timings are noise):
-~37 TFLOP/s at b*h>=32 grid rows, ~24 at b*h=20; ~12% over the XLA einsum
-path at this length, plus O(S) memory (XLA OOMs at 16k). Head-packing
-experiment (round-2 review item): equal-FLOPs h=16/d=64 vs h=8/d=128
-differ by <2% — Mosaic does NOT meaningfully penalize d=64 contractions,
-so no packing is warranted (negative result, kept for the record). Block
-size sweeps (256-2048) are flat; defaults below are fine.
+Measured (v5e, bf16, d=64, b*h=32, 8 calls amortized inside ONE jit — the
+axon relay costs ~33 ms/dispatch), v1 re-measured in the SAME harness the
+same day for a fair baseline:
+  4k : v1 23.9 TFLOP/s, v2 23.5 — parity (round-2's recorded 37 does not
+       reproduce under today's relay; block sweeps 256..4096 are flat ±5%,
+       so 4k is not DMA- or block-bound)
+  8k : v2 45.5 TFLOP/s;  16k: v2 58.8 (v1 VMEM-capped above ~8k)
+The 4k ceiling is the online-softmax VPU work (exp on [bq,bk] per step ~9
+cycles/elem) against d=64 MXU contractions — a hardware balance, not a
+scheduling artifact; longer sequences amortize per-call/launch overhead
+toward the ~60 TF exp-bound ceiling. Head-packing negative result from v1
+still holds (equal-FLOPs d=64 vs d=128 within 2%).
 """
 
 from __future__ import annotations
@@ -33,56 +40,55 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, block_k,
-                  kv_len, q_offset_blocks):
-    q = q_ref[0]                      # [block_q, d]
-    block_q, d = q.shape
-    padded_kv = k_ref.shape[1]
-    num_kb = padded_kv // block_k
-
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale, causal, block_q, block_k, kv_len):
     qi = pl.program_id(1)
-    q_start = (qi + q_offset_blocks) * block_q  # global query offset
+    ki = pl.program_id(2)
+    num_kb = pl.num_programs(2)
 
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if causal:
-        # block pruning: K blocks entirely above the diagonal contribute
-        # nothing — bound the loop at the last block that intersects the
-        # causal frontier of this q block
-        kb_bound = jnp.minimum(
-            num_kb, (q_start + block_q + block_k - 1) // block_k)
-    else:
-        kb_bound = num_kb
+    q_start = qi * block_q
+    k_start = ki * block_k
+    # causal: K blocks strictly above this q block's diagonal contribute
+    # nothing — skip their compute (the DMA is already pipelined)
+    live = (k_start <= q_start + block_q - 1) if causal else True
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+    @pl.when(live)
+    def _update():
+        q = q_ref[0]                    # [block_q, d]
+        k = k_ref[0]                    # [block_k, d]
+        v = v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [bq, bk]
-        k_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32,
-                                                       (block_q, block_k), 1)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (block_q, block_k), 1)
         valid = k_pos < kv_len
         if causal:
             q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32,
                                                        (block_q, block_k), 0)
             valid = jnp.logical_and(valid, k_pos <= q_pos)
         s = jnp.where(valid, s, NEG_INF)
+        m = m_ref[:]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc = acc * alpha + pv
-        return m_new, l, acc
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
 
-    m, l, acc = jax.lax.fori_loop(0, kb_bound, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(ki == num_kb - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+                    ).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -92,7 +98,7 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
                                              "block_k", "interpret"))
 def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: int = 512, block_k: int = 1024,
                     interpret: bool | None = None):
     """q: [B, Sq, H, D]; k/v: [B, Sk, H, D] -> [B, Sq, H, D]."""
     b, sq, h, d = q.shape
@@ -115,27 +121,30 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
     kt = jnp.pad(kt, ((0, 0), (0, sk_p - sk), (0, 0)))
     vt = jnp.pad(vt, ((0, 0), (0, sk_p - sk), (0, 0)))
 
-    grid = (b * h, sq_p // block_q)
+    grid = (b * h, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_k=block_k,
-        kv_len=sk,
-        # decode-style usage can offset queries; full-seq here
-        q_offset_blocks=0)
+        _flash_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=sk)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),    # normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+        ],
         interpret=interpret,
     )(qt, kt, vt)
 
