@@ -57,13 +57,20 @@ V5E_PEAK_FLOPS = 197e12
 V5E_PEAK_BW = 819e9
 
 
-def roofline(jitted, t_seconds, *args, prefix=""):
-    """MFU / HBM utilization from the COMPILED program's cost analysis —
+def aot(jitted, *args):
+    """AOT-compile once; the same executable is then TIMED and asked for
+    cost_analysis — no second compile through the remote relay (which
+    roughly doubled bench wall-clock per part before)."""
+    return jitted.lower(*args).compile()
+
+
+def roofline(compiled, t_seconds, prefix=""):
+    """MFU / HBM utilization from the compiled program's cost analysis —
     anchors 'fast' in hardware ceilings instead of baseline assumptions
     (round-2 review Weak #4). Returns {} when cost_analysis is unavailable
     (e.g. relay backends that don't expose it)."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         fl = float(ca.get("flops", 0.0))
@@ -100,9 +107,9 @@ def part_stage1():
     f1 = jax.jit(lambda p, c, r: sr3_sample(
         diff, lambda pp, x, nl: model.apply(pp, x, nl), p, c, r))
     rng = jax.random.PRNGKey(1)
-    t = timed(lambda r: f1(params, cond, r), rng, n=2)
-    return {"stage1_500step_s": t,
-            **roofline(f1, t, params, cond, rng, prefix="stage1_")}
+    f1c = aot(f1, params, cond, rng)
+    t = timed(lambda: f1c(params, cond, rng), n=2)
+    return {"stage1_500step_s": t, **roofline(f1c, t, prefix="stage1_")}
 
 
 def part_sdxl():
@@ -138,10 +145,11 @@ def part_sdxl():
 
     f2 = jax.jit(step)
     sigma = jnp.full((n,), 14.6)
-    raw = timed(lambda xx: f2(up, cp, xx, sigma), x, n=3)
+    f2c = aot(f2, up, cp, x, sigma)
+    raw = timed(lambda: f2c(up, cp, x, sigma), n=3)
     dt = max(raw - dispatch_overhead(), raw / 4)
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt,
-            **roofline(f2, dt, up, cp, x, sigma, prefix="sdxl_")}
+            **roofline(f2c, dt, prefix="sdxl_")}
 
 
 def part_vae():
@@ -154,11 +162,11 @@ def part_vae():
         jax.random.PRNGKey(2)))
     z = jnp.zeros((1, 64, 64, 4))
     fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
-    raw = timed(lambda zz: fv(vp, zz), z, n=3)  # params as jit args
+    fvc = aot(fv, vp, z)  # params as jit args
+    raw = timed(lambda: fvc(vp, z), n=3)
     # dispatch-corrected (see dispatch_overhead)
     dt = max(raw - dispatch_overhead(), raw / 4)
-    return {"vae_decode_512px_s": dt,
-            **roofline(fv, dt, vp, z, prefix="vae_")}
+    return {"vae_decode_512px_s": dt, **roofline(fvc, dt, prefix="vae_")}
 
 
 def part_llama():
@@ -227,9 +235,10 @@ def part_llama_int8():
 
     fd = jax.jit(decode, static_argnums=2)
     n = 16
-    dt = timed(lambda: fd(lp, cache, n), n=2)
+    fdc = aot(fd, lp, cache, n)
+    dt = timed(lambda: fdc(lp, cache), n=2)
     return {"llama8B_int8_tok_s": n / dt,
-            **roofline(fd, dt, lp, cache, n, prefix="llama_int8_")}
+            **roofline(fdc, dt, prefix="llama_int8_")}
 
 
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,

@@ -71,14 +71,24 @@ def build_clip_scorer(ckpt_dir: str | Path, image_size: int = 224,
     if not any(k.startswith("vision_model.") for k in sd):
         return None
 
-    # infer geometry from the checkpoint
+    # infer geometry from the checkpoint (+config.json for head counts —
+    # head_dim is NOT derivable from weight shapes and is not always 64)
+    hf_cfg = {}
+    cfg_json = d / "config.json"
+    if cfg_json.exists():
+        with open(cfg_json) as f:
+            hf_cfg = json.load(f)
     n_v = 1 + max(int(k.split(".")[3]) for k in sd
                   if k.startswith("vision_model.encoder.layers."))
     width = sd["vision_model.embeddings.class_embedding"].shape[0]
     patch = sd["vision_model.embeddings.patch_embedding.weight"].shape[-1]
     n_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
     img_size = patch * int(round((n_pos - 1) ** 0.5))
-    heads = width // 64
+    heads = hf_cfg.get("vision_config", {}).get("num_attention_heads",
+                                                width // 64)
+    if heads == width // 64 and not cfg_json.exists():
+        log.warning("no config.json under %s — assuming head_dim=64 for "
+                    "the CLIP towers", d)
     vcfg = CLIPVisionConfig(image_size=img_size, patch_size=patch,
                             width=width, layers=n_v, heads=heads)
     proj_dim = sd["visual_projection.weight"].shape[0]
@@ -89,7 +99,9 @@ def build_clip_scorer(ckpt_dir: str | Path, image_size: int = 224,
                   if k.startswith("text_model.encoder.layers."))
     t_width = sd["text_model.embeddings.token_embedding.weight"].shape[1]
     t_proj = sd["text_projection.weight"].shape[0]
-    tcfg = CLIPTextConfig(width=t_width, layers=n_t, heads=t_width // 64,
+    t_heads = hf_cfg.get("text_config", {}).get("num_attention_heads",
+                                                t_width // 64)
+    tcfg = CLIPTextConfig(width=t_width, layers=n_t, heads=t_heads,
                           use_text_projection=True, projection_dim=t_proj)
     text = CLIPTextTransformer(tcfg)
     tparams = convert_hf.convert_hf_clip_text(sd, tcfg)
@@ -98,24 +110,33 @@ def build_clip_scorer(ckpt_dir: str | Path, image_size: int = 224,
     tokenizer = CLIPTokenizer.from_dir(
         str(tok_dir if tok_dir.is_dir() else d))
 
+    def tower(pixels):
+        return vision.apply(vparams, normalize_pixels(pixels))
+
+    if jit:
+        tower = jax.jit(tower)
+
     def vision_embed(images01):
-        """[N,H,W,3] in [0,1] -> [N, proj] CLIP image embeds."""
-        x = jax.image.resize(
-            images01, (images01.shape[0], img_size, img_size, 3), "cubic")
-        return vision.apply(vparams, normalize_pixels(x))
+        """[N,H,W,3] in [0,1] -> [N, proj] CLIP image embeds. The resize to
+        the CLIP square runs on HOST (torch-interpolate bicubic, matching
+        the torchmetrics protocol) so the jitted ViT compiles ONCE at the
+        fixed [N, img, img, 3] signature instead of per source resolution
+        (each recompile costs minutes through the remote relay)."""
+        from ..ops.image import resize_bicubic_torch
+        x = resize_bicubic_torch(np.asarray(images01), (img_size, img_size))
+        return tower(jnp.asarray(x))
 
     def text_embed(tokens):
         return text.apply(tparams, tokens)["pooled"]
 
     if jit:
-        vision_embed = jax.jit(vision_embed)
         text_embed = jax.jit(text_embed)
     return CLIPScorer(vision_embed, text_embed, tokenizer)
 
 
 def evaluate_dir(sr_dir: str | Path, hr_dir: str | Path | None = None,
                  ckpt_dir: str | Path | None = None,
-                 scorer=None, lpips=None, batch: int = 4) -> dict:
+                 scorer=None, lpips=None) -> dict:
     """Score every image in sr_dir; pair with hr_dir by stripped stem for
     the full-reference metrics. Returns the aggregate dict (means) plus
     per-image records under 'images'."""
@@ -138,11 +159,11 @@ def evaluate_dir(sr_dir: str | Path, hr_dir: str | Path | None = None,
         if scorer is None:
             log.warning("CLIP assets absent under %s/clip — "
                         "CLIP-IQA/SMS skipped", ckpt_dir)
-        if lpips is None:
-            lp = M.load_lpips(str(ckpt_dir))
-            if lp is not None:
-                model, params = lp
-                lpips = lambda a, b: model.apply(params, a, b)
+    if lpips is None and ckpt_dir is not None:
+        lp = M.load_lpips(str(ckpt_dir))
+        if lp is not None:
+            model, params = lp
+            lpips = lambda a, b: model.apply(params, a, b)
 
     per_image = []
     for p in srs:
@@ -155,10 +176,10 @@ def evaluate_dir(sr_dir: str | Path, hr_dir: str | Path | None = None,
             hr = np.asarray(Image.open(hr_p).convert("RGB"),
                             np.float32) / 255.0
             sr_m = sr
-            if sr.shape != hr.shape:  # compare at HR grid (README protocol)
-                from ..ops.image import resize_bicubic
-                sr_m = np.asarray(resize_bicubic(
-                    jnp.asarray(sr)[None], hr.shape[:2])[0])
+            if sr.shape != hr.shape:  # compare at HR grid (README protocol,
+                # torch-bicubic like Tensor2PIL — NOT the antialiased kernel)
+                from ..ops.image import resize_bicubic_torch
+                sr_m = resize_bicubic_torch(sr[None], hr.shape[:2])[0]
             rec["PSNR"] = float(M.psnr(jnp.asarray(sr_m), jnp.asarray(hr)))
             rec["SSIM"] = float(M.ssim(jnp.asarray(sr_m)[None],
                                        jnp.asarray(hr)[None]))

@@ -190,7 +190,10 @@ def preprocess_v1(source: Sequence[Dict], encode, bos: int = 1,
         else:
             prompt_text = f"USER: {q} ASSISTANT: "
             round_ids = _encode_with_image(prompt_text + a, encode)
-            prompt_len = len(_encode_with_image(prompt_text, encode))
+            # clamp: a merge across the prompt|answer seam can make the
+            # joint encoding shorter than the prompt-only encoding
+            prompt_len = min(len(_encode_with_image(prompt_text, encode)),
+                             len(round_ids))
             ids += round_ids + [sep2_id]
             labels += [IGNORE_INDEX] * prompt_len \
                 + round_ids[prompt_len:] + [sep2_id]
