@@ -49,7 +49,11 @@ def run_part(name: str) -> dict:
     except subprocess.TimeoutExpired:
         # never break the one-JSON-line contract on a hung part
         return {f"{name}_error": "timeout after 1800s"}
-    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+    if not out.stdout.strip():
+        # a silent crash must not masquerade as an empty result
+        return {f"{name}_error":
+                f"rc={out.returncode} " + (out.stderr or "").strip()[-200:]}
+    line = out.stdout.strip().splitlines()[-1]
     try:
         return json.loads(line)
     except json.JSONDecodeError:

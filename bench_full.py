@@ -64,17 +64,21 @@ def aot(jitted, *args):
     return jitted.lower(*args).compile()
 
 
-def roofline(compiled, t_seconds, prefix=""):
+def roofline(compiled, t_seconds, prefix="", trips=1):
     """MFU / HBM utilization from the compiled program's cost analysis —
     anchors 'fast' in hardware ceilings instead of baseline assumptions
     (round-2 review Weak #4). Returns {} when cost_analysis is unavailable
-    (e.g. relay backends that don't expose it)."""
+    (e.g. relay backends that don't expose it).
+
+    trips: XLA's cost analysis counts a while/scan BODY once — pass the
+    known trip count for scan-shaped programs (500-step SR3 loop, N-token
+    decode) so the totals reflect actual executed work."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        fl = float(ca.get("flops", 0.0))
-        by = float(ca.get("bytes accessed", 0.0))
+        fl = float(ca.get("flops", 0.0)) * trips
+        by = float(ca.get("bytes accessed", 0.0)) * trips
         out = {}
         if fl > 0:
             out[f"{prefix}mfu_pct"] = round(
@@ -109,7 +113,8 @@ def part_stage1():
     rng = jax.random.PRNGKey(1)
     f1c = aot(f1, params, cond, rng)
     t = timed(lambda: f1c(params, cond, rng), n=2)
-    return {"stage1_500step_s": t, **roofline(f1c, t, prefix="stage1_")}
+    return {"stage1_500step_s": t,
+            **roofline(f1c, t, prefix="stage1_", trips=500)}
 
 
 def part_sdxl():
@@ -238,7 +243,7 @@ def part_llama_int8():
     fdc = aot(fd, lp, cache, n)
     dt = timed(lambda: fdc(lp, cache), n=2)
     return {"llama8B_int8_tok_s": n / dt,
-            **roofline(fdc, dt, prefix="llama_int8_")}
+            **roofline(fdc, dt, prefix="llama_int8_", trips=n)}
 
 
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
