@@ -89,9 +89,15 @@ def main(argv=None):
     ap.add_argument("--image-file", required=True)
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--load-8bit", action="store_true", default=True,
+                    help="int8 weight-only decoder (model_worker.py "
+                         "--load-8bit equivalent; default on — 8B fits one "
+                         "16GB chip)")
+    ap.add_argument("--no-load-8bit", dest="load_8bit", action="store_false")
     args = ap.parse_args(argv)
 
-    cap = LlavaCaptioner.load(Path(args.ckpt_dir))
+    cap = LlavaCaptioner.load(Path(args.ckpt_dir),
+                              quant="int8" if args.load_8bit else None)
     if cap is None:
         raise SystemExit(f"no llava assets under {args.ckpt_dir}")
     sess = ChatSession(cap, Image.open(args.image_file).convert("RGB"),
