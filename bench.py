@@ -69,7 +69,8 @@ def main():
     # metric; later parts are skipped if relay congestion eats the budget.
     # llama_int8 MEASURES the caption stage at the true 8B geometry (the
     # bf16 "llama" proxy stays as a comparison point, run last).
-    for name in ("stage1", "sdxl", "llama_int8", "vae", "llama"):
+    for name in ("stage1", "sdxl", "llama_int8", "vae", "llama_int4",
+                 "llama"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"
             continue
@@ -86,6 +87,10 @@ def main():
         extras["llama8B_est_tok_s"] = round(res["llama8B_est_tok_s"], 1)
     if "llama8B_int8_tok_s" in res:
         extras["llama8B_int8_tok_s"] = round(res["llama8B_int8_tok_s"], 1)
+    if "llama8B_int4_tok_s" in res:
+        # informational: the load_4bit-equivalent path (composite stays on
+        # the default int8 decoder)
+        extras["llama8B_int4_tok_s"] = round(res["llama8B_int4_tok_s"], 1)
     # roofline columns (compiled-program cost_analysis vs v5e ceilings)
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})

@@ -246,8 +246,50 @@ def part_llama_int8():
             **roofline(fdc, dt, prefix="llama_int8_", trips=n)}
 
 
+def part_llama_int4():
+    """MEASURED decode at the FULL 8B geometry with int4 weight-only
+    (group-128 scales, packed nibbles — the load_4bit/NF4 equivalent,
+    builder.py:35-37): ~3.7 GB projections + bf16 embed. Halves the decode
+    weight stream again vs int8."""
+    import dataclasses
+
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
+                                             LlamaModel)
+    lcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                               quant="int4")
+    lm = LlamaModel(lcfg)
+    cache = KVCache.init(lcfg, 1, 4096, jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
+                          method=lm.from_tokens), jax.random.PRNGKey(0))
+
+    def mk(s):
+        if s.dtype == jnp.float32 and s.shape == (lcfg.vocab_size, lcfg.dim):
+            return jnp.zeros(s.shape, jnp.bfloat16)  # embed table bf16
+        return jnp.ones(s.shape, s.dtype)
+    lp = jax.tree_util.tree_map(mk, shapes)
+
+    def decode(params, cache, n):
+        def body(carry, i):
+            tok, cache = carry
+            emb = lm.apply(params, tok[None, None], method=lm.embed)
+            lg, cache = lm.apply(params, emb, cache, 3500 + i)
+            return (jnp.argmax(lg[0, -1]).astype(jnp.int32), cache), 0.0
+        (tok, cache), _ = jax.lax.scan(body, (jnp.int32(1), cache),
+                                       jnp.arange(n))
+        return tok
+
+    fd = jax.jit(decode, static_argnums=2)
+    n = 16
+    fdc = aot(fd, lp, cache, n)
+    dt = timed(lambda: fdc(lp, cache), n=2)
+    return {"llama8B_int4_tok_s": n / dt,
+            **roofline(fdc, dt, prefix="llama_int4_", trips=n)}
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
-         "llama": part_llama, "llama_int8": part_llama_int8}
+         "llama": part_llama, "llama_int8": part_llama_int8,
+         "llama_int4": part_llama_int4}
 
 
 def main():

@@ -79,9 +79,10 @@ class LlavaConfig:
     do_sample: bool = True
     img_prompt: str = REFERENCE_IMG_PROMPT
     prompt_yaml: str = ""          # optional external prompt file override
-    # int8 weight-only decoder (TPU-native bitsandbytes-8bit equivalent,
-    # llava/model/builder.py:33-37): 8B fits one 16GB chip, ~2x decode
-    quant: str = "int8"            # "int8" | "" (bf16, needs TP mesh for 8B)
+    # Weight-only quantized decoder (TPU-native bitsandbytes 8/4-bit
+    # equivalent, llava/model/builder.py:33-37): 8B fits one 16GB chip,
+    # int8 ~2x decode, int4 ~2x again (group-128 RTN)
+    quant: str = "int8"      # "int8" | "int4" | "" (bf16; needs TP for 8B)
 
     def __post_init__(self):
         if self.prompt_yaml:

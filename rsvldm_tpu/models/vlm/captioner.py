@@ -100,12 +100,13 @@ class LlavaCaptioner:
         dominant stage, scales over the slice instead of one chip (the
         reference pins LLaVA to its own single GPU, infer.py:31-32).
 
-        quant='int8': weight-only int8 decoder (llama.quantize_llama_params;
-        the builder.py:33-37 bitsandbytes equivalent) — 8B fits ONE 16 GB
-        chip and the memory-bound decode streams half the bytes (59.5 tok/s
-        measured at the full geometry). Composes with mesh TP: kernel_q
-        shards like the dense kernel, per-output scales follow the output
-        sharding (parallel/llama_sharding.py)."""
+        quant='int8'|'int4': weight-only quantized decoder
+        (llama.quantize_llama_params; the builder.py:33-37 bitsandbytes
+        8/4-bit equivalents) — 8B fits ONE 16 GB chip (int8 ~8.5 GB,
+        int4 ~4.3 GB) and the memory-bound decode streams half / quarter
+        the bytes (59.5 tok/s int8 measured at the full geometry). Composes
+        with mesh TP: kernel_q/kernel_q4 shard like the dense kernel,
+        scales follow (parallel/llama_sharding.py)."""
         d = Path(ckpt_dir) / "llava"
         if not d.is_dir():
             return None
@@ -119,10 +120,11 @@ class LlavaCaptioner:
         llama = LlamaModel(dataclasses.replace(llama_cfg, quant=quant)
                            if quant else llama_cfg)
         llama_params = convert_hf.convert_llama(sd, llama_cfg)
-        if quant == "int8":
+        if quant in ("int8", "int4"):
             from .llama import quantize_llama_params
             llama_params = {"params": quantize_llama_params(
-                llama_params["params"], embed_dtype=jnp.bfloat16)}
+                llama_params["params"], embed_dtype=jnp.bfloat16,
+                mode=quant)}
         vision = CLIPVisionTower(vision_cfg)
         vsd = {k[len("model.vision_tower.vision_tower."):]: v
                for k, v in sd.items()

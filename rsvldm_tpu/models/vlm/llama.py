@@ -44,11 +44,15 @@ class LlamaConfig:
     act: str = "silu"              # Gemma: "gelu_tanh"
     scale_embeds: bool = False     # Gemma: embeds *= sqrt(dim)
     tie_lm_head: bool = False      # Gemma: lm_head = embed_tokens^T
-    # int8 weight-only quantization (the TPU-native stand-in for the
-    # builder's bitsandbytes 4/8-bit options, llava/model/builder.py:33-37):
-    # projections + lm_head stored int8 w/ per-channel scales, contractions
-    # run s8xs8->s32 on the MXU (ops/quant.py). Lets 8B fit one 16GB chip.
-    quant: str | None = None       # None | "int8"
+    # Weight-only quantization (the TPU-native stand-in for the builder's
+    # bitsandbytes 4/8-bit options, llava/model/builder.py:33-37):
+    # "int8" = projections + lm_head stored int8 w/ per-output-channel
+    # scales; "int4" = two nibbles per byte + per-(group-128, out) scales
+    # (the load_4bit / NF4 equivalent). Either way contractions run
+    # s8xs8->s32 on the MXU (ops/quant.py); 8B fits one 16GB chip at int8
+    # (~8.5 GB) with int4 (~4.3 GB) halving the decode weight stream again.
+    quant: str | None = None       # None | "int8" | "int4"
+    quant_group: int = 128         # int4 scale group size (along `in`)
     # MoE knobs (Mixtral / Qwen2-MoE; llava_mixtral.py / llava_qwen_moe.py)
     num_experts: int = 0           # 0 = dense FFN
     experts_per_tok: int = 2       # Mixtral top-2; Qwen2-MoE top-4
@@ -138,9 +142,39 @@ class QDense(nn.Module):
         return y
 
 
+class Q4Dense(nn.Module):
+    """Dense with int4 weight storage: params {kernel_q4 int8 [in//2, out]
+    (two nibbles along `in`), scale f32 [in//group, out]} (+bias). The
+    contraction is blocked per scale group and stays s8 on the MXU; scales
+    apply to the int32 group accumulator. See ops/quant.py::int4_matmul."""
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    group: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.quant import Int4Linear, int4_matmul
+        in_f = x.shape[-1]
+        g = min(self.group, in_f)
+        q = self.param("kernel_q4", nn.initializers.zeros,
+                       (in_f // 2, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (in_f // g, self.features), jnp.float32)
+        y = int4_matmul(x, Int4Linear(q, scale), out_dtype=self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
 def _dense(cfg: "LlamaConfig", features: int, use_bias: bool, name: str):
     if cfg.quant == "int8":
         return QDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    if cfg.quant == "int4":
+        return Q4Dense(features, use_bias=use_bias, dtype=cfg.dtype,
+                       group=cfg.quant_group, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
 
 
@@ -148,21 +182,30 @@ _QUANT_MODULES = ("q_proj", "k_proj", "v_proj", "o_proj",
                   "gate_proj", "up_proj", "down_proj", "lm_head")
 
 
-def quantize_llama_params(params, embed_dtype=None):
-    """Convert a dense LlamaModel param tree to the cfg.quant='int8' layout:
-    every _QUANT_MODULES kernel becomes {kernel_q, scale} (per-output-channel
-    absmax); everything else (embeds, norms, biases) passes through.
-    embed_dtype: optionally narrow the embedding table (bf16 halves the
-    second-largest buffer; the fp32 table alone is 2.1 GB at 8B scale)."""
-    from ...ops.quant import quantize_weight
+def quantize_llama_params(params, embed_dtype=None, mode: str = "int8",
+                          group: int = 128):
+    """Convert a dense LlamaModel param tree to the cfg.quant layout:
+    every _QUANT_MODULES kernel becomes {kernel_q, scale} (mode='int8',
+    per-output-channel absmax) or {kernel_q4, scale} (mode='int4', packed
+    nibbles + per-(group, out) scales); everything else (embeds, norms,
+    biases) passes through. embed_dtype: optionally narrow the embedding
+    table (bf16 halves the second-largest buffer; the fp32 table alone is
+    2.1 GB at 8B scale)."""
+    from ...ops.quant import quantize_weight, quantize_weight_int4
+
+    def qmod(kernel):
+        if mode == "int4":
+            ql = quantize_weight_int4(jnp.asarray(kernel), group=group)
+            return {"kernel_q4": ql.packed, "scale": ql.scale}
+        ql = quantize_weight(jnp.asarray(kernel))
+        return {"kernel_q": ql.q, "scale": ql.scale}
 
     def walk(d):
         out = {}
         for k, v in d.items():
             if isinstance(v, dict):
                 if k in _QUANT_MODULES and "kernel" in v:
-                    ql = quantize_weight(jnp.asarray(v["kernel"]))
-                    nv = {"kernel_q": ql.q, "scale": ql.scale}
+                    nv = qmod(v["kernel"])
                     if "bias" in v:
                         nv["bias"] = jnp.asarray(v["bias"], jnp.float32)
                     out[k] = nv

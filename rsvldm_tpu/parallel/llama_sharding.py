@@ -25,11 +25,16 @@ def llama_param_spec(path: tuple, leaf, axis: str = "data") -> P:
         # tokens and XLA reduces the routed sum (MoEFFN dense-mix)
         return P(axis, None, None)
     if leaf.ndim == 2:
-        # column-parallel: shard OUTPUT features
+        # column-parallel: shard OUTPUT features. Applies equally to dense
+        # `kernel` [in,out], int8 `kernel_q` [in,out], int4 `kernel_q4`
+        # [in//2,out] (nibble pairs pack along `in`, so byte-granular splits
+        # keep pairs together) and the int4 group `scale` [in//G,out].
         if any(k in joined for k in ("q_proj", "k_proj", "v_proj",
                                      "gate_proj", "up_proj")):
             return P(None, axis)
-        # row-parallel: shard INPUT features (all-reduce after)
+        # row-parallel: shard INPUT features (all-reduce after); the int4
+        # group axis Gb aligns with the input shards, and the post-group
+        # sum in int4_matmul becomes the all-reduce
         if any(k in joined for k in ("o_proj", "down_proj")):
             return P(axis, None)
         if "lm_head" in joined:
@@ -47,9 +52,17 @@ def llama_param_spec(path: tuple, leaf, axis: str = "data") -> P:
 
 
 def shard_llama_params(params, mesh: Mesh, axis: str = "data"):
-    """Place a Llama param tree with TP shardings."""
+    """Place a Llama param tree with TP shardings. Dims that don't divide
+    the mesh axis (e.g. a tiny int4 scale [1, out]) fall back to
+    replicated rather than erroring."""
+    n = mesh.shape[axis]
+
     def place(path, leaf):
         spec = llama_param_spec(path, leaf, axis)
+        for dim, name in enumerate(spec):
+            if name is not None and leaf.shape[dim] % n:
+                spec = P()
+                break
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -120,3 +120,44 @@ def test_int8_tp_matches_int8_replicated():
     s = sparams["params"]["layer_0"]["q_proj"]["scale"]
     assert len(q.sharding.device_set) == 4
     assert len(s.sharding.device_set) == 4
+
+
+def test_int4_tp_matches_int4_replicated():
+    """int4 weight-only decode composes with TP: packed nibble kernels and
+    2D group scales follow the same Megatron col/row rules; for row-parallel
+    modules the group axis Gb aligns with the input shards and the
+    post-group sum becomes the all-reduce."""
+    import dataclasses
+
+    from rsvldm_tpu.models.vlm.llama import quantize_llama_params
+
+    # group=8 so Gb (=in/8) is divisible by the 4-way axis even at toy dims,
+    # exercising sharded group scales on the row-parallel o/down projections
+    qcfg = dataclasses.replace(CFG, quant="int4", quant_group=8)
+    dense = LlamaModel(CFG)
+    model = LlamaModel(qcfg)
+    toks = jnp.array([[3, 17, 99, 42, 7, 1, 0, 5]], jnp.int32)
+    cache = KVCache.init(CFG, 1, 16)
+    params = dense.init(jax.random.PRNGKey(0), toks, cache, 0,
+                        method=dense.from_tokens)
+    qparams = {"params": quantize_llama_params(params["params"], mode="int4",
+                                               group=8)}
+
+    ref_logits, _ = model.apply(qparams, toks, cache, 0,
+                                method=model.from_tokens)
+
+    mesh = make_mesh(4, tile=1)
+    with mesh:
+        sparams = shard_llama_params(qparams, mesh)
+        scache = shard_kv_cache(cache, mesh)
+        f = jax.jit(lambda p, t, c: model.apply(p, t, c, 0,
+                                                method=model.from_tokens))
+        tp_logits, _ = f(sparams, toks, scache)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               atol=2e-4, rtol=1e-3)
+    lay = sparams["params"]["layer_0"]
+    assert len(lay["q_proj"]["kernel_q4"].sharding.device_set) == 4
+    assert len(lay["q_proj"]["scale"].sharding.device_set) == 4
+    assert len(lay["o_proj"]["kernel_q4"].sharding.device_set) == 4
+    assert len(lay["o_proj"]["scale"].sharding.device_set) == 4
