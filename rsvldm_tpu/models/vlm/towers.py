@@ -1,0 +1,134 @@
+"""Vision-tower registry: name -> (tower module, params converter, size).
+
+Parity target: /root/reference/llava/model/multimodal_encoder/builder.py
+build_vision_tower — the same name-based dispatch over the tower families
+the reference ships:
+
+  openai/laion/ShareGPT4V/<path>  CLIP ViT (clip_encoder.py; +S2 wrapper)
+  *siglip*                        SigLIP (siglip_encoder.py)
+  hf:<name-or-local-dir>          config-driven CLIP-arch tower
+                                  (hf_vision.py AutoModel; here the config
+                                  comes from a LOCAL config.json — this
+                                  environment has no hub egress, matching
+                                  the rest of the framework's local-
+                                  checkpoint convention)
+  open_clip_hub:<model>           open_clip ViT (open_clip_encoder.py) with
+                                  open_clip hidden-state indexing and the
+                                  fused-qkv converter
+  mlcd-vit-bigG-patch14*          MLCD ViT: 2D-RoPE CLIP variant
+                                  (mlcd_encoder.py / HF modeling_mlcd)
+  imagebind_huge                  dormant vendored tree in the reference
+                                  (imagebind.py) — not implemented; raises
+
+select_layer / select_feature mirror mm_vision_select_layer /
+mm_vision_select_feature, including the slicefour_* and slice_m25811_f6_*
+multi-layer concat modes (hf_vision.py:50-52, mlcd_encoder.py:56-63).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Callable, NamedTuple
+
+from .siglip import SIGLIP_SO400M_384_CONFIG, SigLIPVisionConfig, \
+    SigLIPVisionTower
+from .vision import CLIP_VIT_L_336_CONFIG, CLIPVisionConfig, CLIPVisionTower
+
+# open_clip model-name registry entries the reference names explicitly
+# (open_clip_encoder.py HIDDEN_SIZE_DICT: ViT-H-14-378-quickgelu)
+_OPEN_CLIP_GEOMETRY = {
+    "ViT-H-14-378-quickgelu": dict(image_size=378, patch_size=14, width=1280,
+                                   layers=32, heads=16, act="quick_gelu"),
+    "ViT-H-14": dict(image_size=224, patch_size=14, width=1280,
+                     layers=32, heads=16, act="gelu"),
+    "ViT-bigG-14": dict(image_size=224, patch_size=14, width=1664,
+                        layers=48, heads=16, act="gelu", ffn_width=8192),
+}
+
+# MLCD ViT-bigG/14 geometry (transformers MLCDVisionConfig defaults)
+_MLCD_BIGG = dict(image_size=336, patch_size=14, width=1664, layers=48,
+                  heads=16, act="gelu", ffn_width=8192, pos_embed="rope2d")
+
+
+class VisionTowerSpec(NamedTuple):
+    module: Any                      # flax module, __call__(pixels NHWC)
+    convert: Callable[[dict], dict]  # torch state_dict -> flax params
+    image_size: int
+    s2: bool = False                 # caller should wrap with
+    #                                  s2_multiscale_features (clip_encoder
+    #                                  CLIPVisionTowerS2 contract)
+
+
+def _load_hf_geometry(name: str) -> dict:
+    """Map an `hf:` tower to CLIP-arch geometry from a LOCAL config.json
+    (hf_vision.py loads the same config from the hub)."""
+    cfg_path = Path(name) / "config.json"
+    if not cfg_path.is_file():
+        raise FileNotFoundError(
+            f"hf: vision towers need a local checkout with config.json; "
+            f"missing {cfg_path} (no hub egress in this environment)")
+    raw = json.loads(cfg_path.read_text())
+    raw = raw.get("vision_config", raw)
+    return dict(image_size=raw.get("image_size", 336),
+                patch_size=raw.get("patch_size", 14),
+                width=raw.get("hidden_size", 1024),
+                layers=raw.get("num_hidden_layers", 24),
+                heads=raw.get("num_attention_heads", 16),
+                act="gelu" if raw.get("hidden_act", "quick_gelu")
+                     in ("gelu", "gelu_pytorch_tanh") else "quick_gelu",
+                ffn_width=raw.get("intermediate_size", 0) or 0)
+
+
+def build_vision_tower(vision_tower: str, select_layer: int = -2,
+                       select_feature: str = "patch",
+                       s2: bool = False) -> VisionTowerSpec:
+    """Dispatch a reference `mm_vision_tower` name to the TPU tower family
+    (builder.py:14-43). Raises ValueError on unknown names like the
+    reference does."""
+    from ...utils import convert_hf
+
+    name = vision_tower
+
+    def clip_spec(geom: dict, convert, hidden_base: str = "hf"):
+        cfg = dataclasses.replace(
+            CLIP_VIT_L_336_CONFIG, select_layer=select_layer,
+            select_feature=select_feature, hidden_base=hidden_base, **geom)
+        return VisionTowerSpec(CLIPVisionTower(cfg),
+                               lambda sd: convert(sd, cfg),
+                               cfg.image_size, s2=s2)
+
+    if (Path(name).exists() or name.startswith("openai")
+            or name.startswith("laion") or "ShareGPT4V" in name):
+        # the shipped family (clip_encoder.py CLIPVisionTower[S2]); geometry
+        # from a local config.json when present, else the CLIP-L/336 default
+        geom = {}
+        if (Path(name) / "config.json").is_file():
+            geom = _load_hf_geometry(name)
+        return clip_spec(geom, convert_hf.convert_hf_clip_vision)
+    if "siglip" in name:
+        cfg = dataclasses.replace(SIGLIP_SO400M_384_CONFIG,
+                                  select_layer=select_layer)
+        return VisionTowerSpec(
+            SigLIPVisionTower(cfg),
+            lambda sd: convert_hf.convert_hf_siglip_vision(sd, cfg),
+            cfg.image_size, s2=s2)
+    if name.startswith("hf:"):
+        return clip_spec(_load_hf_geometry(name[3:]),
+                         convert_hf.convert_hf_clip_vision)
+    if name in ("imagebind_huge",):
+        raise NotImplementedError(
+            "imagebind_huge is a dormant vendored tree in the reference "
+            "(imagebind.py; builder.py:28) and is not implemented")
+    if name.startswith("open_clip_hub"):
+        model = name.replace("open_clip_hub:", "")
+        if model not in _OPEN_CLIP_GEOMETRY:
+            raise ValueError(f"Unknown open_clip tower: {model} "
+                             f"(known: {sorted(_OPEN_CLIP_GEOMETRY)})")
+        return clip_spec(_OPEN_CLIP_GEOMETRY[model],
+                         convert_hf.convert_openclip_vision,
+                         hidden_base="open_clip")
+    if "mlcd-vit-bigG-patch14" in name:
+        return clip_spec(_MLCD_BIGG, convert_hf.convert_mlcd_vision)
+    raise ValueError(f"Unknown vision tower: {vision_tower}")

@@ -35,6 +35,21 @@ class CLIPVisionConfig:
     select_layer: int = -2
     keep_cls: bool = False      # True: return [N, 1+T, W] with CLS at 0
     dtype: jnp.dtype = jnp.float32
+    # tower-family knobs (build_vision_tower: open_clip / hf: / mlcd):
+    # select_feature mirrors mm_vision_select_feature — "patch", "cls_patch",
+    # "slicefour_*" (every-k-layer concat, hf_vision.py:50-52) and
+    # "slice_m25811_f6_*" (fixed layer set, mlcd_encoder.py:60-62). Empty
+    # means derive from keep_cls (the shipped CLIP-L default).
+    select_feature: str = ""
+    act: str = "quick_gelu"     # "gelu": MLCD / SigLIP-style hf towers
+    ffn_width: int = 0          # 0 -> width * 4 (MLCD bigG: 8192 vs 1664*4)
+    # "learned" absolute table (CLIP) | "rope2d" (MLCD: 2D rotary on the
+    # patch grid + a learned class-token angle row, modeling_mlcd.py)
+    pos_embed: str = "learned"
+    # hidden-state indexing: "hf" counts the post-pre-LN embedding as
+    # hidden_states[0] (HF output_hidden_states); "open_clip" collects only
+    # after-block outputs (open_clip_encoder.py:81-104 forward_openclip)
+    hidden_base: str = "hf"
 
     @property
     def num_patches_per_side(self) -> int:
@@ -44,15 +59,48 @@ class CLIPVisionConfig:
     def num_patches(self) -> int:
         return self.num_patches_per_side ** 2
 
+    @property
+    def feature_mode(self) -> str:
+        if self.select_feature:
+            return self.select_feature
+        return "cls_patch" if self.keep_cls else "patch"
+
 
 CLIP_VIT_L_336_CONFIG = CLIPVisionConfig()
+
+
+def _rope2d_angles(cfg: CLIPVisionConfig, class_row: jnp.ndarray,
+                   grid_h: int, grid_w: int):
+    """MLCD 2D rotary tables (modeling_mlcd.py MLCDRotaryEmbedding): h/w
+    position ids each rotate head_dim//4 frequencies; the class token gets a
+    learned angle row. Returns (cos, sin) [1+T, head_dim] fp32."""
+    hd = cfg.width // cfg.heads
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, hd // 2, 2,
+                                             dtype=jnp.float32) / (hd // 2)))
+    seq = jnp.arange(max(grid_h, grid_w), dtype=jnp.float32)
+    full = seq[:, None] * inv_freq[None]                     # [g, hd//4]
+    hpos = jnp.repeat(jnp.arange(grid_h), grid_w)
+    wpos = jnp.tile(jnp.arange(grid_w), grid_h)
+    rpe = jnp.concatenate([full[hpos], full[wpos]], axis=-1)  # [T, hd//2]
+    rpe = jnp.concatenate([class_row.astype(jnp.float32), rpe], axis=0)
+    emb = jnp.concatenate([rpe, rpe], axis=-1)                # [1+T, hd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rope_apply(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """rotate_half convention on [B, S, H, D] (apply_rotary_pos_emb_vision)."""
+    xf = x.astype(jnp.float32)
+    x1, x2 = jnp.split(xf, 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    out = xf * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    return out.astype(x.dtype)
 
 
 class ViTBlock(nn.Module):
     cfg: CLIPVisionConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None):
         cfg = self.cfg
         b, s, w = x.shape
         hd = w // cfg.heads
@@ -61,12 +109,33 @@ class ViTBlock(nn.Module):
         q = nn.Dense(w, dtype=cfg.dtype, name="q_proj")(h).reshape(b, s, cfg.heads, hd)
         k = nn.Dense(w, dtype=cfg.dtype, name="k_proj")(h).reshape(b, s, cfg.heads, hd)
         v = nn.Dense(w, dtype=cfg.dtype, name="v_proj")(h).reshape(b, s, cfg.heads, hd)
+        if rope is not None:
+            q = _rope_apply(q, *rope)
+            k = _rope_apply(k, *rope)
         o = attention(q, k, v).reshape(b, s, w)
         x = x + nn.Dense(w, dtype=cfg.dtype, name="out_proj")(o)
-        h = nn.Dense(w * 4, dtype=cfg.dtype, name="mlp_fc")(ln("ln_2")(x))
-        h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
+        h = nn.Dense(cfg.ffn_width or w * 4, dtype=cfg.dtype,
+                     name="mlp_fc")(ln("ln_2")(x))
+        if cfg.act == "gelu":
+            h = jax.nn.gelu(h, approximate=False)
+        else:
+            h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
         x = x + nn.Dense(w, dtype=cfg.dtype, name="mlp_proj")(h)
         return x
+
+
+def _slice_indices(cfg: CLIPVisionConfig) -> list:
+    """Which hidden-state indices feature_select reads (HF indexing:
+    hidden_states[0] = post-pre-LN embeddings, [i+1] = after block i;
+    open_clip indexing: [i] = after block i)."""
+    n_hidden = cfg.layers + (1 if cfg.hidden_base == "hf" else 0)
+    mode = cfg.feature_mode
+    if mode.startswith("slicefour_"):
+        k = n_hidden // 4
+        return list(range(k + cfg.select_layer, n_hidden, k))
+    if mode.startswith("slice_m25811_f6_"):
+        return [i % n_hidden for i in (-2, -5, -8, -11, 6)]
+    return [cfg.select_layer % n_hidden]
 
 
 class CLIPVisionTower(nn.Module):
@@ -74,7 +143,8 @@ class CLIPVisionTower(nn.Module):
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
-        """pixels: [N, 336, 336, 3] CLIP-normalized -> [N, 576, width]."""
+        """pixels: [N, 336, 336, 3] CLIP-normalized -> [N, 576, width]
+        (or [N, 1+576, k*width] per select_feature)."""
         cfg = self.cfg
         x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
                     strides=cfg.patch_size, use_bias=False, dtype=cfg.dtype,
@@ -85,19 +155,30 @@ class CLIPVisionTower(nn.Module):
                          (cfg.width,))
         x = jnp.concatenate([jnp.tile(cls[None, None], (n, 1, 1)).astype(x.dtype),
                              x], axis=1)
-        pos = self.param("positional_embedding", nn.initializers.normal(0.02),
-                         (cfg.num_patches + 1, cfg.width))
-        x = x + pos[None].astype(x.dtype)
+        rope = None
+        if cfg.pos_embed == "rope2d":
+            class_row = self.param("class_pos_emb",
+                                   nn.initializers.normal(0.02),
+                                   (1, (cfg.width // cfg.heads) // 2))
+            rope = _rope2d_angles(cfg, class_row, hh, ww)
+        else:
+            pos = self.param("positional_embedding",
+                             nn.initializers.normal(0.02),
+                             (cfg.num_patches + 1, cfg.width))
+            x = x + pos[None].astype(x.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
-        # run up to select_layer: -2 means the LAST block is skipped
-        n_run = cfg.layers + (cfg.select_layer + 1) if cfg.select_layer < 0 \
-            else cfg.select_layer
-        selected = x
+        want = _slice_indices(cfg)
+        hidden = {}
+        base = 1 if cfg.hidden_base == "hf" else 0
+        if cfg.hidden_base == "hf" and 0 in want:
+            hidden[0] = x
         for i in range(cfg.layers):
-            x = ViTBlock(cfg, name=f"block_{i}")(x)
-            if i == n_run - 1:
-                selected = x
-        if cfg.keep_cls:
+            x = ViTBlock(cfg, name=f"block_{i}")(x, rope=rope)
+            if i + base in want:
+                hidden[i + base] = x
+        selected = jnp.concatenate([hidden[i] for i in want], axis=-1) \
+            if len(want) > 1 else hidden[want[0]]
+        if cfg.feature_mode.endswith("cls_patch"):
             return selected
         return selected[:, 1:, :]  # drop CLS ('patch' select_feature)
 

@@ -122,6 +122,65 @@ def convert_hf_clip_vision(sd: Dict[str, Any], cfg) -> Dict:
     return {"params": p}
 
 
+def convert_openclip_vision(sd: Dict[str, Any], cfg) -> Dict:
+    """open_clip VisionTransformer (`visual.`-stripped) state_dict ->
+    CLIPVisionTower params (OpenCLIPVisionTower parity,
+    llava/model/multimodal_encoder/open_clip_encoder.py:81-104).
+
+    open_clip naming: conv1, class_embedding, positional_embedding, ln_pre,
+    transformer.resblocks.{i}.{ln_1, attn.in_proj_*, attn.out_proj, ln_2,
+    mlp.c_fc, mlp.c_proj} — fused qkv split three ways like the text side."""
+    p: Dict[str, Any] = {
+        "class_embedding": t2n(sd["class_embedding"]),
+        "positional_embedding": t2n(sd["positional_embedding"]),
+        "patch_embed": {"kernel": t2n(sd["conv1.weight"]).transpose(2, 3, 1, 0)},
+        "ln_pre": _lnorm(sd, "ln_pre"),
+    }
+    for i in range(cfg.layers):
+        lp = f"transformer.resblocks.{i}"
+        w = np.split(t2n(sd[f"{lp}.attn.in_proj_weight"]), 3, axis=0)
+        b = np.split(t2n(sd[f"{lp}.attn.in_proj_bias"]), 3, axis=0)
+        p[f"block_{i}"] = {
+            "ln_1": _lnorm(sd, f"{lp}.ln_1"),
+            "ln_2": _lnorm(sd, f"{lp}.ln_2"),
+            "q_proj": {"kernel": w[0].T, "bias": b[0]},
+            "k_proj": {"kernel": w[1].T, "bias": b[1]},
+            "v_proj": {"kernel": w[2].T, "bias": b[2]},
+            "out_proj": _dense(sd, f"{lp}.attn.out_proj"),
+            "mlp_fc": _dense(sd, f"{lp}.mlp.c_fc"),
+            "mlp_proj": _dense(sd, f"{lp}.mlp.c_proj"),
+        }
+    return {"params": p}
+
+
+def convert_mlcd_vision(sd: Dict[str, Any], cfg) -> Dict:
+    """HF MLCDVisionModel state_dict -> CLIPVisionTower(pos_embed='rope2d')
+    params (MLCDVisionTower parity, mlcd_encoder.py:17-100). Same tree as
+    CLIP vision minus the absolute position table, plus the learned
+    class-token rotary row (vision_model.class_pos_emb)."""
+    pre = "vision_model"
+    p: Dict[str, Any] = {
+        "class_embedding": t2n(sd[f"{pre}.embeddings.class_embedding"]),
+        "class_pos_emb": t2n(sd[f"{pre}.class_pos_emb"]),
+        "patch_embed": {"kernel": t2n(
+            sd[f"{pre}.embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)},
+        "ln_pre": _lnorm(sd, f"{pre}.pre_layrnorm"),
+    }
+    for i in range(cfg.layers):
+        lp = f"{pre}.encoder.layers.{i}"
+        p[f"block_{i}"] = {
+            "ln_1": _lnorm(sd, f"{lp}.layer_norm1"),
+            "ln_2": _lnorm(sd, f"{lp}.layer_norm2"),
+            "q_proj": _dense(sd, f"{lp}.self_attn.q_proj"),
+            "k_proj": _dense(sd, f"{lp}.self_attn.k_proj"),
+            "v_proj": _dense(sd, f"{lp}.self_attn.v_proj"),
+            "out_proj": _dense(sd, f"{lp}.self_attn.out_proj"),
+            "mlp_fc": _dense(sd, f"{lp}.mlp.fc1"),
+            "mlp_proj": _dense(sd, f"{lp}.mlp.fc2"),
+        }
+    return {"params": p}
+
+
 # ---------------------------------------------------------------- Llama-3
 
 def merge_lora(base: np.ndarray, lora_a, lora_b, scale: float) -> np.ndarray:
