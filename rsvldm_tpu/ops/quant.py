@@ -17,10 +17,13 @@ copy and loses the bandwidth win. Here nothing ever widens the weights.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 class QuantizedLinear(NamedTuple):
@@ -77,27 +80,40 @@ def int8_matmul(x: jnp.ndarray, w: QuantizedLinear,
 
 
 class Int4Linear(NamedTuple):
-    """packed: int8 [in//2, out] — row 2i in the LOW nibble, 2i+1 in the
-    HIGH nibble (both sign-extended int4 in [-7, 7]).
-    scale: float32 [in//group, out] such that w[i, o] ~= q[i, o] * scale[i//group, o].
+    """packed: int8 [in//2, out] — PLANE layout: row j holds weight row j in
+    the LOW nibble (stored BIASED: value+8, in [1, 15]) and weight row
+    j + in//2 in the HIGH nibble (two's-complement signed, in [-7, 7]).
+
+    The asymmetric format is deliberate, for the Pallas decode kernel:
+    Mosaic legalizes only bitwise ops on int8 vectors (no shifts, no
+    sub), and with this format both planes are a single AND each:
+    lo_b = pk & 0x0F (biased low nibble, non-negative) and
+    hi16 = pk & 0xF0 == 16*hi as an int8 VALUE (mask keeps the sign bit).
+    The x16 folds into the high-plane scales and the +8 bias is removed
+    by one small correction matmul against the per-group activation sums.
+    Plane packing (vs interleaved 2i/2i+1 rows) makes the XLA unpack a
+    concat of two copies — no lane interleave.
+
+    scale: float32 [in//group, out] with w[i, o] ~= q[i, o] * scale[i//group, o];
     group = (2 * packed.shape[0]) // scale.shape[0]."""
     packed: jnp.ndarray
     scale: jnp.ndarray
 
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """q: int8 [in, out] with values in [-8, 7] -> int8 [in//2, out]."""
-    lo = q[0::2].astype(jnp.int8)
-    hi = q[1::2].astype(jnp.int8)
-    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    """q: int8 [in, out] with values in [-8, 7] -> int8 [in//2, out]
+    (plane layout; low nibble stored biased +8 — see Int4Linear)."""
+    half = q.shape[0] // 2
+    lo = (q[:half].astype(jnp.int8) + 8) & 0xF
+    hi = q[half:].astype(jnp.int8)
+    return ((hi << 4) | lo).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """int8 [in//2, out] -> int8 [in, out] (sign-extended nibbles)."""
-    lo = (packed << 4) >> 4          # arithmetic shifts sign-extend
-    hi = packed >> 4
-    half, out = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(half * 2, out)
+    """int8 [in//2, out] -> int8 [in, out] (signed nibble planes)."""
+    lo = (packed & 0xF) - 8          # un-bias the low plane
+    hi = packed >> 4                 # arithmetic shift sign-extends
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
 def quantize_weight_int4(w: jnp.ndarray, group: int = 128) -> Int4Linear:
@@ -127,11 +143,17 @@ def quantize_acts_grouped(x: jnp.ndarray, group: int):
     return xq, s
 
 
-def int4_matmul(x: jnp.ndarray, w: Int4Linear,
-                out_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """y = x @ dequant(w): unpack nibbles -> s8xs8->s32 per group block on
+def _int4_matmul_xla(x: jnp.ndarray, w: Int4Linear,
+                     out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Reference XLA path: unpack nibbles -> s8xs8->s32 per group block on
     the MXU (group axis as a dot_general batch dim) -> both scales on the
-    int32 group accumulator -> sum over groups. x: [..., in]."""
+    int32 group accumulator -> sum over groups. x: [..., in].
+
+    Fine for PREFILL (the unpack materialization and the [Gb, R, G] batched
+    dots amortize over many rows R); pathological for batch-1 decode, where
+    XLA materializes the unpacked int8 weights to HBM every step (measured
+    3.9 tok/s at the 8B geometry) — decode goes through the Pallas kernel
+    below instead."""
     inf = 2 * w.packed.shape[0]
     gb = w.scale.shape[0]
     group = inf // gb
@@ -148,3 +170,150 @@ def int4_matmul(x: jnp.ndarray, w: Int4Linear,
     ws = w.scale.reshape(gb, *(1,) * len(lead), -1)         # [Gb, 1.., out]
     y = (acc.astype(jnp.float32) * xs_t * ws).sum(axis=0)
     return y.astype(out_dtype)
+
+
+# --- Pallas int4 decode kernel ---------------------------------------------
+# Streams the PACKED nibbles HBM->VMEM through the grid pipeline, unpacks
+# in-register on the VPU (two arithmetic shifts), runs one s8xs8->s32 MXU
+# sub-dot per 128-row scale group, and applies both scales to the int32
+# group accumulator in a fp32 VMEM scratch. The weight stream out of HBM is
+# the packed 4-bit bytes — nothing is ever materialized wider, which is the
+# whole point for memory-bound batch-1 decode (~4.3 GB/token for 8B).
+
+
+def _int4_decode_kernel(xql_ref, xqh_ref, xsl_ref, xsh_ref, packed_ref,
+                        wl_ref, wh_ref, out_ref, acc_ref, *, gpb: int,
+                        n_in2: int):
+    """One grid step: a [bin2, bout] packed block covering the SAME rows of
+    both nibble planes. All operand refs are blocked by the grid (static
+    in-kernel indexing only — dynamic slices measurably stall the DMA
+    pipeline at this blocks/second rate)."""
+    kin = pl.program_id(1)
+
+    @pl.when(kin == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pk = packed_ref[:]                       # [bin2, bout] packed nibbles
+    # two packed int8 VPU ops per byte — bitwise ANDs only (Mosaic
+    # legalizes i8 vector andi but not shifts/subi; see Int4Linear for the
+    # biased format that makes this sufficient): masking the top nibble
+    # keeps the sign bit, so (pk & 0xF0) IS 16*hi as an int8 value.
+    lob = pk & jnp.int8(0x0F)                # low plane, biased +8, in [0,15]
+    hi16 = pk & jnp.int8(-16)                # 0xF0 mask == 16 * high plane
+    for g in range(gpb):
+        sl = slice(g * 128, (g + 1) * 128)
+        acc_l = jax.lax.dot_general(
+            xql_ref[g], lob[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_h = jax.lax.dot_general(
+            xqh_ref[g], hi16[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[:] += (acc_l.astype(jnp.float32) * xsl_ref[g]
+                       * wl_ref[pl.ds(g, 1), :]
+                       + acc_h.astype(jnp.float32) * xsh_ref[g]
+                       * wh_ref[pl.ds(g, 1), :])
+
+    @pl.when(kin == n_in2 - 1)
+    def _fin():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pick_bin2(in_half: int) -> int:
+    for cand in (1024, 512, 256, 128):
+        if in_half % cand == 0:
+            return cand
+    return 0
+
+
+def int4_matmul_pallas(x: jnp.ndarray, w: Int4Linear,
+                       out_dtype=jnp.bfloat16, *, bout: int = 1024,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Decode-path y = x @ dequant(w) via the Pallas kernel. Requires
+    group == 128 and in % 256 == 0; rows padded to a multiple of 8 (use for
+    small-R decode steps — prefill takes _int4_matmul_xla)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    inf = 2 * w.packed.shape[0]
+    gb = w.scale.shape[0]
+    group = inf // gb
+    assert group == 128 and inf % 256 == 0, (inf, group)
+    in_half = inf // 2
+    bin2 = _pick_bin2(in_half)
+    assert bin2, in_half
+    r = 1
+    for d in lead:
+        r *= d
+    bp = max(8, -(-r // 8) * 8)
+    out = w.packed.shape[1]
+    out_p = -(-out // bout) * bout
+
+    xq, xs = quantize_acts_grouped(x.reshape(r, inf), 128)  # [R,Gb,128],[R,Gb,1]
+    xq = jnp.pad(xq, ((0, bp - r), (0, 0), (0, 0)))
+    xs = jnp.pad(xs.astype(jnp.float32), ((0, bp - r), (0, 0), (0, 0)))
+    gbh = gb // 2
+    xq3 = xq.transpose(1, 0, 2)                             # [Gb, Bp, 128]
+    xs3 = xs.transpose(1, 0, 2)                             # [Gb, Bp, 1]
+    packed = w.packed
+    wsc = w.scale.astype(jnp.float32)
+    # fold the biased-format algebra into the scales: high plane operands
+    # come out of the kernel as 16*q (scale /16); the low plane's +8 bias
+    # is removed by the correction matmul below
+    wl, wh = wsc[:gbh], wsc[gbh:] / 16.0
+    if out_p != out:
+        packed = jnp.pad(packed, ((0, 0), (0, out_p - out)))
+        wl = jnp.pad(wl, ((0, 0), (0, out_p - out)))
+        wh = jnp.pad(wh, ((0, 0), (0, out_p - out)))
+
+    n_in2 = in_half // bin2
+    gpb = bin2 // 128
+    grid = (out_p // bout, n_in2)
+    kernel = functools.partial(_int4_decode_kernel, gpb=gpb, n_in2=n_in2)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((gpb, bp, 128), lambda j, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),    # xq low-plane groups
+            pl.BlockSpec((gpb, bp, 128), lambda j, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),    # xq high-plane groups
+            pl.BlockSpec((gpb, bp, 1), lambda j, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bp, 1), lambda j, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin2, bout), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bout), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bout), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, bout), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, out_p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bp, bout), jnp.float32)],
+        interpret=interpret,
+    )(xq3[:gbh], xq3[gbh:], xs3[:gbh], xs3[gbh:], packed, wl, wh)
+    # remove the low plane's +8 bias: 8 * sum_g xs_g * (sum_k xq_gk) * sw_g
+    xsum = xq[:, :gbh].astype(jnp.float32).sum(axis=-1)     # [Bp, Gbh]
+    corr = 8.0 * ((xs[:, :gbh, 0] * xsum) @ wsc[:gbh])      # [Bp, out]
+    y = y[:, :out] - corr
+    return y[:r].reshape(*lead, out).astype(out_dtype)
+
+
+def int4_matmul(x: jnp.ndarray, w: Int4Linear,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """y = x @ dequant(w) with group-128 weight scales on the int32 group
+    accumulator. Small-R (decode) calls on TPU take the Pallas packed-stream
+    kernel; everything else takes the XLA grouped-dot path."""
+    inf = 2 * w.packed.shape[0]
+    gb = w.scale.shape[0]
+    r = 1
+    for d in x.shape[:-1]:
+        r *= d
+    if (jax.default_backend() == "tpu" and r <= 32
+            and inf // gb == 128 and inf % 256 == 0
+            and _pick_bin2(inf // 2)):
+        return int4_matmul_pallas(x, w, out_dtype=out_dtype)
+    return _int4_matmul_xla(x, w, out_dtype=out_dtype)

@@ -206,3 +206,35 @@ def test_qdense_bias():
     lg, qlg = np.asarray(lg), np.asarray(qlg)
     cos = np.sum(lg * qlg) / (np.linalg.norm(lg) * np.linalg.norm(qlg))
     assert cos > 0.99, cos
+
+
+def test_int4_pallas_kernel_matches_xla():
+    """The Pallas packed-stream decode kernel computes the identical
+    grouped-scale contraction as the XLA reference path (interpret mode on
+    CPU; same int8 activation quantization, fp32 accumulation)."""
+    from rsvldm_tpu.ops.quant import (_int4_matmul_xla, int4_matmul_pallas,
+                                      quantize_weight_int4)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, 512)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(512, 384)).astype(np.float32) * 0.05)
+    ql = quantize_weight_int4(w, group=128)
+    ref = np.asarray(_int4_matmul_xla(x, ql, out_dtype=jnp.float32))
+    # out=384 is not a multiple of bout=256 -> exercises output padding
+    y = np.asarray(int4_matmul_pallas(x, ql, out_dtype=jnp.float32,
+                                      interpret=True))
+    assert np.allclose(y, ref, rtol=2e-5, atol=2e-4), np.abs(y - ref).max()
+
+
+def test_int4_pallas_kernel_batch_shapes():
+    from rsvldm_tpu.ops.quant import (_int4_matmul_xla, int4_matmul_pallas,
+                                      quantize_weight_int4)
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32) * 0.1)
+    ql = quantize_weight_int4(w, group=128)
+    for shape in ((1, 256), (2, 1, 256), (9, 256)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = np.asarray(_int4_matmul_xla(x, ql, out_dtype=jnp.float32))
+        y = np.asarray(int4_matmul_pallas(x, ql, out_dtype=jnp.float32,
+                                          interpret=True))
+        assert y.shape == ref.shape
+        assert np.allclose(y, ref, rtol=2e-5, atol=2e-4)
