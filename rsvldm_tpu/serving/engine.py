@@ -1,0 +1,248 @@
+"""Continuous-batching LLM decode engine (the sglang_worker equivalent).
+
+Parity target: /root/reference llava/serve/sglang_worker.py — the reference
+delegates high-throughput serving to the external sglang runtime (radix
+attention + continuous batching on CUDA). This is the TPU-native
+replacement: a slot-pool scheduler around the framework's own scan-free
+decode step.
+
+TPU design
+----------
+Batch-1 decode is a pure HBM weight stream (every token reads every weight
+byte), so tokens/s multiplies almost linearly with the number of sequences
+sharing a step — but a static batched call (`generate_batch`) forces all
+requests to start and finish together. Here the batch membership changes
+BETWEEN jitted steps instead:
+
+- A fixed pool of B slots backs one donated KV cache
+  [layers, B, max_len, kvh, hd]; jit donation updates it in place, so the
+  pool is allocated once.
+- `prefill` runs the prompt through the model against a FRESH zero row
+  cache (also zeroing any stale K/V from the slot's previous occupant) and
+  inserts that row into the pool with one dynamic_update_slice; the slot
+  index is a traced scalar — no recompile per slot. Prompt lengths are
+  bucketed (pad to /pad_to) so XLA caches one prefill executable per
+  bucket.
+- `decode_step` advances ALL slots one token with the per-row-position
+  cache layout (models/vlm/llama.py LlamaBlock: physical slot == logical
+  position, masking purely causal) — one fixed-shape executable for the
+  engine's whole lifetime. Free slots run on frozen positions; their
+  writes land in rows the scheduler owns and the next prefill zeroes.
+- Admission, EOT/max-token eviction, and detokenization happen on host
+  between steps (one [B]-token device->host fetch per step).
+
+Sampling matches `generate`'s semantics (temperature categorical / greedy
+argmax) but is keyed per request: key = fold_in(fold_in(base, nonce), step)
+so a request's token stream is independent of which slot it lands in and
+of its co-tenants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+import threading
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vlm.llama import KVCache, LlamaModel
+from ..models.vlm.generate import GenerateConfig, LLAMA3_EOT
+
+
+@dataclasses.dataclass
+class _Request:
+    uid: int
+    embeds: Any                 # [S, D] spliced prompt embeddings
+    max_new_tokens: int
+    temperature: float
+    eot_ids: tuple
+    nonce: int
+    out_ids: list = dataclasses.field(default_factory=list)
+    slot: int = -1
+    prompt_len: int = 0
+    done: bool = False
+    event: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
+
+
+def _sample(lg, temp, key):
+    """Per-row sampling: categorical at temp>0, argmax otherwise (the
+    where keeps one executable for mixed-temperature co-tenants)."""
+    safe = jnp.maximum(temp, 1e-6)
+    samp = jax.random.categorical(key, lg / safe[..., None], axis=-1)
+    return jnp.where(temp > 0, samp, jnp.argmax(lg, axis=-1))
+
+
+class DecodeEngine:
+    """Slot-pool continuous-batching decoder over a LlamaModel.
+
+    model/params: the (possibly quantized) decoder; slots: max concurrent
+    sequences; max_len: per-slot cache length (prompt + generation).
+    """
+
+    def __init__(self, model: LlamaModel, params: Any, slots: int = 4,
+                 max_len: int = 4096, pad_to: int = 128,
+                 cache_dtype=None, rng: jax.Array | None = None):
+        self.model = model
+        self.params = params
+        self.slots = slots
+        self.max_len = max_len
+        self.pad_to = pad_to
+        self.rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.cache = KVCache.init(model.cfg, slots, max_len,
+                                  cache_dtype or model.cfg.dtype)
+        self._free = list(range(slots))
+        self._active: dict[int, _Request] = {}      # slot -> request
+        self._waiting: list[_Request] = []
+        self._uid = itertools.count()
+        self._nonce = itertools.count(1)
+        self._lock = threading.Lock()
+        self._requests: dict[int, _Request] = {}
+
+        mdl = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("s_pad",))
+        def _prefill(params, pool: KVCache, embeds, slot, true_len, nonce,
+                     temp, s_pad: int):
+            """embeds: [s_pad, D]; runs the prompt on a zero row cache,
+            inserts the row at `slot`, returns (pool', first sampled tok)."""
+            row = KVCache.init(mdl.cfg, 1, pool.k.shape[2],
+                               pool.k.dtype)
+            logits, row = mdl.apply(params, embeds[None], row, 0)
+            k = jax.lax.dynamic_update_slice(
+                pool.k, row.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                pool.v, row.v, (0, slot, 0, 0, 0))
+            last = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1, axis=0, keepdims=False)
+            key = jax.random.fold_in(jax.random.fold_in(self.rng, nonce), 0)
+            tok = _sample(last[None], temp[None], key)[0]
+            return KVCache(k, v), tok
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _decode(params, pool: KVCache, toks, pos, temps, nonces, counts):
+            """One token for every slot. toks/pos/temps/nonces/counts: [B];
+            counts = tokens each request has generated so far, so the
+            sampling key (nonce, count) is independent of slot placement
+            and co-tenants."""
+            emb = mdl.apply(params, toks[:, None], method=mdl.embed)
+            logits, pool = mdl.apply(params, emb, pool, pos)
+            keys = jax.vmap(lambda n, c: jax.random.fold_in(
+                jax.random.fold_in(self.rng, n), c))(nonces, counts)
+            nxt = jax.vmap(lambda lg, t, k: _sample(lg[None], t[None], k)[0]
+                           )(logits[:, -1], temps, keys)
+            return pool, nxt
+
+        self._prefill = _prefill
+        self._decode = _decode
+
+    # -- submission --------------------------------------------------------
+    def submit(self, input_embeds, cfg: GenerateConfig | None = None) -> int:
+        """Queue one spliced prompt [S, D]; returns a request uid. The
+        request starts decoding when a slot frees up."""
+        cfg = cfg or GenerateConfig()
+        s = input_embeds.shape[0]
+        if s + cfg.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt {s} + max_new {cfg.max_new_tokens} exceeds the "
+                f"engine max_len {self.max_len}")
+        req = _Request(uid=next(self._uid), embeds=input_embeds,
+                       max_new_tokens=cfg.max_new_tokens,
+                       temperature=(cfg.temperature if cfg.do_sample
+                                    else 0.0),
+                       eot_ids=tuple(cfg.eot_ids), nonce=next(self._nonce))
+        with self._lock:
+            self._waiting.append(req)
+            self._requests[req.uid] = req
+        return req.uid
+
+    # -- scheduling --------------------------------------------------------
+    def _admit(self):
+        while self._free and self._waiting:
+            req = self._waiting.pop(0)
+            slot = self._free.pop(0)
+            s = req.embeds.shape[0]
+            s_pad = -(-s // self.pad_to) * self.pad_to
+            emb = jnp.pad(jnp.asarray(req.embeds), ((0, s_pad - s), (0, 0)))
+            self.cache, tok = self._prefill(
+                self.params, self.cache, emb, slot, s,
+                jnp.asarray(req.nonce), jnp.float32(req.temperature),
+                s_pad=s_pad)
+            req.slot = slot
+            req.prompt_len = s
+            self._active[slot] = req
+            self._record(req, int(tok))
+
+    def _record(self, req: _Request, tok: int):
+        req.out_ids.append(tok)
+        if (tok in req.eot_ids
+                or len(req.out_ids) >= req.max_new_tokens
+                or req.prompt_len + len(req.out_ids) >= self.max_len):
+            if req.out_ids and req.out_ids[-1] in req.eot_ids:
+                req.out_ids.pop()
+            req.done = True
+            self._active.pop(req.slot, None)
+            self._free.append(req.slot)
+            req.event.set()
+
+    def step(self) -> int:
+        """Admit waiting requests, then advance every active slot one
+        token. Returns the number of active requests after the step."""
+        with self._lock:
+            self._admit()
+            if not self._active:
+                return 0
+            toks = np.zeros((self.slots,), np.int32)
+            pos = np.zeros((self.slots,), np.int32)
+            temps = np.zeros((self.slots,), np.float32)
+            nonces = np.zeros((self.slots,), np.int32)
+            counts = np.zeros((self.slots,), np.int32)
+            for slot, req in self._active.items():
+                toks[slot] = req.out_ids[-1]
+                # the incoming token out_ids[-1] is written at the position
+                # right after the prompt + previously WRITTEN generations
+                pos[slot] = req.prompt_len + len(req.out_ids) - 1
+                temps[slot] = req.temperature
+                nonces[slot] = req.nonce
+                counts[slot] = len(req.out_ids)
+            self.cache, nxt = self._decode(
+                self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(nonces), jnp.asarray(counts))
+            nxt = np.asarray(nxt)
+            for slot, req in list(self._active.items()):
+                self._record(req, int(nxt[slot]))
+            return len(self._active) + len(self._waiting)
+
+    # -- results -----------------------------------------------------------
+    def result(self, uid: int) -> np.ndarray:
+        req = self._requests[uid]
+        if not req.done:
+            raise RuntimeError(f"request {uid} not finished")
+        return np.asarray(req.out_ids, np.int32)
+
+    def wait(self, uid: int, timeout: float | None = None) -> np.ndarray:
+        """Block until `uid` finishes (another thread must drive step())."""
+        req = self._requests[uid]
+        if not req.event.wait(timeout):
+            raise TimeoutError(f"request {uid}")
+        return self.result(uid)
+
+    def run_until_idle(self, max_steps: int = 100_000) -> None:
+        """Drive step() until every submitted request has finished."""
+        for _ in range(max_steps):
+            if self.step() == 0 and not self._waiting:
+                return
+        raise RuntimeError("engine did not drain")
+
+    def generate_all(self, prompts: Sequence, cfg: GenerateConfig
+                     ) -> list[np.ndarray]:
+        """Convenience: submit a list of [S, D] prompts, drain, return ids
+        in submission order."""
+        uids = [self.submit(p, cfg) for p in prompts]
+        self.run_until_idle()
+        return [self.result(u) for u in uids]

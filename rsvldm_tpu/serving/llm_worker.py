@@ -1,0 +1,112 @@
+"""Continuous-batching LLM worker (sglang_worker parity surface).
+
+Parity target: /root/reference llava/serve/sglang_worker.py — a model
+worker that delegates generation to a high-throughput runtime instead of
+calling HF generate per request. Here the runtime is the in-repo
+:class:`~rsvldm_tpu.serving.engine.DecodeEngine`: concurrent HTTP requests
+land in the slot pool and share every weight read of the decode stream,
+so worker throughput scales with concurrency instead of serializing.
+
+Protocol (stdlib http.server, same controller handshake as
+serving/worker.py):
+  POST /worker_generate  {"prompt": str, "max_new_tokens"?, "temperature"?}
+                         -> {"text": str}
+  POST /worker_get_status -> {"model_names": [...], "queue_length": N}
+
+`embed_prompt(prompt) -> [S, D]` turns the rendered prompt into spliced
+input embeddings — for the captioner this is where anyres vision features
+enter; for plain chat it is embed(tokenize(prompt)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+from ..models.vlm.generate import GenerateConfig
+from .engine import DecodeEngine
+from .worker import Worker
+
+
+class LLMWorker(Worker):
+    """Worker whose generate path is the continuous-batching engine."""
+
+    def __init__(self, engine: DecodeEngine,
+                 embed_prompt: Callable, decode_fn: Callable,
+                 worker_name: str, controller_url: str | None = None,
+                 model_names: tuple = ("rsvldm-llm",),
+                 base_cfg: GenerateConfig | None = None):
+        super().__init__(pipeline=None, worker_name=worker_name,
+                         controller_url=controller_url,
+                         model_names=model_names)
+        self.engine = engine
+        self.embed_prompt = embed_prompt
+        self.decode_fn = decode_fn
+        self.base_cfg = base_cfg or GenerateConfig()
+        self._driver_started = False
+
+    # the engine needs one thread calling step(); HTTP handler threads
+    # only submit and wait
+    def _driver_loop(self):
+        while not self._stop.is_set():
+            if self.engine.step() == 0:
+                self._stop.wait(0.005)
+
+    def _ensure_driver(self):
+        if not self._driver_started:
+            self._driver_started = True
+            threading.Thread(target=self._driver_loop, daemon=True).start()
+
+    def generate_text(self, prompt: str, max_new_tokens: int | None = None,
+                      temperature: float | None = None) -> str:
+        self._ensure_driver()
+        cfg = self.base_cfg
+        if max_new_tokens is not None:
+            cfg = dataclasses.replace(cfg, max_new_tokens=int(max_new_tokens))
+        if temperature is not None:
+            cfg = dataclasses.replace(cfg, temperature=float(temperature),
+                                      do_sample=float(temperature) > 0)
+        self.queue_length += 1
+        try:
+            uid = self.engine.submit(self.embed_prompt(prompt), cfg)
+            ids = self.engine.wait(uid, timeout=600)
+            return self.decode_fn(ids.tolist()).lstrip()
+        finally:
+            self.queue_length -= 1
+
+    def serve(self, host: str = "0.0.0.0", port: int = 40001):
+        self.register()
+        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
+        self._ensure_driver()
+        worker = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/worker_generate":
+                    out = {"text": worker.generate_text(
+                        payload["prompt"],
+                        payload.get("max_new_tokens"),
+                        payload.get("temperature"))}
+                elif self.path == "/worker_get_status":
+                    out = dict(model_names=worker.model_names,
+                               queue_length=worker.queue_length)
+                else:
+                    out = {"error": "unknown endpoint"}
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server

@@ -1,0 +1,179 @@
+"""Continuous-batching decode engine (serving/engine.py) + LLM worker.
+
+The engine must produce, for every request, exactly the tokens the plain
+`generate` path produces for that prompt alone (greedy) — regardless of
+slot placement, co-tenants, staggered admission, or slot reuse. That is
+the correctness contract of continuous batching: scheduling must be
+invisible in the output.
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsvldm_tpu.models.vlm.generate import GenerateConfig, generate
+from rsvldm_tpu.models.vlm.llama import KVCache, LlamaConfig, LlamaModel
+from rsvldm_tpu.serving.engine import DecodeEngine
+
+CFG = LlamaConfig(vocab_size=128, dim=32, layers=2, heads=4, kv_heads=2,
+                  ffn_dim=64, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaModel(CFG)
+    cache = KVCache.init(CFG, 1, 8, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4), jnp.int32), cache, 0,
+                        method=model.from_tokens)
+    return model, params
+
+
+def _prompts(model, params, lengths, seed=7):
+    rng = np.random.default_rng(seed)
+    out = []
+    for s in lengths:
+        ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(s,)),
+                          jnp.int32)
+        out.append(model.apply(params, ids, method=model.embed))
+    return out
+
+
+def _ref(model, params, prompts, cfg):
+    return [generate(model, params, p, cfg, jax.random.PRNGKey(1))
+            for p in prompts]
+
+
+GREEDY = GenerateConfig(max_new_tokens=12, temperature=0.0, do_sample=False,
+                        eot_ids=(127,), pad_to=8)
+
+
+def test_engine_matches_generate_greedy(model_and_params):
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5, 9, 3])
+    ref = _ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=3, max_len=64, pad_to=8)
+    out = eng.generate_all(prompts, GREEDY)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(r, o)
+
+
+def test_engine_slot_reuse_single_slot(model_and_params):
+    """slots=1 forces strictly sequential occupancy of ONE cache row —
+    proves the fresh-row prefill really clears the previous tenant."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [6, 4, 10], seed=11)
+    ref = _ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    out = eng.generate_all(prompts, GREEDY)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(r, o)
+
+
+def test_engine_staggered_admission(model_and_params):
+    """A request admitted mid-flight of the others must not perturb them
+    (and must itself match its solo decode)."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [4, 7, 5], seed=13)
+    ref = _ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=3, max_len=64, pad_to=8)
+    u0 = eng.submit(prompts[0], GREEDY)
+    u1 = eng.submit(prompts[1], GREEDY)
+    for _ in range(5):
+        eng.step()
+    u2 = eng.submit(prompts[2], GREEDY)   # joins while u0/u1 are decoding
+    eng.run_until_idle()
+    for uid, r in zip((u0, u1, u2), ref):
+        np.testing.assert_array_equal(r, eng.result(uid))
+
+
+def test_engine_mixed_max_tokens_and_queueing(model_and_params):
+    """More requests than slots with different max_new_tokens: early
+    finishers free slots for the queue; each result matches its solo run."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5, 5, 5, 5], seed=17)
+    cfgs = [GenerateConfig(max_new_tokens=m, temperature=0.0,
+                           do_sample=False, eot_ids=(127,), pad_to=8)
+            for m in (3, 12, 6, 9)]
+    ref = [generate(model, params, p, c, jax.random.PRNGKey(1))
+           for p, c in zip(prompts, cfgs)]
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+    uids = [eng.submit(p, c) for p, c in zip(prompts, cfgs)]
+    eng.run_until_idle()
+    for uid, r in zip(uids, ref):
+        np.testing.assert_array_equal(r, eng.result(uid))
+
+
+def test_engine_sampled_reproducible_across_placement(model_and_params):
+    """temperature>0: a request's sampled stream is keyed by (nonce,
+    count), so re-running the same submission order with different
+    co-tenant timing gives identical streams."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [4, 6], seed=19)
+    cfg = GenerateConfig(max_new_tokens=8, temperature=0.7, do_sample=True,
+                         eot_ids=(127,), pad_to=8)
+    eng1 = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+    out1 = eng1.generate_all(prompts, cfg)
+    # same requests, but serialized through one slot (different placement
+    # and co-tenancy) — streams must be unchanged
+    eng2 = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    out2 = eng2.generate_all(prompts, cfg)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_llm_worker_http_concurrent(model_and_params):
+    """sglang_worker-parity surface: concurrent HTTP clients share the
+    engine; each gets its own decode."""
+    import json
+    import urllib.request
+
+    from rsvldm_tpu.serving.llm_worker import LLMWorker
+
+    model, params = model_and_params
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+
+    def embed_prompt(prompt: str):
+        ids = jnp.asarray([(ord(c) % 96) + 1 for c in prompt], jnp.int32)
+        return model.apply(params, ids, method=model.embed)
+
+    def decode_fn(ids):
+        return " ".join(str(i) for i in ids)
+
+    worker = LLMWorker(eng, embed_prompt, decode_fn, worker_name="w0",
+                       base_cfg=GREEDY)
+    server = worker.serve(host="127.0.0.1", port=0)
+    port = server.server_address[1]
+
+    def post(prompt):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/worker_generate",
+            json.dumps({"prompt": prompt, "temperature": 0.0,
+                        "max_new_tokens": 6}).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())["text"]
+
+    results = {}
+
+    def client(name):
+        results[name] = post(name)
+
+    threads = [threading.Thread(target=client, args=(p,))
+               for p in ("hello world", "abcdefgh", "zzz")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every client got a non-empty, solo-equivalent answer
+    for prompt, text in results.items():
+        cfg = GenerateConfig(max_new_tokens=6, temperature=0.0,
+                             do_sample=False, eot_ids=(127,), pad_to=8)
+        ref = generate(model, params, embed_prompt(prompt), cfg,
+                       jax.random.PRNGKey(1))
+        assert text == decode_fn(ref.tolist()).lstrip()
+    worker.stop()
+    server.shutdown()
