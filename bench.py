@@ -16,10 +16,13 @@ driver bench now covers every hot stage (each in its own subprocess so the
                      real 8B runs TP-sharded over a slice)
 
 value = composite e2e seconds/image at the 512px path:
-  stage1 + 50*sdxl_step + 2*vae_decode + 256/llama_tok_s
-(no cache hits counted — the DFBCache skips most SDXL middle+decoder work
-at threshold 0.3, so the real steady-state is faster; ROUND1.md measured
-10.0 s/image with the cache active and real weights.)
+  stage1 + 50*sdxl_step + 2*vae_decode + prefill + 256/llama_tok_s
+(the caption term counts BOTH the measured 3584-token anyres prefill and
+the 256-token decode at the full int8 8B geometry. No cache hits counted
+— the DFBCache skips most SDXL middle+decoder work at threshold 0.3, so
+the real steady-state is faster; ROUND1.md measured 10.0 s/image with the
+cache active and real weights. Not counted: vision tower + CLIP
+conditioning forwards (single sub-10ms calls) and host PIL round-trips.)
 
 vs_baseline uses a documented ASSUMPTION for the torch/CUDA reference,
 which publishes no latency numbers (BASELINE.md): ~60 s/image — 500 SR3
@@ -69,8 +72,8 @@ def main():
     # metric; later parts are skipped if relay congestion eats the budget.
     # llama_int8 MEASURES the caption stage at the true 8B geometry (the
     # bf16 "llama" proxy stays as a comparison point, run last).
-    for name in ("stage1", "sdxl", "llama_int8", "vae", "llama_int4",
-                 "llama"):
+    for name in ("stage1", "sdxl", "llama_int8", "llama_prefill", "vae",
+                 "llama_int4", "llama"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"
             continue
@@ -96,13 +99,18 @@ def main():
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})
 
     # caption term: prefer the MEASURED full-geometry int8 decode over the
-    # bf16 proxy extrapolation (round-2 review Weak #1)
+    # bf16 proxy extrapolation (round-2 review Weak #1); the measured
+    # anyres prefill joins the composite when available (0.0 fallback keeps
+    # older partial runs comparable — its absence is visible in the extras)
     tok_s = res.get("llama8B_int8_tok_s") or res.get("llama8B_est_tok_s")
+    prefill = res.get("llama8B_prefill_3584_s", 0.0)
+    if prefill:
+        extras["llama8B_prefill_s"] = round(prefill, 2)
     needed = ("stage1_500step_s", "sdxl_step_64lat_s", "vae_decode_512px_s")
     if all(k in res for k in needed) and tok_s:
         composite = (res["stage1_500step_s"] + 50 * res["sdxl_step_64lat_s"]
                      + 2 * res["vae_decode_512px_s"]
-                     + 256 / tok_s)
+                     + prefill + 256 / tok_s)
         extras["composite_s_per_image"] = round(composite, 2)
         print(json.dumps({
             "metric": "e2e_seconds_per_image_512px_est",

@@ -72,7 +72,13 @@ def roofline(compiled, t_seconds, prefix="", trips=1):
 
     trips: XLA's cost analysis counts a while/scan BODY once — pass the
     known trip count for scan-shaped programs (500-step SR3 loop, N-token
-    decode) so the totals reflect actual executed work."""
+    decode) so the totals reflect actual executed work.
+
+    Both percentages are normalized to the BF16 ceilings. int8-MXU-
+    dominated programs (the quantized prefill) can legitimately exceed
+    100% mfu_pct — the s8xs8 MXU peak is ~2x bf16 — and cost_analysis
+    "bytes accessed" counts VMEM-reused reads, so hbm_pct > 100% marks
+    fused reuse, not impossible bandwidth."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -287,9 +293,49 @@ def part_llama_int4():
             **roofline(fdc, dt, prefix="llama_int4_", trips=n)}
 
 
+def part_llama_prefill():
+    """MEASURED anyres-scale prefill at the full 8B int8 geometry: one
+    3584-token prompt (a typical spliced anyres caption prompt is 3-6k
+    tokens) through the 32-layer stack — the caption stage cost the
+    decode-only term misses. Runs once per image, so it is measured as a
+    single fetch-synced call (33 ms relay dispatch is noise at this
+    scale)."""
+    import dataclasses
+
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
+                                             LlamaModel)
+    lcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                               quant="int8")
+    lm = LlamaModel(lcfg)
+    s = 3584
+    cache = KVCache.init(lcfg, 1, 4096, jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
+                          method=lm.from_tokens), jax.random.PRNGKey(0))
+
+    def mk(sh):
+        if sh.dtype == jnp.float32 and sh.shape == (lcfg.vocab_size,
+                                                    lcfg.dim):
+            return jnp.zeros(sh.shape, jnp.bfloat16)
+        return jnp.ones(sh.shape, sh.dtype)
+    lp = jax.tree_util.tree_map(mk, shapes)
+    emb = jnp.zeros((1, s, lcfg.dim), jnp.bfloat16)
+
+    def prefill(params, emb, cache):
+        logits, cache = lm.apply(params, emb, cache, 0)
+        return logits[0, -1]
+
+    fp = jax.jit(prefill)
+    fpc = aot(fp, lp, emb, cache)
+    dt = timed(lambda: fpc(lp, emb, cache), n=2)
+    return {"llama8B_prefill_3584_s": dt,
+            **roofline(fpc, dt, prefix="llama_prefill_")}
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
          "llama": part_llama, "llama_int8": part_llama_int8,
-         "llama_int4": part_llama_int4}
+         "llama_int4": part_llama_int4,
+         "llama_prefill": part_llama_prefill}
 
 
 def main():
