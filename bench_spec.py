@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Speculative-decoding round mechanics at the full 8B int8 geometry.
+
+Not part of the driver bench contract — records for ROUND3.md what a
+speculative round costs on one chip: k draft steps (tiny weight stream) +
+ONE (k+1)-token target forward (≈ the same HBM traffic as a 1-token
+step, since decode is weight-bound). The end-to-end speedup is
+(1 + E[accepted]) * t_token / t_round — acceptance depends on the trained
+draft, so this reports t_round and the implied tok/s at several
+acceptance levels instead of inventing an acceptance rate.
+
+Run: python bench_spec.py [k]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
+                                             LlamaModel)
+    from rsvldm_tpu.models.vlm.speculative import make_round_fn
+
+    tcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                               quant="int8")
+    # depth-4 draft of the same family/width (~1 GB int8): what a
+    # layer-pruned + distilled draft would cost at serve time
+    dcfg = dataclasses.replace(tcfg, layers=4)
+    tm, dm = LlamaModel(tcfg), LlamaModel(dcfg)
+    total = 4096
+
+    def mk_params(lm, cfg):
+        cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda key: lm.init(key, jnp.zeros((1, 8), jnp.int32), cache, 0,
+                                method=lm.from_tokens), jax.random.PRNGKey(0))
+
+        def mk(s):
+            if s.dtype == jnp.float32 and s.shape == (cfg.vocab_size,
+                                                      cfg.dim):
+                return jnp.zeros(s.shape, jnp.bfloat16)
+            return jnp.ones(s.shape, s.dtype)
+        return jax.tree_util.tree_map(mk, shapes)
+
+    tp, dp = mk_params(tm, tcfg), mk_params(dm, dcfg)
+    cache_t = KVCache.init(tcfg, 1, total, jnp.bfloat16)
+    cache_d = KVCache.init(dcfg, 1, total, jnp.bfloat16)
+    rf = make_round_fn(tm, dm, k)
+    args = (jnp.int32(1), jnp.int32(3500), jnp.int32(1), jnp.float32(0.0),
+            jax.random.PRNGKey(0))
+
+    # warm + steady state (donated caches flow through)
+    committed, n_c, cache_t, cache_d = rf(tp, dp, cache_t, cache_d, *args)
+    np.asarray(committed)
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        committed, n_c, cache_t, cache_d = rf(tp, dp, cache_t, cache_d,
+                                              *args)
+        np.asarray(committed)
+        times.append(time.perf_counter() - t0)
+    round_s = min(times)
+    res = {"spec_k": k, "spec_round_ms": round(1000 * round_s, 1)}
+    for a in (0, 2, 4):
+        res[f"spec_tok_s_at_acc{a}"] = round((1 + a) / round_s, 1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
