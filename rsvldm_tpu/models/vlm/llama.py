@@ -53,6 +53,14 @@ class LlamaConfig:
     # (~8.5 GB) with int4 (~4.3 GB) halving the decode weight stream again.
     quant: str | None = None       # None | "int8" | "int4"
     quant_group: int = 128         # int4 scale group size (along `in`)
+    # int8 KV cache: K/V stored int8 with per-(position, kv-head) absmax
+    # scales (fp32, ~0.4% of the cache bytes). Halves decode KV traffic
+    # and doubles the context (or engine slots) a chip holds; dequant is
+    # fused into the attention dot's operand read. No reference
+    # counterpart (HF keeps fp16 KV); quality: per-head absmax on RoPE'd
+    # keys is the standard KV-quant recipe (logits cos > 0.999 at tiny
+    # scale, test_quant_kv).
+    kv_quant: bool = False
     # MoE knobs (Mixtral / Qwen2-MoE; llava_mixtral.py / llava_qwen_moe.py)
     num_experts: int = 0           # 0 = dense FFN
     experts_per_tok: int = 2       # Mixtral top-2; Qwen2-MoE top-4
@@ -93,13 +101,19 @@ QWEN2_MOE_A2_7B_CONFIG = LlamaConfig(vocab_size=151936, dim=2048, layers=24,
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, T, kvh, hd]
+    k: jnp.ndarray  # [L, B, T, kvh, hd] (int8 when cfg.kv_quant)
     v: jnp.ndarray
+    k_scale: jnp.ndarray | None = None  # [L, B, T, kvh] fp32 absmax/127
+    v_scale: jnp.ndarray | None = None
 
     @classmethod
     def init(cls, cfg: LlamaConfig, batch: int, max_len: int,
              dtype=jnp.float32) -> "KVCache":
         shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+        if cfg.kv_quant:
+            ss = shape[:-1]
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(ss, jnp.float32), jnp.zeros(ss, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -238,13 +252,15 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, layer_k, layer_v, start_pos, valid_len):
+    def __call__(self, x, layer_k, layer_v, start_pos, valid_len,
+                 layer_ks=None, layer_vs=None):
         """x: [B, S, D] new tokens at absolute positions start_pos..+S.
-        layer_k/v: [B, T, kvh, hd] cache for this layer (full buffer).
+        layer_k/v: [B, T, kvh, hd] cache for this layer (full buffer;
+        int8 with [B, T, kvh] fp32 scales layer_ks/vs when cfg.kv_quant).
         start_pos: scalar, or a [B] array for batched decode of rows with
         different prompt lengths (each row stays CONTIGUOUS in its cache:
         physical slot == logical position, so masking is purely causal).
-        Returns (out, new_layer_k, new_layer_v)."""
+        Returns (out, new_layer_k, new_layer_v, new_layer_ks, new_layer_vs)."""
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
@@ -264,17 +280,37 @@ class LlamaBlock(nn.Module):
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
+        if cfg.kv_quant:
+            # per-(position, kv-head) absmax int8: scales ride along the
+            # same cache indices; dequant fuses into the attention dot's
+            # operand read, so HBM streams int8 + 0.4% scale bytes
+            k_sc = jnp.max(jnp.abs(k.astype(jnp.float32)),
+                           axis=-1) / 127.0 + 1e-8          # [B, S, kvh]
+            v_sc = jnp.max(jnp.abs(v.astype(jnp.float32)),
+                           axis=-1) / 127.0 + 1e-8
+            k_st = jnp.round(k.astype(jnp.float32)
+                             / k_sc[..., None]).astype(jnp.int8)
+            v_st = jnp.round(v.astype(jnp.float32)
+                             / v_sc[..., None]).astype(jnp.int8)
+        else:
+            k_st, v_st = k.astype(layer_k.dtype), v.astype(layer_v.dtype)
         if per_row:
             rows = jnp.arange(b)[:, None]
-            layer_k = layer_k.at[rows, positions].set(
-                k.astype(layer_k.dtype))
-            layer_v = layer_v.at[rows, positions].set(
-                v.astype(layer_v.dtype))
+            layer_k = layer_k.at[rows, positions].set(k_st)
+            layer_v = layer_v.at[rows, positions].set(v_st)
+            if cfg.kv_quant:
+                layer_ks = layer_ks.at[rows, positions].set(k_sc)
+                layer_vs = layer_vs.at[rows, positions].set(v_sc)
         else:
             layer_k = jax.lax.dynamic_update_slice(
-                layer_k, k.astype(layer_k.dtype), (0, start_pos, 0, 0))
+                layer_k, k_st, (0, start_pos, 0, 0))
             layer_v = jax.lax.dynamic_update_slice(
-                layer_v, v.astype(layer_v.dtype), (0, start_pos, 0, 0))
+                layer_v, v_st, (0, start_pos, 0, 0))
+            if cfg.kv_quant:
+                layer_ks = jax.lax.dynamic_update_slice(
+                    layer_ks, k_sc, (0, start_pos, 0))
+                layer_vs = jax.lax.dynamic_update_slice(
+                    layer_vs, v_sc, (0, start_pos, 0))
         rep = cfg.heads // cfg.kv_heads
         if (s > 1 and isinstance(start_pos, int) and start_pos == 0
                 and cfg.sliding_window is None):
@@ -294,9 +330,14 @@ class LlamaBlock(nn.Module):
             # the UNREPEATED cache — the old jnp.repeat streamed a
             # heads/kv_heads x larger K/V copy out of HBM every decode step
             t = layer_k.shape[1]
+            if cfg.kv_quant:
+                k_eff = (layer_k * layer_ks[..., None]).astype(q.dtype)
+                v_eff = (layer_v * layer_vs[..., None]).astype(q.dtype)
+            else:
+                k_eff, v_eff = layer_k.astype(q.dtype), layer_v
             qg = q.reshape(b, s, cfg.kv_heads, rep, hd)
             logits = jnp.einsum(
-                "bqgrd,bkgd->bgrqk", qg, layer_k.astype(q.dtype),
+                "bqgrd,bkgd->bgrqk", qg, k_eff,
                 preferred_element_type=jnp.float32) / (hd ** 0.5)
             if per_row:
                 q_pos = positions[:, None, None, :, None]
@@ -309,8 +350,8 @@ class LlamaBlock(nn.Module):
             if cfg.sliding_window is not None:
                 mask = mask & (k_pos > q_pos - cfg.sliding_window)
             logits = jnp.where(mask, logits, -1e30)
-            probs = jax.nn.softmax(logits, axis=-1).astype(layer_v.dtype)
-            o = jnp.einsum("bgrqk,bkgd->bqgrd", probs, layer_v,
+            probs = jax.nn.softmax(logits, axis=-1).astype(v_eff.dtype)
+            o = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_eff,
                            preferred_element_type=jnp.float32)
             o = o.reshape(b, s, cfg.heads, hd).astype(x.dtype)
         o = _dense(cfg, cfg.dim, False,
@@ -326,7 +367,7 @@ class LlamaBlock(nn.Module):
             gate = _dense(cfg, cfg.ffn_dim, False, "gate_proj")(h)
             up = _dense(cfg, cfg.ffn_dim, False, "up_proj")(h)
             down = _dense(cfg, cfg.dim, False, "down_proj")(act(gate) * up)
-        return x + down, layer_k, layer_v
+        return x + down, layer_k, layer_v, layer_ks, layer_vs
 
 
 class MoEFFN(nn.Module):
@@ -408,14 +449,22 @@ class LlamaModel(nn.Module):
         start_pos: scalar, or [B] per-row positions (batched decode)."""
         valid_len = start_pos + embeds.shape[1]
         x = embeds.astype(self.cfg.dtype)
-        new_k, new_v = [], []
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i, block in enumerate(self.blocks):
-            x, lk, lv = block(x, cache.k[i], cache.v[i], start_pos, valid_len)
+            lks = cache.k_scale[i] if cache.k_scale is not None else None
+            lvs = cache.v_scale[i] if cache.v_scale is not None else None
+            x, lk, lv, lks, lvs = block(x, cache.k[i], cache.v[i],
+                                        start_pos, valid_len, lks, lvs)
             new_k.append(lk)
             new_v.append(lv)
+            new_ks.append(lks)
+            new_vs.append(lvs)
         x = self.norm(x)
         if self.cfg.tie_lm_head:
             logits = self.embed_tokens.attend(x).astype(jnp.float32)
         else:
             logits = self.lm_head(x).astype(jnp.float32)
+        if self.cfg.kv_quant:
+            return logits, KVCache(jnp.stack(new_k), jnp.stack(new_v),
+                                   jnp.stack(new_ks), jnp.stack(new_vs))
         return logits, KVCache(jnp.stack(new_k), jnp.stack(new_v))

@@ -69,6 +69,9 @@ def shard_llama_params(params, mesh: Mesh, axis: str = "data"):
 
 
 def shard_kv_cache(cache, mesh: Mesh, axis: str = "data"):
-    """KV cache [L, B, T, kvh, hd] sharded over kv heads."""
-    sh = NamedSharding(mesh, P(None, None, None, axis, None))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), cache)
+    """KV cache [L, B, T, kvh, hd] sharded over kv heads (axis 3 — also
+    the kvh axis of the 4-dim int8-KV scale arrays)."""
+    def put(x):
+        spec = (None, None, None, axis) + ((None,) if x.ndim == 5 else ())
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_map(put, cache)

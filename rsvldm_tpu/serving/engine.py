@@ -114,15 +114,16 @@ class DecodeEngine:
             row = KVCache.init(mdl.cfg, 1, pool.k.shape[2],
                                pool.k.dtype)
             logits, row = mdl.apply(params, embeds[None], row, 0)
-            k = jax.lax.dynamic_update_slice(
-                pool.k, row.k, (0, slot, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                pool.v, row.v, (0, slot, 0, 0, 0))
+            # slot insert over every cache leaf (k/v and, under
+            # cfg.kv_quant, the int8 scale planes — batch is axis 1 in all)
+            pool = jax.tree_util.tree_map(
+                lambda pa, ra: jax.lax.dynamic_update_slice(
+                    pa, ra, (0, slot) + (0,) * (ra.ndim - 2)), pool, row)
             last = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             key = jax.random.fold_in(jax.random.fold_in(self.rng, nonce), 0)
             tok = _sample(last[None], temp[None], key)[0]
-            return KVCache(k, v), tok
+            return pool, tok
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _decode(params, pool: KVCache, toks, pos, temps, nonces, counts):

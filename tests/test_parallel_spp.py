@@ -112,8 +112,7 @@ def test_gpipe_llama_blocks_by_stage():
     k0 = jnp.zeros((1, 8, cfg.kv_heads, cfg.head_dim), jnp.float32)
 
     def stage_fn(bp, x):
-        out, _, _ = block.apply({"params": bp}, x, k0, k0, 0,
-                                toks.shape[1])
+        out = block.apply({"params": bp}, x, k0, k0, 0, toks.shape[1])[0]
         return out
 
     emb = p["embed_tokens"]["embedding"][toks]          # [1, S, D]
