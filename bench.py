@@ -72,7 +72,10 @@ def main():
     # metric; later parts are skipped if relay congestion eats the budget.
     # llama_int8 MEASURES the caption stage at the true 8B geometry (the
     # bf16 "llama" proxy stays as a comparison point, run last).
-    for name in ("stage1", "sdxl", "llama_int8", "llama_prefill", "vae",
+    # required composite terms first (stage1/sdxl/llama_int8/vae), then
+    # the optional prefill term (0.0 fallback), then informational parts —
+    # budget exhaustion degrades the metric gracefully in that order
+    for name in ("stage1", "sdxl", "llama_int8", "vae", "llama_prefill",
                  "llama_int4", "llama"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"

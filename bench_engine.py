@@ -8,7 +8,9 @@ relay the dispatch floor is ~33 ms), but the weight stream is shared by
 every occupied slot, so AGGREGATE tok/s scales with concurrency while the
 scan-decode path (bench_full.py part_llama_int8) serves one stream.
 
-Run: python bench_engine.py [slots ...]
+Run: python bench_engine.py [slots ...]   (suffix q = int8 KV cache,
+e.g. `bench_engine.py 8 16q` — kv_quant halves cache bytes so 16 slots
+at the same context fit where bf16 KV allows 8)
 """
 
 from __future__ import annotations
@@ -24,33 +26,34 @@ import numpy as np
 
 
 def main():
-    slot_counts = [int(a) for a in sys.argv[1:]] or [1, 4]
-    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
-                                             LlamaModel)
+    specs = [(int(a.rstrip("q")), a.endswith("q"))
+             for a in sys.argv[1:]] or [(1, False), (4, False)]
+    from rsvldm_tpu.models.vlm.llama import LLAMA3_8B_CONFIG, LlamaModel
     from rsvldm_tpu.models.vlm.generate import GenerateConfig
     from rsvldm_tpu.serving.engine import DecodeEngine
 
-    lcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
-                               quant="int8")
-    lm = LlamaModel(lcfg)
     max_len = 1536    # 8.5 GB weights + slots*0.40 GB KV on one 16 GB chip
-    cache = KVCache.init(lcfg, 1, 8, jnp.bfloat16)
-    shapes = jax.eval_shape(
-        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
-                          method=lm.from_tokens), jax.random.PRNGKey(0))
 
-    def mk(s):
-        if s.dtype == jnp.float32 and s.shape == (lcfg.vocab_size, lcfg.dim):
-            return jnp.zeros(s.shape, jnp.bfloat16)
-        return jnp.ones(s.shape, s.dtype)
-    lp = jax.tree_util.tree_map(mk, shapes)
+    from bench_full import dummy_llama_params
+
+    def build(kvq):
+        lcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                                   quant="int8", kv_quant=kvq)
+        lm = LlamaModel(lcfg)
+        return lm, dummy_llama_params(lm, lcfg)
 
     res = {}
-    for slots in slot_counts:
+    lm = lp = eng = emb = None
+    for slots, kvq in specs:
+        # drop the previous iteration's ~9.5 GB param set BEFORE building
+        # the next one — two sets cannot coexist on a 16 GB chip
+        lm = lp = eng = emb = None
+        lm, lp = build(kvq)
+        tag = f"{slots}slot" + ("_kvq" if kvq else "")
         eng = DecodeEngine(lm, lp, slots=slots, max_len=max_len, pad_to=128)
         cfg = GenerateConfig(max_new_tokens=24, temperature=0.0,
                              do_sample=False, eot_ids=(), pad_to=128)
-        emb = jnp.zeros((1000, lcfg.dim), jnp.bfloat16)
+        emb = jnp.zeros((1000, lm.cfg.dim), jnp.bfloat16)
         uids = [eng.submit(emb, cfg) for _ in range(slots)]
         # warm both executables (prefill bucket + decode step)
         for _ in range(3):
@@ -62,8 +65,8 @@ def main():
         dt = time.perf_counter() - t0
         del uids
         step_ms = 1000 * dt / n_steps
-        res[f"engine_{slots}slot_step_ms"] = round(step_ms, 1)
-        res[f"engine_{slots}slot_agg_tok_s"] = round(
+        res[f"engine_{tag}_step_ms"] = round(step_ms, 1)
+        res[f"engine_{tag}_agg_tok_s"] = round(
             slots * n_steps / dt, 1)
         del eng, cfg
     print(json.dumps(res))

@@ -103,6 +103,25 @@ def _part(name):
     return PARTS[name]()
 
 
+def dummy_llama_params(lm, cfg):
+    """Build a llama param tree directly at size in the model's quantized
+    layout (host-side eval_shape -> ones/zeros; no fp32 8B intermediate
+    ever exists). The embed table is cast bf16 — the one fp32 leaf that
+    must shrink for the 8B to fit a 16 GB chip. Shared by every llama
+    bench (bench_full parts, bench_engine, bench_spec)."""
+    from rsvldm_tpu.models.vlm.llama import KVCache
+    cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
+                          method=lm.from_tokens), jax.random.PRNGKey(0))
+
+    def mk(s):
+        if s.dtype == jnp.float32 and s.shape == (cfg.vocab_size, cfg.dim):
+            return jnp.zeros(s.shape, jnp.bfloat16)
+        return jnp.ones(s.shape, s.dtype)
+    return jax.tree_util.tree_map(mk, shapes)
+
+
 def part_stage1():
     from rsvldm_tpu.models.sr3 import (SR3Diffusion, SR3UNet, SR3UNetConfig,
                                        sr3_sample)
@@ -222,17 +241,7 @@ def part_llama_int8():
                                quant="int8")
     lm = LlamaModel(lcfg)
     cache = KVCache.init(lcfg, 1, 4096, jnp.bfloat16)
-    # build the int8 param tree directly at size (no fp32 8B intermediate:
-    # host-side eval_shape -> zeros of the already-quantized layout)
-    shapes = jax.eval_shape(
-        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
-                          method=lm.from_tokens), jax.random.PRNGKey(0))
-
-    def mk(s):
-        if s.dtype == jnp.float32 and s.shape == (lcfg.vocab_size, lcfg.dim):
-            return jnp.zeros(s.shape, jnp.bfloat16)  # embed table bf16
-        return jnp.ones(s.shape, s.dtype)
-    lp = jax.tree_util.tree_map(mk, shapes)
+    lp = dummy_llama_params(lm, lcfg)
 
     def decode(params, cache, n):
         def body(carry, i):
@@ -307,15 +316,7 @@ def part_llama_int8kv():
                                quant="int8", kv_quant=True)
     lm = LlamaModel(lcfg)
     cache = KVCache.init(lcfg, 1, 4096, jnp.bfloat16)
-    shapes = jax.eval_shape(
-        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
-                          method=lm.from_tokens), jax.random.PRNGKey(0))
-
-    def mk(s):
-        if s.dtype == jnp.float32 and s.shape == (lcfg.vocab_size, lcfg.dim):
-            return jnp.zeros(s.shape, jnp.bfloat16)
-        return jnp.ones(s.shape, s.dtype)
-    lp = jax.tree_util.tree_map(mk, shapes)
+    lp = dummy_llama_params(lm, lcfg)
 
     def decode(params, cache, n):
         def body(carry, i):
@@ -351,16 +352,7 @@ def part_llama_prefill():
     lm = LlamaModel(lcfg)
     s = 3584
     cache = KVCache.init(lcfg, 1, 4096, jnp.bfloat16)
-    shapes = jax.eval_shape(
-        lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32), cache, 0,
-                          method=lm.from_tokens), jax.random.PRNGKey(0))
-
-    def mk(sh):
-        if sh.dtype == jnp.float32 and sh.shape == (lcfg.vocab_size,
-                                                    lcfg.dim):
-            return jnp.zeros(sh.shape, jnp.bfloat16)
-        return jnp.ones(sh.shape, sh.dtype)
-    lp = jax.tree_util.tree_map(mk, shapes)
+    lp = dummy_llama_params(lm, lcfg)
     emb = jnp.zeros((1, s, lcfg.dim), jnp.bfloat16)
 
     def prefill(params, emb, cache):

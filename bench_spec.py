@@ -38,20 +38,8 @@ def main():
     tm, dm = LlamaModel(tcfg), LlamaModel(dcfg)
     total = 4096
 
-    def mk_params(lm, cfg):
-        cache = KVCache.init(cfg, 1, 8, jnp.bfloat16)
-        shapes = jax.eval_shape(
-            lambda key: lm.init(key, jnp.zeros((1, 8), jnp.int32), cache, 0,
-                                method=lm.from_tokens), jax.random.PRNGKey(0))
-
-        def mk(s):
-            if s.dtype == jnp.float32 and s.shape == (cfg.vocab_size,
-                                                      cfg.dim):
-                return jnp.zeros(s.shape, jnp.bfloat16)
-            return jnp.ones(s.shape, s.dtype)
-        return jax.tree_util.tree_map(mk, shapes)
-
-    tp, dp = mk_params(tm, tcfg), mk_params(dm, dcfg)
+    from bench_full import dispatch_overhead, dummy_llama_params
+    tp, dp = dummy_llama_params(tm, tcfg), dummy_llama_params(dm, dcfg)
     cache_t = KVCache.init(tcfg, 1, total, jnp.bfloat16)
     cache_d = KVCache.init(dcfg, 1, total, jnp.bfloat16)
     rf = make_round_fn(tm, dm, k)
@@ -68,10 +56,18 @@ def main():
                                               *args)
         np.asarray(committed)
         times.append(time.perf_counter() - t0)
-    round_s = min(times)
-    res = {"spec_k": k, "spec_round_ms": round(1000 * round_s, 1)}
+    raw = min(times)
+    # single-dispatch measurement: subtract the relay round-trip floor
+    # (CLAUDE.md ~33 ms/dispatch) to get the device-side round cost; both
+    # numbers are reported. In THIS environment each round still pays the
+    # dispatch (the host must see n_committed to schedule the next round);
+    # on a local TPU runtime that overhead is ~100 us.
+    round_s = max(raw - dispatch_overhead(), raw / 4)
+    res = {"spec_k": k, "spec_round_ms_dispatched": round(1000 * raw, 1),
+           "spec_round_ms_device": round(1000 * round_s, 1)}
     for a in (0, 2, 4):
         res[f"spec_tok_s_at_acc{a}"] = round((1 + a) / round_s, 1)
+        res[f"spec_tok_s_at_acc{a}_relay"] = round((1 + a) / raw, 1)
     print(json.dumps(res))
 
 

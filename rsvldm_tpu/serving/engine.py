@@ -148,10 +148,14 @@ class DecodeEngine:
         request starts decoding when a slot frees up."""
         cfg = cfg or GenerateConfig()
         s = input_embeds.shape[0]
-        if s + cfg.max_new_tokens > self.max_len:
+        s_pad = -(-s // self.pad_to) * self.pad_to
+        # the prefill writes the PADDED prompt into the slot row, so the
+        # bucket itself must fit the cache too
+        if max(s_pad, s + cfg.max_new_tokens) > self.max_len:
             raise ValueError(
-                f"prompt {s} + max_new {cfg.max_new_tokens} exceeds the "
-                f"engine max_len {self.max_len}")
+                f"prompt {s} (padded {s_pad}) + max_new "
+                f"{cfg.max_new_tokens} exceeds the engine max_len "
+                f"{self.max_len}")
         req = _Request(uid=next(self._uid), embeds=input_embeds,
                        max_new_tokens=cfg.max_new_tokens,
                        temperature=(cfg.temperature if cfg.do_sample

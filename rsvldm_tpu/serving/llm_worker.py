@@ -47,6 +47,7 @@ class LLMWorker(Worker):
         self.decode_fn = decode_fn
         self.base_cfg = base_cfg or GenerateConfig()
         self._driver_started = False
+        self._state_lock = threading.Lock()
 
     # the engine needs one thread calling step(); HTTP handler threads
     # only submit and wait
@@ -56,9 +57,11 @@ class LLMWorker(Worker):
                 self._stop.wait(0.005)
 
     def _ensure_driver(self):
-        if not self._driver_started:
+        with self._state_lock:
+            if self._driver_started:
+                return
             self._driver_started = True
-            threading.Thread(target=self._driver_loop, daemon=True).start()
+        threading.Thread(target=self._driver_loop, daemon=True).start()
 
     def generate_text(self, prompt: str, max_new_tokens: int | None = None,
                       temperature: float | None = None) -> str:
@@ -69,13 +72,15 @@ class LLMWorker(Worker):
         if temperature is not None:
             cfg = dataclasses.replace(cfg, temperature=float(temperature),
                                       do_sample=float(temperature) > 0)
-        self.queue_length += 1
+        with self._state_lock:
+            self.queue_length += 1
         try:
             uid = self.engine.submit(self.embed_prompt(prompt), cfg)
             ids = self.engine.wait(uid, timeout=600)
             return self.decode_fn(ids.tolist()).lstrip()
         finally:
-            self.queue_length -= 1
+            with self._state_lock:
+                self.queue_length -= 1
 
     def serve(self, host: str = "0.0.0.0", port: int = 40001):
         self.register()
@@ -85,18 +90,23 @@ class LLMWorker(Worker):
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                if self.path == "/worker_generate":
-                    out = {"text": worker.generate_text(
-                        payload["prompt"],
-                        payload.get("max_new_tokens"),
-                        payload.get("temperature"))}
-                elif self.path == "/worker_get_status":
-                    out = dict(model_names=worker.model_names,
-                               queue_length=worker.queue_length)
-                else:
-                    out = {"error": "unknown endpoint"}
+                # any failure (bad payload, engine timeout) must come back
+                # as a JSON error body, not a dropped socket
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/worker_generate":
+                        out = {"text": worker.generate_text(
+                            payload["prompt"],
+                            payload.get("max_new_tokens"),
+                            payload.get("temperature"))}
+                    elif self.path == "/worker_get_status":
+                        out = dict(model_names=worker.model_names,
+                                   queue_length=worker.queue_length)
+                    else:
+                        out = {"error": "unknown endpoint"}
+                except Exception as e:
+                    out = {"error": f"{type(e).__name__}: {e}"}
                 body = json.dumps(out).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

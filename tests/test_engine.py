@@ -177,3 +177,16 @@ def test_llm_worker_http_concurrent(model_and_params):
         assert text == decode_fn(ref.tolist()).lstrip()
     worker.stop()
     server.shutdown()
+
+
+def test_submit_rejects_padded_overflow(model_and_params):
+    """The admission guard accounts for prompt PADDING: a prompt whose
+    pad bucket exceeds max_len must be rejected at submit() (previously it
+    passed the guard, crashed in prefill, and leaked the slot)."""
+    model, params = model_and_params
+    eng = DecodeEngine(model, params, slots=1, max_len=20, pad_to=8)
+    emb = _prompts(model, params, [18], seed=23)[0]
+    cfg = GenerateConfig(max_new_tokens=2, temperature=0.0, do_sample=False,
+                         eot_ids=(127,), pad_to=8)
+    with pytest.raises(ValueError):
+        eng.submit(emb, cfg)    # s_pad = 24 > max_len = 20
