@@ -11,6 +11,11 @@ Protocol (stdlib http.server, same controller handshake as
 serving/worker.py):
   POST /worker_generate  {"prompt": str, "max_new_tokens"?, "temperature"?}
                          -> {"text": str}
+  POST /worker_generate_stream  same payload -> chunked body of
+                         newline-delimited JSON {"text": <prefix so far>}
+                         frames, final frame flagged {"finished": true}
+                         (model_worker.py generate_stream parity: the
+                         reference streams growing-prefix frames too)
   POST /worker_get_status -> {"model_names": [...], "queue_length": N}
 
 `embed_prompt(prompt) -> [S, D]` turns the rendered prompt into spliced
@@ -82,6 +87,35 @@ class LLMWorker(Worker):
             with self._state_lock:
                 self.queue_length -= 1
 
+    def generate_stream(self, prompt: str, max_new_tokens=None,
+                        temperature=None, poll_s: float = 0.01):
+        """Yield growing-prefix decoded strings while the engine decodes,
+        then the final text. Decoding a PREFIX of the id stream each frame
+        keeps multi-byte/BPE merges correct (the reference decodes the
+        full prefix per frame for the same reason)."""
+        self._ensure_driver()
+        cfg = self.base_cfg
+        if max_new_tokens is not None:
+            cfg = dataclasses.replace(cfg, max_new_tokens=int(max_new_tokens))
+        if temperature is not None:
+            cfg = dataclasses.replace(cfg, temperature=float(temperature),
+                                      do_sample=float(temperature) > 0)
+        with self._state_lock:
+            self.queue_length += 1
+        try:
+            uid = self.engine.submit(self.embed_prompt(prompt), cfg)
+            req = self.engine._requests[uid]
+            sent = 0
+            while not req.event.wait(poll_s):
+                n = len(req.out_ids)
+                if n > sent:
+                    sent = n
+                    yield self.decode_fn(list(req.out_ids[:n])).lstrip()
+            yield self.decode_fn(list(req.out_ids)).lstrip()
+        finally:
+            with self._state_lock:
+                self.queue_length -= 1
+
     def serve(self, host: str = "0.0.0.0", port: int = 40001):
         self.register()
         threading.Thread(target=self.heartbeat_loop, daemon=True).start()
@@ -95,6 +129,32 @@ class LLMWorker(Worker):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/worker_generate_stream":
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/x-ndjson")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+
+                        def chunk(obj):
+                            frame = json.dumps(obj).encode() + b"\n"
+                            self.wfile.write(
+                                f"{len(frame):x}\r\n".encode() + frame
+                                + b"\r\n")
+                            self.wfile.flush()
+                        try:
+                            last = ""
+                            for text in worker.generate_stream(
+                                    payload["prompt"],
+                                    payload.get("max_new_tokens"),
+                                    payload.get("temperature")):
+                                last = text
+                                chunk({"text": text})
+                            chunk({"text": last, "finished": True})
+                        except Exception as e:
+                            chunk({"error": f"{type(e).__name__}: {e}"})
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
                     if self.path == "/worker_generate":
                         out = {"text": worker.generate_text(
                             payload["prompt"],

@@ -190,3 +190,50 @@ def test_submit_rejects_padded_overflow(model_and_params):
                          eot_ids=(127,), pad_to=8)
     with pytest.raises(ValueError):
         eng.submit(emb, cfg)    # s_pad = 24 > max_len = 20
+
+
+def test_llm_worker_streaming(model_and_params):
+    """/worker_generate_stream streams growing-prefix ndjson frames whose
+    final frame equals the solo decode (model_worker generate_stream
+    parity)."""
+    import json
+    import urllib.request
+
+    from rsvldm_tpu.serving.llm_worker import LLMWorker
+
+    model, params = model_and_params
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+
+    def embed_prompt(prompt: str):
+        ids = jnp.asarray([(ord(c) % 96) + 1 for c in prompt], jnp.int32)
+        return model.apply(params, ids, method=model.embed)
+
+    def decode_fn(ids):
+        return " ".join(str(i) for i in ids)
+
+    worker = LLMWorker(eng, embed_prompt, decode_fn, worker_name="w1",
+                       base_cfg=GREEDY)
+    server = worker.serve(host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/worker_generate_stream",
+        json.dumps({"prompt": "stream me", "temperature": 0.0,
+                    "max_new_tokens": 8}).encode(),
+        {"Content-Type": "application/json"})
+    frames = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            if line.strip():
+                frames.append(json.loads(line))
+    assert frames and frames[-1].get("finished") is True
+    # growing prefixes: every frame's text is a prefix of the final text
+    final = frames[-1]["text"]
+    for f in frames:
+        assert final.startswith(f["text"])
+    ref = generate(model, params, embed_prompt("stream me"),
+                   GenerateConfig(max_new_tokens=8, temperature=0.0,
+                                  do_sample=False, eot_ids=(127,), pad_to=8),
+                   jax.random.PRNGKey(1))
+    assert final == decode_fn(ref.tolist()).lstrip()
+    worker.stop()
+    server.shutdown()
