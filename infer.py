@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu) — overrides the "
                          "site-injected TPU relay selection")
+    ap.add_argument("--draft_dir", type=str, default="",
+                    help="Llama-family draft checkpoint for speculative "
+                         "caption decoding (default: auto-detect "
+                         "<ckpt_dir>/llava_draft)")
     args = ap.parse_args()
 
     if args.platform:
@@ -51,6 +55,7 @@ def main():
     cfg.stage1.sampler = args.stage1_sampler
     cfg.stage1.ddim_steps = args.stage1_steps
     cfg.refine.edm_steps = args.edm_steps
+    cfg.llava.draft_dir = args.draft_dir
 
     pipeline = SuperResolutionPipeline(cfg, debug_tiny=args.debug_tiny)
     pipeline.process()

@@ -83,6 +83,13 @@ class LlavaConfig:
     # equivalent, llava/model/builder.py:33-37): 8B fits one 16GB chip,
     # int8 ~2x decode, int4 ~2x again (group-128 RTN)
     quant: str = "int8"      # "int8" | "int4" | "" (bf16; needs TP for 8B)
+    # Speculative decoding: path to a Llama-family draft checkpoint
+    # (safetensors + config.json; same hidden dim/tokenizer as the target).
+    # Empty = auto-detect <ckpt_dir>/llava_draft/. Output-identical to
+    # vanilla decode; measured ~3x single-stream at acceptance 4
+    # (models/vlm/speculative.py, bench_spec.py).
+    draft_dir: str = ""
+    spec_k: int = 4          # draft tokens proposed per verify round
 
     def __post_init__(self):
         if self.prompt_yaml:

@@ -75,10 +75,32 @@ def _apply_lora(sd: dict, adapter_dir: Path) -> dict:
     return merged
 
 
+def _llama_config_from_json(d: Path, base: "LlamaConfig") -> "LlamaConfig":
+    """Resolve a LlamaConfig from an HF config.json (draft checkpoints ship
+    their own geometry); missing keys inherit from `base`."""
+    p = d / "config.json"
+    if not p.exists():
+        return base
+    with open(p) as f:
+        raw = json.load(f)
+    return dataclasses.replace(
+        base,
+        vocab_size=raw.get("vocab_size", base.vocab_size),
+        dim=raw.get("hidden_size", base.dim),
+        layers=raw.get("num_hidden_layers", base.layers),
+        heads=raw.get("num_attention_heads", base.heads),
+        kv_heads=raw.get("num_key_value_heads", base.kv_heads),
+        ffn_dim=raw.get("intermediate_size", base.ffn_dim),
+        rope_theta=raw.get("rope_theta", base.rope_theta),
+        rms_eps=raw.get("rms_norm_eps", base.rms_eps),
+        tie_lm_head=raw.get("tie_word_embeddings", base.tie_lm_head),
+    )
+
+
 class LlavaCaptioner:
     def __init__(self, llama, llama_params, vision, vision_params,
                  projector, projector_params, image_newline, tokenizer,
-                 mesh=None):
+                 mesh=None, draft=None, draft_params=None, spec_k: int = 4):
         self.llama = llama
         self.llama_params = llama_params
         self.vision = vision
@@ -88,12 +110,22 @@ class LlavaCaptioner:
         self.image_newline = image_newline
         self.tokenizer = tokenizer
         self.mesh = mesh
+        # speculative decoding (models/vlm/speculative.py): a small
+        # Llama-family draft proposes spec_k tokens per jitted round, the
+        # 8B target verifies them in ONE forward — output-identical to
+        # vanilla `generate` (greedy exactly; sampled via the Leviathan
+        # rule on generate's key schedule)
+        self.draft = draft
+        self.draft_params = draft_params
+        self.spec_k = spec_k
 
     @classmethod
     def load(cls, ckpt_dir: str | Path, llama_cfg=LLAMA3_8B_CONFIG,
              vision_cfg=CLIP_VIT_L_336_CONFIG,
              tokenizer=None, mesh=None,
-             quant: str | None = None) -> Optional["LlavaCaptioner"]:
+             quant: str | None = None,
+             draft_dir: str | Path | None = None,
+             spec_k: int = 4) -> Optional["LlavaCaptioner"]:
         """mesh: optional jax.sharding.Mesh — the 8B decoder weights are
         tensor-sharded over its 'data' axis (Megatron col/row rules,
         parallel/llama_sharding.py) so the caption stage, the wall-clock
@@ -106,7 +138,14 @@ class LlavaCaptioner:
         int4 ~4.3 GB) and the memory-bound decode streams half / quarter
         the bytes (59.5 tok/s int8 measured at the full geometry). Composes
         with mesh TP: kernel_q/kernel_q4 shard like the dense kernel,
-        scales follow (parallel/llama_sharding.py)."""
+        scales follow (parallel/llama_sharding.py).
+
+        draft_dir: optional Llama-family draft checkpoint (safetensors +
+        config.json) for speculative decoding — defaults to
+        <ckpt_dir>/llava_draft/ when that directory exists. The draft must
+        share the target's hidden dim and tokenizer (depth-pruned /
+        distilled drafts); it is quantized with the same `quant` mode.
+        spec_k: draft tokens proposed per verify round."""
         d = Path(ckpt_dir) / "llava"
         if not d.is_dir():
             return None
@@ -147,8 +186,31 @@ class LlavaCaptioner:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(str(d),
                                                       local_files_only=True)
+
+        draft = draft_params = None
+        dd = Path(draft_dir) if draft_dir else Path(ckpt_dir) / "llava_draft"
+        if dd.is_dir():
+            dsd = _load_sharded(dd)
+            if dsd:
+                dcfg = _llama_config_from_json(dd, llama_cfg)
+                if dcfg.dim != llama_cfg.dim:
+                    raise ValueError(
+                        f"draft hidden dim {dcfg.dim} != target "
+                        f"{llama_cfg.dim} — speculative decoding feeds the "
+                        "spliced prompt embeds to both models")
+                draft = LlamaModel(dataclasses.replace(dcfg, quant=quant)
+                                   if quant else dcfg)
+                draft_params = convert_hf.convert_llama(dsd, dcfg)
+                if quant in ("int8", "int4"):
+                    from .llama import quantize_llama_params
+                    draft_params = {"params": quantize_llama_params(
+                        draft_params["params"], embed_dtype=jnp.bfloat16,
+                        mode=quant)}
+                log.info("speculative draft loaded from %s (%d layers, "
+                         "k=%d)", dd, dcfg.layers, spec_k)
         return cls(llama, llama_params, vision, vision_params, projector,
-                   projector_params, newline, tokenizer, mesh=mesh)
+                   projector_params, newline, tokenizer, mesh=mesh,
+                   draft=draft, draft_params=draft_params, spec_k=spec_k)
 
     def caption(self, image, llava_cfg, rng: jax.Array | None = None) -> str:
         """Full Stage-2a on one PIL image (get_img_describe parity)."""
@@ -164,7 +226,23 @@ class LlavaCaptioner:
                              proj_apply, image, prompt, encode, decode,
                              self.image_newline, cfg, rng,
                              patch_size=self.vision.cfg.image_size,
-                             mesh=self.mesh)
+                             mesh=self.mesh, generate_fn=self._generate_fn())
+
+    def _generate_fn(self):
+        """Decode override for caption_image: the speculative round loop
+        when a draft is loaded (single-chip only — the spec KV caches are
+        not TP-sharded), vanilla scan decode otherwise."""
+        if self.draft is None:
+            return None
+        if self.mesh is not None:
+            log.warning("speculative decoding skipped: draft + mesh TP are "
+                        "not composed — using vanilla decode")
+            return None
+        from .speculative import speculative_generate
+        return lambda model, params, spliced, cfg, rng, mesh=None: \
+            speculative_generate(model, params, self.draft,
+                                 self.draft_params, spliced, cfg, rng,
+                                 k=self.spec_k)
 
     def caption_batch(self, images, llava_cfg,
                       rng: jax.Array | None = None) -> list:

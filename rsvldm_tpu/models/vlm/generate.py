@@ -216,9 +216,14 @@ def caption_image(model, params, vision_apply, projector_apply, image,
                   prompt_text: str, encode_fn, decode_fn, image_newline,
                   cfg: GenerateConfig = GenerateConfig(),
                   rng: jax.Array | None = None, patch_size: int = 336,
-                  mesh=None) -> str:
+                  mesh=None, generate_fn=None) -> str:
     """Full Stage-2a: anyres -> vision tower -> projector -> spatial_unpad
-    assembly -> splice -> generate -> decode (infer.py:145-166)."""
+    assembly -> splice -> generate -> decode (infer.py:145-166).
+
+    generate_fn: optional decode override with `generate`'s signature
+    (model, params, spliced, cfg, rng, mesh=) -> np ids — used to swap in
+    the speculative decoder (speculative.py) without duplicating the
+    anyres/splice orchestration."""
     from . import anyres
     from .vision import normalize_pixels
 
@@ -236,7 +241,8 @@ def caption_image(model, params, vision_apply, projector_apply, image,
     safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
     text_embeds = model.apply(params, safe_ids, method=model.embed)
     spliced = splice_image_embeds(ids, text_embeds, jnp.asarray(tokens))
-    out_ids = generate(model, params, spliced, cfg, rng, mesh=mesh)
+    out_ids = (generate_fn or generate)(model, params, spliced, cfg, rng,
+                                        mesh=mesh)
     return decode_fn(out_ids.tolist()).lstrip()
 
 

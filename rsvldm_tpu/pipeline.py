@@ -238,6 +238,8 @@ class SuperResolutionPipeline:
             try:
                 from .models.vlm.captioner import LlavaCaptioner
                 kw = {"quant": self.cfg.llava.quant or None,
+                      "draft_dir": self.cfg.llava.draft_dir or None,
+                      "spec_k": self.cfg.llava.spec_k,
                       **(self.llava_load_kw or {})}
                 self.llava = LlavaCaptioner.load(cd, mesh=self.mesh, **kw)
             except Exception as e:  # assets missing/partial

@@ -167,3 +167,66 @@ def test_caption_batch_matches_single(tmp_path):
     singles = [cap.caption(im, lcfg) for im in imgs]
     batched = cap.caption_batch(imgs, lcfg)
     assert batched == singles
+
+
+def _write_draft_dir(root, layers):
+    """<root>/llava_draft: plain Llama LM checkpoint = the LM subset of the
+    tiny LLaVA state dict, truncated to `layers` layers, + config.json."""
+    from safetensors.torch import save_file
+    dd = root / "llava_draft"
+    dd.mkdir()
+    sd = _tiny_llava_state_dict()
+    keep = {k: v for k, v in sd.items()
+            if k in ("model.embed_tokens.weight", "model.norm.weight",
+                     "lm_head.weight")
+            or (k.startswith("model.layers.")
+                and int(k.split(".")[2]) < layers)}
+    save_file(keep, str(dd / "model.safetensors"))
+    (dd / "config.json").write_text(json.dumps({
+        "vocab_size": 256, "hidden_size": 32, "num_hidden_layers": layers,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "intermediate_size": 64, "rms_norm_eps": 1e-5,
+        "rope_theta": LCFG.rope_theta}))
+    return dd
+
+
+def test_spec_captioner_draft_equals_target(tmp_path):
+    """Auto-detected <ckpt_dir>/llava_draft wires speculative decoding into
+    caption(); draft == target reproduces the vanilla SAMPLED caption
+    bit-for-bit (the speculative key-schedule contract)."""
+    from safetensors.torch import save_file
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    img = Image.fromarray(
+        np.random.default_rng(5).integers(0, 255, (50, 70, 3), dtype=np.uint8))
+    lcfg = LlavaConfig(max_new_tokens=8, temperature=0.7, do_sample=True)
+    ref = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer()).caption(img, lcfg)
+
+    _write_draft_dir(tmp_path, layers=2)   # draft == target
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer())
+    assert cap.draft is not None
+    assert cap.draft.cfg.layers == 2
+    assert cap.caption(img, lcfg) == ref
+
+
+def test_spec_captioner_mismatched_draft_greedy_exact(tmp_path):
+    """A 1-layer (wrong) draft must still produce EXACTLY the vanilla
+    greedy caption — draft quality only changes speed, never output."""
+    from safetensors.torch import save_file
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    img = Image.fromarray(
+        np.random.default_rng(6).integers(0, 255, (40, 56, 3), dtype=np.uint8))
+    lcfg = LlavaConfig(max_new_tokens=8, temperature=0.0, do_sample=False)
+    ref = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer()).caption(img, lcfg)
+
+    _write_draft_dir(tmp_path, layers=1)
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer(), spec_k=3)
+    assert cap.draft is not None and cap.draft.cfg.layers == 1
+    assert cap.caption(img, lcfg) == ref
