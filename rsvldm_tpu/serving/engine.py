@@ -30,6 +30,11 @@ BETWEEN jitted steps instead:
   writes land in rows the scheduler owns and the next prefill zeroes.
 - Admission, EOT/max-token eviction, and detokenization happen on host
   between steps (one [B]-token device->host fetch per step).
+- Prefix caching (the radix-attention win for the common case): a shared
+  prompt prefix (system prompt + conversation header) is prefilled ONCE via
+  `register_prefix` and its KV block kept on device; `submit(suffix,
+  prefix_id=)` then prefills only the suffix against a row seeded with the
+  prefix KV — admission cost drops from O(prefix+suffix) to O(suffix).
 
 Sampling matches `generate`'s semantics (temperature categorical / greedy
 argmax) but is keyed per request: key = fold_in(fold_in(base, nonce), step)
@@ -61,6 +66,7 @@ class _Request:
     temperature: float
     eot_ids: tuple
     nonce: int
+    prefix_id: int | None = None
     out_ids: list = dataclasses.field(default_factory=list)
     slot: int = -1
     prompt_len: int = 0
@@ -125,6 +131,39 @@ class DecodeEngine:
             tok = _sample(last[None], temp[None], key)[0]
             return pool, tok
 
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("s_pad", "p_pad"))
+        def _prefill_pfx(params, pool: KVCache, pkv: KVCache, embeds, slot,
+                         p_true, true_len, nonce, temp, s_pad: int,
+                         p_pad: int):
+            """Prefix-seeded prefill: pkv is a registered prefix KV block
+            ([L, 1, p_pad, ...] per leaf), embeds the SUFFIX [s_pad, D].
+            The suffix runs at offset p_true; positions p_true..p_pad are
+            stale prefix padding that the suffix/decode writes overwrite
+            before any causal frontier reaches them (same invariant as the
+            bucketed fresh prefill)."""
+            row = KVCache.init(mdl.cfg, 1, pool.k.shape[2], pool.k.dtype)
+            row = jax.tree_util.tree_map(
+                lambda ra, pa: jax.lax.dynamic_update_slice(
+                    pa, ra, (0,) * ra.ndim), pkv, row)
+            logits, row = mdl.apply(params, embeds[None], row, p_true)
+            pool = jax.tree_util.tree_map(
+                lambda pa, ra: jax.lax.dynamic_update_slice(
+                    pa, ra, (0, slot) + (0,) * (ra.ndim - 2)), pool, row)
+            last = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1, axis=0, keepdims=False)
+            key = jax.random.fold_in(jax.random.fold_in(self.rng, nonce), 0)
+            tok = _sample(last[None], temp[None], key)[0]
+            return pool, tok
+
+        @functools.partial(jax.jit, static_argnames=("p_pad",))
+        def _prefix_kv(params, embeds, p_pad: int):
+            """Run a prefix [p_pad, D] through the model once; return its
+            KV block trimmed to p_pad positions."""
+            row = KVCache.init(mdl.cfg, 1, p_pad, self.cache.k.dtype)
+            _, row = mdl.apply(params, embeds[None], row, 0)
+            return row
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _decode(params, pool: KVCache, toks, pos, temps, nonces, counts):
             """One token for every slot. toks/pos/temps/nonces/counts: [B];
@@ -140,18 +179,51 @@ class DecodeEngine:
             return pool, nxt
 
         self._prefill = _prefill
+        self._prefill_pfx = _prefill_pfx
+        self._prefix_kv = _prefix_kv
         self._decode = _decode
+        self._prefixes: dict[int, tuple[Any, int]] = {}  # id -> (kv, p_true)
+        self._prefix_uid = itertools.count()
 
     # -- submission --------------------------------------------------------
-    def submit(self, input_embeds, cfg: GenerateConfig | None = None) -> int:
+    def register_prefix(self, prefix_embeds) -> int:
+        """Prefill a shared prompt prefix [P, D] ONCE and keep its KV block
+        on device ([L, 1, P_pad, ...] per cache leaf — one prefix costs
+        P_pad cache positions of HBM, not a slot). Returns a prefix id for
+        submit(prefix_id=); requests sharing it prefill only their suffix."""
+        p = prefix_embeds.shape[0]
+        p_pad = -(-p // self.pad_to) * self.pad_to
+        emb = jnp.pad(jnp.asarray(prefix_embeds), ((0, p_pad - p), (0, 0)))
+        kv = self._prefix_kv(self.params, emb, p_pad=p_pad)
+        pid = next(self._prefix_uid)
+        self._prefixes[pid] = (kv, p)
+        return pid
+
+    def drop_prefix(self, prefix_id: int) -> None:
+        """Release a registered prefix's device KV block."""
+        self._prefixes.pop(prefix_id, None)
+
+    def submit(self, input_embeds, cfg: GenerateConfig | None = None,
+               prefix_id: int | None = None) -> int:
         """Queue one spliced prompt [S, D]; returns a request uid. The
-        request starts decoding when a slot frees up."""
+        request starts decoding when a slot frees up. With prefix_id,
+        input_embeds is the SUFFIX after the registered prefix."""
         cfg = cfg or GenerateConfig()
         s = input_embeds.shape[0]
         s_pad = -(-s // self.pad_to) * self.pad_to
+        p = 0
+        if prefix_id is not None:
+            kv, p = self._prefixes[prefix_id]
+            p_pad = kv.k.shape[2]
+            # suffix KV lands at p..p+s_pad; everything must fit the slot
+            if max(p_pad, p + s_pad, p + s + cfg.max_new_tokens) > self.max_len:
+                raise ValueError(
+                    f"prefix {p} + suffix {s} (padded {s_pad}) + max_new "
+                    f"{cfg.max_new_tokens} exceeds the engine max_len "
+                    f"{self.max_len}")
         # the prefill writes the PADDED prompt into the slot row, so the
         # bucket itself must fit the cache too
-        if max(s_pad, s + cfg.max_new_tokens) > self.max_len:
+        elif max(s_pad, s + cfg.max_new_tokens) > self.max_len:
             raise ValueError(
                 f"prompt {s} (padded {s_pad}) + max_new "
                 f"{cfg.max_new_tokens} exceeds the engine max_len "
@@ -160,7 +232,8 @@ class DecodeEngine:
                        max_new_tokens=cfg.max_new_tokens,
                        temperature=(cfg.temperature if cfg.do_sample
                                     else 0.0),
-                       eot_ids=tuple(cfg.eot_ids), nonce=next(self._nonce))
+                       eot_ids=tuple(cfg.eot_ids), nonce=next(self._nonce),
+                       prefix_id=prefix_id)
         with self._lock:
             self._waiting.append(req)
             self._requests[req.uid] = req
@@ -174,12 +247,21 @@ class DecodeEngine:
             s = req.embeds.shape[0]
             s_pad = -(-s // self.pad_to) * self.pad_to
             emb = jnp.pad(jnp.asarray(req.embeds), ((0, s_pad - s), (0, 0)))
-            self.cache, tok = self._prefill(
-                self.params, self.cache, emb, slot, s,
-                jnp.asarray(req.nonce), jnp.float32(req.temperature),
-                s_pad=s_pad)
+            if req.prefix_id is not None:
+                kv, p = self._prefixes[req.prefix_id]
+                self.cache, tok = self._prefill_pfx(
+                    self.params, self.cache, kv, emb, slot,
+                    jnp.asarray(p), jnp.asarray(s),
+                    jnp.asarray(req.nonce), jnp.float32(req.temperature),
+                    s_pad=s_pad, p_pad=kv.k.shape[2])
+                req.prompt_len = p + s
+            else:
+                self.cache, tok = self._prefill(
+                    self.params, self.cache, emb, slot, s,
+                    jnp.asarray(req.nonce), jnp.float32(req.temperature),
+                    s_pad=s_pad)
+                req.prompt_len = s
             req.slot = slot
-            req.prompt_len = s
             self._active[slot] = req
             self._record(req, int(tok))
 

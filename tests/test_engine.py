@@ -237,3 +237,74 @@ def test_llm_worker_streaming(model_and_params):
     assert final == decode_fn(ref.tolist()).lstrip()
     worker.stop()
     server.shutdown()
+
+
+def test_engine_prefix_cache_matches_full_prompt(model_and_params):
+    """register_prefix + submit(suffix, prefix_id=) must reproduce the solo
+    `generate` stream for the CONCATENATED prompt — prefix seeding is a
+    pure admission-cost optimization, invisible in the output."""
+    model, params = model_and_params
+    full = _prompts(model, params, [13, 17, 9], seed=23)
+    p_len = 6
+    ref = _ref(model, params, full, GREEDY)
+
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+    # every prompt shares its own prefix here; also mix in a prefix-free
+    # co-tenant to prove the two admission paths coexist in one pool
+    pids = [eng.register_prefix(p[:p_len]) for p in full]
+    uids = [eng.submit(p[p_len:], GREEDY, prefix_id=pid)
+            for p, pid in zip(full, pids)]
+    free_uid = eng.submit(full[0], GREEDY)
+    eng.run_until_idle()
+    for r, u in zip(ref, uids):
+        np.testing.assert_array_equal(r, eng.result(u))
+    np.testing.assert_array_equal(ref[0], eng.result(free_uid))
+
+
+def test_engine_prefix_shared_across_requests_and_slots(model_and_params):
+    """ONE registered prefix serves many concurrent requests (and slot
+    reuse after eviction) without mutation — the block is never donated."""
+    model, params = model_and_params
+    rng = np.random.default_rng(31)
+    prefix_ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(11,)),
+                             jnp.int32)
+    prefix = model.apply(params, prefix_ids, method=model.embed)
+    suffixes = _prompts(model, params, [4, 7, 3, 5], seed=37)
+    full = [jnp.concatenate([prefix, s]) for s in suffixes]
+    ref = _ref(model, params, full, GREEDY)
+
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+    pid = eng.register_prefix(prefix)
+    uids = [eng.submit(s, GREEDY, prefix_id=pid) for s in suffixes]
+    eng.run_until_idle()
+    for r, u in zip(ref, uids):
+        np.testing.assert_array_equal(r, eng.result(u))
+
+
+def test_engine_prefix_kv_quant(model_and_params):
+    """Prefix seeding carries the int8 KV scale planes through the slot
+    insert (kv_quant cache leaves include k_scale/v_scale)."""
+    import dataclasses as dc
+    model, params = model_and_params
+    qcfg = dc.replace(CFG, kv_quant=True)
+    qmodel = LlamaModel(qcfg)
+    prefix = _prompts(model, params, [9], seed=41)[0]
+    suffix = _prompts(model, params, [5], seed=43)[0]
+    full = jnp.concatenate([prefix, suffix])
+    ref = generate(qmodel, params, full, GREEDY, jax.random.PRNGKey(1))
+
+    eng = DecodeEngine(qmodel, params, slots=2, max_len=64, pad_to=8)
+    pid = eng.register_prefix(prefix)
+    uid = eng.submit(suffix, GREEDY, prefix_id=pid)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(ref, eng.result(uid))
+
+
+def test_engine_prefix_overflow_rejected(model_and_params):
+    model, params = model_and_params
+    prefix = _prompts(model, params, [24], seed=47)[0]
+    suffix = _prompts(model, params, [40], seed=48)[0]
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    pid = eng.register_prefix(prefix)
+    with pytest.raises(ValueError):
+        eng.submit(suffix, GREEDY, prefix_id=pid)  # 24+40+12 > 64
