@@ -43,7 +43,14 @@ class LLMWorker(Worker):
                  embed_prompt: Callable, decode_fn: Callable,
                  worker_name: str, controller_url: str | None = None,
                  model_names: tuple = ("rsvldm-llm",),
-                 base_cfg: GenerateConfig | None = None):
+                 base_cfg: GenerateConfig | None = None,
+                 prefix_text: str | None = None):
+        """prefix_text: optional shared prompt scaffold (system prompt +
+        conversation header). Its KV block is prefilled once via the
+        engine's prefix cache; any request whose rendered prompt starts
+        with it prefills only the remainder. The split MUST fall on a
+        token boundary (end it at a special token such as <|eot_id|>) so
+        embed_prompt(suffix) equals the suffix of embed_prompt(full)."""
         super().__init__(pipeline=None, worker_name=worker_name,
                          controller_url=controller_url,
                          model_names=model_names)
@@ -51,8 +58,18 @@ class LLMWorker(Worker):
         self.embed_prompt = embed_prompt
         self.decode_fn = decode_fn
         self.base_cfg = base_cfg or GenerateConfig()
+        self.prefix_text = prefix_text
+        self._prefix_id = (engine.register_prefix(embed_prompt(prefix_text))
+                           if prefix_text else None)
         self._driver_started = False
         self._state_lock = threading.Lock()
+
+    def _submit(self, prompt: str, cfg: GenerateConfig) -> int:
+        if self._prefix_id is not None and prompt.startswith(self.prefix_text):
+            return self.engine.submit(
+                self.embed_prompt(prompt[len(self.prefix_text):]), cfg,
+                prefix_id=self._prefix_id)
+        return self.engine.submit(self.embed_prompt(prompt), cfg)
 
     # the engine needs one thread calling step(); HTTP handler threads
     # only submit and wait
@@ -80,7 +97,7 @@ class LLMWorker(Worker):
         with self._state_lock:
             self.queue_length += 1
         try:
-            uid = self.engine.submit(self.embed_prompt(prompt), cfg)
+            uid = self._submit(prompt, cfg)
             ids = self.engine.wait(uid, timeout=600)
             return self.decode_fn(ids.tolist()).lstrip()
         finally:
@@ -103,7 +120,7 @@ class LLMWorker(Worker):
         with self._state_lock:
             self.queue_length += 1
         try:
-            uid = self.engine.submit(self.embed_prompt(prompt), cfg)
+            uid = self._submit(prompt, cfg)
             req = self.engine._requests[uid]
             sent = 0
             while not req.event.wait(poll_s):

@@ -308,3 +308,34 @@ def test_engine_prefix_overflow_rejected(model_and_params):
     pid = eng.register_prefix(prefix)
     with pytest.raises(ValueError):
         eng.submit(suffix, GREEDY, prefix_id=pid)  # 24+40+12 > 64
+
+
+def test_llm_worker_prefix_text(model_and_params):
+    """Worker-level prefix cache: prompts carrying the shared scaffold
+    prefill only their remainder yet produce the solo-equivalent text;
+    prompts WITHOUT the scaffold fall back to the full-prompt path."""
+    from rsvldm_tpu.serving.llm_worker import LLMWorker
+
+    model, params = model_and_params
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+
+    def embed_prompt(prompt: str):
+        ids = jnp.asarray([(ord(c) % 96) + 1 for c in prompt], jnp.int32)
+        return model.apply(params, ids, method=model.embed)
+
+    def decode_fn(ids):
+        return " ".join(str(i) for i in ids)
+
+    scaffold = "SYSTEM: you are. "  # char-level embed: any split is safe
+    worker = LLMWorker(eng, embed_prompt, decode_fn, worker_name="w1",
+                       base_cfg=GREEDY, prefix_text=scaffold)
+    for tail in ("hello", "abcdefgh"):
+        out = worker.generate_text(scaffold + tail)
+        ref = generate(model, params, embed_prompt(scaffold + tail), GREEDY,
+                       jax.random.PRNGKey(1))
+        assert out == decode_fn(ref.tolist()).lstrip()
+    out = worker.generate_text("no scaffold here")
+    ref = generate(model, params, embed_prompt("no scaffold here"), GREEDY,
+                   jax.random.PRNGKey(1))
+    assert out == decode_fn(ref.tolist()).lstrip()
+    worker.stop()
