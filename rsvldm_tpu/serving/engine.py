@@ -35,6 +35,12 @@ BETWEEN jitted steps instead:
   `register_prefix` and its KV block kept on device; `submit(suffix,
   prefix_id=)` then prefills only the suffix against a row seeded with the
   prefix KV — admission cost drops from O(prefix+suffix) to O(suffix).
+- Chunked prefill (decode-latency isolation): with `prefill_chunk=N`, a
+  long prompt's prefill is split into fixed N-token chunks processed one
+  per `step()` into a standalone row cache, with every OTHER slot's decode
+  advancing between chunks — a several-thousand-token admission no longer
+  stalls co-tenant token streams for hundreds of ms. One executable serves
+  every chunk of every request (offsets are traced scalars).
 
 Sampling matches `generate`'s semantics (temperature categorical / greedy
 argmax) but is keyed per request: key = fold_in(fold_in(base, nonce), step)
@@ -67,6 +73,13 @@ class _Request:
     eot_ids: tuple
     nonce: int
     prefix_id: int | None = None
+    # chunked-prefill state (engine.prefill_chunk): a standalone row cache
+    # filled one chunk per step() before the slot joins the decode batch
+    row: Any = None
+    chunk_emb: Any = None
+    base_off: int = 0
+    chunk_i: int = 0
+    n_chunks: int = 0
     out_ids: list = dataclasses.field(default_factory=list)
     slot: int = -1
     prompt_len: int = 0
@@ -92,12 +105,16 @@ class DecodeEngine:
 
     def __init__(self, model: LlamaModel, params: Any, slots: int = 4,
                  max_len: int = 4096, pad_to: int = 128,
-                 cache_dtype=None, rng: jax.Array | None = None):
+                 cache_dtype=None, rng: jax.Array | None = None,
+                 prefill_chunk: int | None = None):
         self.model = model
         self.params = params
         self.slots = slots
         self.max_len = max_len
         self.pad_to = pad_to
+        if prefill_chunk is not None and prefill_chunk % pad_to:
+            raise ValueError("prefill_chunk must be a multiple of pad_to")
+        self.prefill_chunk = prefill_chunk
         self.rng = jax.random.PRNGKey(0) if rng is None else rng
         self.cache = KVCache.init(model.cfg, slots, max_len,
                                   cache_dtype or model.cfg.dtype)
@@ -156,6 +173,29 @@ class DecodeEngine:
             tok = _sample(last[None], temp[None], key)[0]
             return pool, tok
 
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("c",))
+        def _chunk_fill(params, row: KVCache, embeds, offset, c: int):
+            """One prefill chunk: embeds [c, D] applied at `offset` into a
+            standalone row cache. Returns the chunk logits so the final
+            chunk's sampling position needs no recompute."""
+            logits, row = mdl.apply(params, embeds[None], row, offset)
+            return row, logits
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def _finish_prefill(params, pool: KVCache, row: KVCache,
+                            last_logits, idx, slot, nonce, temp):
+            """Insert a chunk-filled row at `slot` and sample the first
+            token from the final chunk's logits at `idx`."""
+            pool = jax.tree_util.tree_map(
+                lambda pa, ra: jax.lax.dynamic_update_slice(
+                    pa, ra, (0, slot) + (0,) * (ra.ndim - 2)), pool, row)
+            last = jax.lax.dynamic_index_in_dim(
+                last_logits[0], idx, axis=0, keepdims=False)
+            key = jax.random.fold_in(jax.random.fold_in(self.rng, nonce), 0)
+            tok = _sample(last[None], temp[None], key)[0]
+            return pool, tok
+
         @functools.partial(jax.jit, static_argnames=("p_pad",))
         def _prefix_kv(params, embeds, p_pad: int):
             """Run a prefix [p_pad, D] through the model once; return its
@@ -181,9 +221,12 @@ class DecodeEngine:
         self._prefill = _prefill
         self._prefill_pfx = _prefill_pfx
         self._prefix_kv = _prefix_kv
+        self._chunk_fill = _chunk_fill
+        self._finish_prefill = _finish_prefill
         self._decode = _decode
         self._prefixes: dict[int, tuple[Any, int]] = {}  # id -> (kv, p_true)
         self._prefix_uid = itertools.count()
+        self._prefilling: dict[int, _Request] = {}  # slot -> chunking req
 
     # -- submission --------------------------------------------------------
     def register_prefix(self, prefix_embeds) -> int:
@@ -245,6 +288,25 @@ class DecodeEngine:
             req = self._waiting.pop(0)
             slot = self._free.pop(0)
             s = req.embeds.shape[0]
+            c = self.prefill_chunk
+            if c and s > c:
+                pkv, p = ((None, 0) if req.prefix_id is None
+                          else self._prefixes[req.prefix_id])
+                n = -(-s // c)
+                if p + n * c <= self.max_len:
+                    row = KVCache.init(self.model.cfg, 1, self.max_len,
+                                       self.cache.k.dtype)
+                    if pkv is not None:
+                        row = jax.tree_util.tree_map(
+                            lambda ra, za: jax.lax.dynamic_update_slice(
+                                za, ra, (0,) * ra.ndim), pkv, row)
+                    req.row = row
+                    req.chunk_emb = jnp.pad(jnp.asarray(req.embeds),
+                                            ((0, n * c - s), (0, 0)))
+                    req.base_off, req.chunk_i, req.n_chunks = p, 0, n
+                    req.slot = slot
+                    self._prefilling[slot] = req
+                    continue
             s_pad = -(-s // self.pad_to) * self.pad_to
             emb = jnp.pad(jnp.asarray(req.embeds), ((0, s_pad - s), (0, 0)))
             if req.prefix_id is not None:
@@ -277,13 +339,39 @@ class DecodeEngine:
             self._free.append(req.slot)
             req.event.set()
 
+    def _advance_prefills(self):
+        """One chunk for every chunk-prefilling slot. Decode garbage that
+        co-tenant steps write into a prefilling slot's POOL row is
+        harmless: _finish_prefill replaces the entire row."""
+        c = self.prefill_chunk
+        for slot, req in list(self._prefilling.items()):
+            off = req.base_off + req.chunk_i * c
+            chunk = req.chunk_emb[req.chunk_i * c:(req.chunk_i + 1) * c]
+            req.row, logits = self._chunk_fill(
+                self.params, req.row, chunk, jnp.asarray(off), c=c)
+            req.chunk_i += 1
+            if req.chunk_i == req.n_chunks:
+                s = req.embeds.shape[0]
+                idx = (s - 1) - (req.n_chunks - 1) * c
+                self.cache, tok = self._finish_prefill(
+                    self.params, self.cache, req.row, logits,
+                    jnp.asarray(idx), jnp.asarray(slot),
+                    jnp.asarray(req.nonce), jnp.float32(req.temperature))
+                req.row = req.chunk_emb = None
+                del self._prefilling[slot]
+                req.prompt_len = req.base_off + s
+                self._active[slot] = req
+                self._record(req, int(tok))
+
     def step(self) -> int:
-        """Admit waiting requests, then advance every active slot one
-        token. Returns the number of active requests after the step."""
+        """Admit waiting requests, advance chunked prefills by one chunk,
+        then advance every active slot one token. Returns the number of
+        unfinished requests after the step."""
         with self._lock:
             self._admit()
+            self._advance_prefills()
             if not self._active:
-                return 0
+                return len(self._prefilling) + len(self._waiting)
             toks = np.zeros((self.slots,), np.int32)
             pos = np.zeros((self.slots,), np.int32)
             temps = np.zeros((self.slots,), np.float32)
@@ -303,7 +391,8 @@ class DecodeEngine:
             nxt = np.asarray(nxt)
             for slot, req in list(self._active.items()):
                 self._record(req, int(nxt[slot]))
-            return len(self._active) + len(self._waiting)
+            return (len(self._active) + len(self._prefilling)
+                    + len(self._waiting))
 
     # -- results -----------------------------------------------------------
     def result(self, uid: int) -> np.ndarray:

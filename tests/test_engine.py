@@ -339,3 +339,47 @@ def test_llm_worker_prefix_text(model_and_params):
                    jax.random.PRNGKey(1))
     assert out == decode_fn(ref.tolist()).lstrip()
     worker.stop()
+
+
+def test_engine_chunked_prefill_matches_generate(model_and_params):
+    """prefill_chunk splits long-prompt admission into fixed chunks; the
+    outputs must equal solo `generate` (short prompts take the normal
+    path, chunked + prefix caching compose)."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [21, 5, 34], seed=53)
+    ref = _ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       prefill_chunk=8)
+    out = eng.generate_all(prompts, GREEDY)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(r, o)
+    # chunked on top of a registered prefix
+    pid = eng.register_prefix(prompts[2][:10])
+    uid = eng.submit(prompts[2][10:], GREEDY, prefix_id=pid)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(ref[2], eng.result(uid))
+
+
+def test_engine_chunked_prefill_interleaves_decode(model_and_params):
+    """A long admission must NOT stall a co-tenant: while request B's
+    prompt is chunk-prefilling, request A still gains one token per
+    step()."""
+    model, params = model_and_params
+    a, b = _prompts(model, params, [5, 34], seed=59)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       prefill_chunk=8)
+    ua = eng.submit(a, GREEDY)
+    eng.step()                      # admit A (prefill + first token)
+    n0 = len(eng._requests[ua].out_ids)
+    ub = eng.submit(b, GREEDY)
+    eng.step()                      # admit B -> 1 chunk; A decodes 1 token
+    rb = eng._requests[ub]
+    assert rb.slot in eng._prefilling and rb.chunk_i == 1
+    assert len(eng._requests[ua].out_ids) == n0 + 1
+    eng.step()                      # B chunk 2; A decodes again
+    assert rb.chunk_i == 2 and not rb.out_ids
+    assert len(eng._requests[ua].out_ids) == n0 + 2
+    eng.run_until_idle()
+    ref_a, ref_b = _ref(model, params, [a, b], GREEDY)
+    np.testing.assert_array_equal(ref_a, eng.result(ua))
+    np.testing.assert_array_equal(ref_b, eng.result(ub))
