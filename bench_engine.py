@@ -11,12 +11,19 @@ scan-decode path (bench_full.py part_llama_int8) serves one stream.
 Run: python bench_engine.py [slots ...]   (suffix q = int8 KV cache,
 e.g. `bench_engine.py 8 16q` — kv_quant halves cache bytes so 16 slots
 at the same context fit where bf16 KV allows 8)
+
+     python bench_engine.py iso    — decode-latency isolation: worst
+     per-step() latency seen by a decoding co-tenant while a 3584-token
+     prompt is admitted, monolithic prefill vs prefill_chunk=256 (the
+     chunked-prefill path), plus the admitted request's time-to-first-token
+     both ways (chunking trades TTFT for co-tenant latency).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -25,7 +32,68 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def isolation():
+    """Chunked-prefill decode-latency isolation at the 8B int8 geometry."""
+    from rsvldm_tpu.models.vlm.llama import LLAMA3_8B_CONFIG, LlamaModel
+    from rsvldm_tpu.models.vlm.generate import GenerateConfig
+    from rsvldm_tpu.serving.engine import DecodeEngine
+
+    from bench_full import dummy_llama_params
+
+    tiny = bool(os.environ.get("BENCH_TINY"))  # CPU smoke of the flow only
+    if tiny:
+        from rsvldm_tpu.models.vlm.llama import LlamaConfig
+        lcfg = LlamaConfig(vocab_size=64, dim=32, layers=2, heads=4,
+                           kv_heads=2, ffn_dim=64, quant="int8")
+        long_s, chunk, max_len, pad = 96, 16, 192, 8
+    else:
+        lcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                                   quant="int8")
+        long_s, chunk, max_len, pad = 3584, 256, 3968, 128
+    lm = LlamaModel(lcfg)
+    lp = dummy_llama_params(lm, lcfg)
+    res = {}
+    eng = None
+    for use_chunk in (False, True):
+        del eng  # one engine's KV pool at a time next to 8.5 GB of weights
+        eng = DecodeEngine(lm, lp, slots=2, max_len=max_len, pad_to=pad,
+                           prefill_chunk=chunk if use_chunk else None)
+        cfg = GenerateConfig(max_new_tokens=64, temperature=0.0,
+                             do_sample=False, eot_ids=(), pad_to=pad)
+        warm = dataclasses.replace(cfg, max_new_tokens=1)
+        emb_a = jnp.zeros((pad, lm.cfg.dim), jnp.bfloat16)
+        emb_b = jnp.zeros((long_s, lm.cfg.dim), jnp.bfloat16)
+        eng.submit(emb_a, warm)          # warm short-prefill + decode exes
+        while eng.step():
+            pass
+        eng.submit(emb_b, warm)          # warm the long-admission path
+        while eng.step():
+            pass
+        ua = eng.submit(emb_a, cfg)      # the decoding co-tenant
+        for _ in range(3):
+            eng.step()
+        ub = eng.submit(emb_b, cfg)      # the long admission
+        t_sub = time.perf_counter()
+        step_ms, ttft = [], None
+        for _ in range(24):
+            t0 = time.perf_counter()
+            eng.step()
+            step_ms.append(1000 * (time.perf_counter() - t0))
+            if ttft is None and eng._requests[ub].out_ids:
+                ttft = time.perf_counter() - t_sub
+        del ua
+        tag = "chunked" if use_chunk else "monolithic"
+        res[f"iso_{tag}_max_step_ms"] = round(max(step_ms), 1)
+        res[f"iso_{tag}_median_step_ms"] = round(
+            float(np.median(step_ms)), 1)
+        res[f"iso_{tag}_long_ttft_ms"] = round(1000 * ttft, 1)
+    print(json.dumps(res))
+
+
 def main():
+    if "iso" in sys.argv[1:]:
+        isolation()
+        return
     specs = [(int(a.rstrip("q")), a.endswith("q"))
              for a in sys.argv[1:]] or [(1, False), (4, False)]
     from rsvldm_tpu.models.vlm.llama import LLAMA3_8B_CONFIG, LlamaModel
