@@ -366,7 +366,34 @@ def part_llama_prefill():
             **roofline(fpc, dt, prefix="llama_prefill_")}
 
 
+def part_sr3_train():
+    """SR3 TRAINING step throughput at the reference train geometry
+    (configs/sr_sr3.json:22-23 batch 8 @224^2; model geometry :41-57;
+    adam 1e-4 + EMA, train schedule linear-2000): the full jitted
+    loss+grad+adam+EMA step of training/sr3_trainer.py — the reference's
+    sr3_model optimize_parameters equivalent. Informational (training is
+    not part of the per-image composite)."""
+    from rsvldm_tpu.models.sr3 import SR3UNetConfig
+    from rsvldm_tpu.training.sr3_trainer import SR3TrainConfig, SR3Trainer
+    mcfg = SR3UNetConfig(inner_channel=64, channel_mults=(1, 2, 4, 8, 8),
+                         attn_res=(28,), res_blocks=1, image_size=224,
+                         dtype=jnp.bfloat16)
+    tr = SR3Trainer(mcfg, SR3TrainConfig())
+    b = 8
+    hr = jnp.zeros((b, 224, 224, 3))
+    sr = jnp.zeros((b, 224, 224, 3))
+    rng = jax.random.PRNGKey(1)
+    fc = aot(tr._train_step, tr.params, tr.opt_state, tr.ema, hr, sr, rng)
+    raw = timed(lambda: fc(tr.params, tr.opt_state, tr.ema, hr, sr, rng),
+                n=3)
+    dt = max(raw - dispatch_overhead(), raw / 4)
+    return {"sr3_train_step_b8_s": dt,
+            "sr3_train_img_s": round(b / dt, 1),
+            **roofline(fc, dt, prefix="sr3_train_")}
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
+         "sr3_train": part_sr3_train,
          "llama": part_llama, "llama_int8": part_llama_int8,
          "llama_int4": part_llama_int4,
          "llama_prefill": part_llama_prefill,
