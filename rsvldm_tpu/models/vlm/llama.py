@@ -132,6 +132,22 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _maybe_lora(mod: nn.Module, x, y):
+    """Optional runtime low-rank branch for frozen-quantized layers — the
+    QLoRA recipe (reference train.py:1471-1529: kbit base + PEFT LoRA).
+    When the caller passes a "lora" collection into `.apply` (tree mirrors
+    the module path: {<layer>: {<proj>: {"a": [in,r], "b": [r,out]}}}),
+    y += (x @ a) @ b. The adapter SCALE (alpha/r) is folded into `b` by the
+    caller (training/vlm_trainer.py::runtime_lora) so inference and the
+    trainer share one convention. Quantized kernels cannot fold adapters in
+    (apply_lora's W + s*AB needs fp kernels), hence the runtime branch."""
+    if mod.has_variable("lora", "a"):
+        a = mod.get_variable("lora", "a")
+        b = mod.get_variable("lora", "b")
+        y = y + ((x.astype(jnp.float32) @ a) @ b).astype(y.dtype)
+    return y
+
+
 class QDense(nn.Module):
     """Dense with int8 weight storage: params {kernel_q int8 [in,out],
     scale f32 [out]} (+bias). The matmul stays s8 on the MXU; only the
@@ -142,13 +158,16 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ...ops.quant import QuantizedLinear, int8_matmul
+        from ...ops.quant import int8_matmul_ste
         in_f = x.shape[-1]
         q = self.param("kernel_q", nn.initializers.zeros,
                        (in_f, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        y = int8_matmul(x, QuantizedLinear(q, scale), out_dtype=self.dtype)
+        # STE wrapper == int8_matmul in forward; its custom backward makes
+        # the layer differentiable wrt x (the QLoRA training path)
+        y = int8_matmul_ste(x, q, scale, self.dtype)
+        y = _maybe_lora(self, x, y)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
@@ -168,14 +187,15 @@ class Q4Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ...ops.quant import Int4Linear, int4_matmul
+        from ...ops.quant import int4_matmul_ste
         in_f = x.shape[-1]
         g = min(self.group, in_f)
         q = self.param("kernel_q4", nn.initializers.zeros,
                        (in_f // 2, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (in_f // g, self.features), jnp.float32)
-        y = int4_matmul(x, Int4Linear(q, scale), out_dtype=self.dtype)
+        y = int4_matmul_ste(x, q, scale, self.dtype)
+        y = _maybe_lora(self, x, y)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)

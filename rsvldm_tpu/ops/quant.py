@@ -317,3 +317,68 @@ def int4_matmul(x: jnp.ndarray, w: Int4Linear,
             and _pick_bin2(inf // 2)):
         return int4_matmul_pallas(x, w, out_dtype=out_dtype)
     return _int4_matmul_xla(x, w, out_dtype=out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Straight-through-estimator backward for the quantized matmuls — the
+# QLoRA training path (/root/reference/llava/train/train.py:1471-1529:
+# bits 4/8 + prepare_model_for_kbit_training + LoRA). The FORWARD is the
+# exact int8/int4 MXU path above (activations quantized per token); the
+# BACKWARD treats the layer as y = x @ dequant(w): dx = g @ W_deq^T with
+# the dequantization done only inside the gradient (bitsandbytes does the
+# same — its backward is a fp matmul against dequantized weights). The
+# frozen quantized weights get symbolic-zero cotangents (int leaves have
+# float0 tangents); only gradients wrt x flow, which is all LoRA training
+# needs (adapter grads arrive through x of downstream layers and the
+# explicit low-rank branch).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int8_matmul_ste(x, q, scale, out_dtype=jnp.bfloat16):
+    return int8_matmul(x, QuantizedLinear(q, scale), out_dtype=out_dtype)
+
+
+def _int8_ste_fwd(x, q, scale, out_dtype):
+    # residuals must be jax types: carry x's dtype as a 0-size array
+    return int8_matmul_ste(x, q, scale, out_dtype), (
+        jnp.zeros((0,), x.dtype), q, scale)
+
+
+def _int8_ste_bwd(out_dtype, res, g):
+    import numpy as np
+    x_proto, q, scale = res
+    x_dtype = x_proto.dtype
+    w = q.astype(jnp.float32) * scale          # dequant in backward only
+    dx = jnp.einsum("...o,io->...i", g.astype(jnp.float32), w)
+    return (dx.astype(x_dtype), np.zeros(q.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+int8_matmul_ste.defvjp(_int8_ste_fwd, _int8_ste_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int4_matmul_ste(x, packed, scale, out_dtype=jnp.bfloat16):
+    return int4_matmul(x, Int4Linear(packed, scale), out_dtype=out_dtype)
+
+
+def _int4_ste_fwd(x, packed, scale, out_dtype):
+    return int4_matmul_ste(x, packed, scale, out_dtype), (
+        jnp.zeros((0,), x.dtype), packed, scale)
+
+
+def _int4_ste_bwd(out_dtype, res, g):
+    import numpy as np
+    x_proto, packed, scale = res
+    x_dtype = x_proto.dtype
+    inf = 2 * packed.shape[0]
+    group = inf // scale.shape[0]
+    w = unpack_int4(packed).astype(jnp.float32) * jnp.repeat(
+        scale, group, axis=0)
+    dx = jnp.einsum("...o,io->...i", g.astype(jnp.float32), w)
+    return (dx.astype(x_dtype), np.zeros(packed.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+int4_matmul_ste.defvjp(_int4_ste_fwd, _int4_ste_bwd)

@@ -49,17 +49,26 @@ def init_lora(params: Dict, cfg: LoraConfig, rng: jax.Array) -> Dict:
 
     def walk(tree, path, out):
         for k, v in tree.items():
-            if isinstance(v, dict) and "kernel" in v and any(
-                    t == k for t in cfg.targets):
+            if isinstance(v, dict) and any(t == k for t in cfg.targets) \
+                    and ("kernel" in v or "kernel_q" in v
+                         or "kernel_q4" in v):
                 import zlib
-                kern = v["kernel"]
+                # fp kernel [in,out]; int8 kernel_q [in,out]; int4
+                # kernel_q4 [in//2,out] (two nibble planes along `in`)
+                if "kernel" in v:
+                    in_f, out_f = v["kernel"].shape
+                elif "kernel_q" in v:
+                    in_f, out_f = v["kernel_q"].shape
+                else:
+                    in_f, out_f = (2 * v["kernel_q4"].shape[0],
+                                   v["kernel_q4"].shape[1])
                 # crc32: stable across processes (hash() is salted)
                 rng_k = jax.random.fold_in(
                     rng, zlib.crc32("/".join(path + [k]).encode()) % (2**31))
                 out[k] = {
-                    "a": jax.random.normal(rng_k, (kern.shape[0], cfg.r),
+                    "a": jax.random.normal(rng_k, (in_f, cfg.r),
                                            jnp.float32) / cfg.r,
-                    "b": jnp.zeros((cfg.r, kern.shape[1]), jnp.float32),
+                    "b": jnp.zeros((cfg.r, out_f), jnp.float32),
                 }
             elif isinstance(v, dict):
                 sub: Dict = {}
@@ -92,9 +101,84 @@ def apply_lora(params: Dict, lora: Dict, scale: float) -> Dict:
     return {"params": walk(params["params"], lora)}
 
 
+def quant_mode(params: Dict) -> str | None:
+    """"int8" / "int4" when the tree holds quantized kernels, else None."""
+    found = []
+
+    def walk(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel_q" in v:
+                    found.append("int8")
+                elif "kernel_q4" in v:
+                    found.append("int4")
+                else:
+                    walk(v)
+
+    walk(params["params"])
+    return found[0] if found else None
+
+
+def runtime_lora(lora: Dict, scale: float) -> Dict:
+    """The "lora" collection for `.apply`: the adapter scale (alpha/r) is
+    folded into `b` so the model-side branch is just (x @ a) @ b."""
+
+    def walk(tree):
+        if set(tree) == {"a", "b"}:
+            return {"a": tree["a"], "b": tree["b"] * scale}
+        return {k: walk(v) for k, v in tree.items()}
+
+    return walk(lora)
+
+
+def apply_model(model, base_params: Dict, lora: Dict | None,
+                lora_cfg: LoraConfig, *args, **kw):
+    """One forward entry for fp AND quantized bases. fp: adapters fold
+    into the kernels (W + s*AB). Quantized: kernels stay int8/int4 and the
+    adapters ride the "lora" collection into the runtime branch
+    (models/vlm/llama.py::_maybe_lora) — the QLoRA forward."""
+    if lora is None:
+        return model.apply(base_params, *args, **kw)
+    if quant_mode(base_params):
+        return model.apply(
+            {**base_params, "lora": runtime_lora(lora, lora_cfg.scale)},
+            *args, **kw)
+    return model.apply(apply_lora(base_params, lora, lora_cfg.scale),
+                       *args, **kw)
+
+
 def export_merged(params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
-    """Merged param tree for inference (the runtime-PEFT-free path)."""
-    return apply_lora(params, lora, cfg.scale)
+    """Merged param tree for inference (the runtime-PEFT-free path).
+
+    For an int8 base the merge dequantizes each adapted kernel, adds
+    s*A@B and REquantizes (one extra RTN rounding on the delta — the
+    adapters can also be served unmerged via the runtime branch, which is
+    exact). int4 group-packed kernels are served unmerged only."""
+    mode = quant_mode(params)
+    if mode is None:
+        return apply_lora(params, lora, cfg.scale)
+    if mode == "int4":
+        raise NotImplementedError(
+            "int4 merge would re-round group-packed nibbles; serve adapters "
+            "unmerged via the runtime 'lora' collection instead")
+    from ..ops.quant import quantize_weight
+
+    def walk(tree, ltree):
+        out = {}
+        for k, v in tree.items():
+            if k in ltree and isinstance(ltree[k], dict) and "a" in ltree[k]:
+                la, lb = ltree[k]["a"], ltree[k]["b"]
+                w = (v["kernel_q"].astype(jnp.float32) * v["scale"]
+                     + cfg.scale * (la @ lb))
+                ql = quantize_weight(w)
+                out[k] = {**v, "kernel_q": ql.q, "scale": ql.scale}
+            elif isinstance(v, dict):
+                out[k] = walk(v, ltree.get(k, {}))
+            else:
+                out[k] = v
+        return out
+
+    return {"params": walk(params["params"], lora)}
 
 
 # ---------------------------------------------------------- preprocessing
@@ -117,8 +201,8 @@ def vlm_loss(model, base_params, lora, lora_cfg: LoraConfig,
     """Masked next-token cross entropy. input_embeds [B,S,D] already carry
     spliced image features; labels [B,S] with IGNORE_INDEX on unsupervised
     positions (image/prompt spans)."""
-    params = apply_lora(base_params, lora, lora_cfg.scale)
-    logits, _ = model.apply(params, input_embeds, cache, 0)
+    logits, _ = apply_model(model, base_params, lora, lora_cfg,
+                            input_embeds, cache, 0)
     logits = logits[:, :-1]
     targets = labels[:, 1:]
     mask = targets != IGNORE_INDEX
@@ -130,8 +214,9 @@ def vlm_loss(model, base_params, lora, lora_cfg: LoraConfig,
 
 # ------------------------------------------------------------------ DPO
 
-def _sequence_logprob(model, params, embeds, labels, cache):
-    logits, _ = model.apply(params, embeds, cache, 0)
+def _sequence_logprob(model, params, embeds, labels, cache, *,
+                      lora=None, lora_cfg=None):
+    logits, _ = apply_model(model, params, lora, lora_cfg, embeds, cache, 0)
     logits = logits[:, :-1]
     targets = labels[:, 1:]
     mask = targets != IGNORE_INDEX
@@ -147,10 +232,11 @@ def dpo_loss(model, base_params, lora, lora_cfg: LoraConfig,
     """Direct preference optimization (llava/train/train_dpo.py parity):
     -log sigmoid(beta * ((pi_c - ref_c) - (pi_r - ref_r))), where the frozen
     base model IS the reference policy (LoRA-only policy delta)."""
-    policy = apply_lora(base_params, lora, lora_cfg.scale)
-    pi_c = _sequence_logprob(model, policy, chosen_embeds, chosen_labels, cache)
-    pi_r = _sequence_logprob(model, policy, rejected_embeds, rejected_labels,
-                             cache)
+    pi_c = _sequence_logprob(model, base_params, chosen_embeds, chosen_labels,
+                             cache, lora=lora, lora_cfg=lora_cfg)
+    pi_r = _sequence_logprob(model, base_params, rejected_embeds,
+                             rejected_labels, cache, lora=lora,
+                             lora_cfg=lora_cfg)
     ref_c = _sequence_logprob(model, base_params, chosen_embeds, chosen_labels,
                               cache)
     ref_r = _sequence_logprob(model, base_params, rejected_embeds,
