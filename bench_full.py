@@ -392,8 +392,50 @@ def part_sr3_train():
             **roofline(fc, dt, prefix="sr3_train_")}
 
 
+def part_qlora_train():
+    """QLoRA finetune step at the FULL 8B geometry on ONE 16 GB chip —
+    impossible in bf16 (weights alone are ~16 GB): int8 base (s8 MXU
+    forward, STE backward), per-block remat, LoRA r=16 on the attention
+    projections, adamw on the adapters only, 2048 supervised tokens per
+    step (train.py:1471-1529 kbit+LoRA equivalent). Informational."""
+    import dataclasses
+
+    import optax
+
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
+                                             LlamaModel)
+    from rsvldm_tpu.training.vlm_trainer import (LoraConfig, init_lora,
+                                                 vlm_loss)
+    mcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                               quant="int8", remat=True)
+    lm = LlamaModel(mcfg)
+    lp = dummy_llama_params(lm, mcfg)
+    s = 2048
+    lcfg = LoraConfig(r=16)
+    lora = init_lora(lp, lcfg, jax.random.PRNGKey(0))
+    tx = optax.adamw(2e-4)
+    opt = tx.init(lora)
+    emb = jnp.zeros((1, s, mcfg.dim), jnp.bfloat16)
+    labels = jnp.ones((1, s), jnp.int32)
+    cache = KVCache.init(mcfg, 1, s, jnp.bfloat16)
+
+    def step(lora, opt, base, emb, labels, cache):
+        loss, g = jax.value_and_grad(
+            lambda l: vlm_loss(lm, base, l, lcfg, emb, labels, cache))(lora)
+        up, opt = tx.update(g, opt, lora)
+        return optax.apply_updates(lora, up), opt, loss
+
+    f = jax.jit(step)   # base params as jit ARGS (no constant folding)
+    fc = aot(f, lora, opt, lp, emb, labels, cache)
+    raw = timed(lambda: fc(lora, opt, lp, emb, labels, cache), n=2)
+    dt = max(raw - dispatch_overhead(), raw / 4)
+    return {"qlora8B_step_2048tok_s": dt,
+            "qlora8B_train_tok_s": round(s / dt, 1),
+            **roofline(fc, dt, prefix="qlora_")}
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
-         "sr3_train": part_sr3_train,
+         "sr3_train": part_sr3_train, "qlora_train": part_qlora_train,
          "llama": part_llama, "llama_int8": part_llama_int8,
          "llama_int4": part_llama_int4,
          "llama_prefill": part_llama_prefill,

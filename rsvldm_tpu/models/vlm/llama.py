@@ -61,6 +61,14 @@ class LlamaConfig:
     # keys is the standard KV-quant recipe (logits cos > 0.999 at tiny
     # scale, test_quant_kv).
     kv_quant: bool = False
+    # Rematerialize each block in the backward pass (jax.checkpoint via
+    # nn.remat): activation memory drops from O(layers * seq) to one layer
+    # plus the inter-block residual stream, at one extra forward of
+    # recompute — what lets a 2k-token QLoRA step fit next to 8.5 GB of
+    # int8 weights on a 16 GB chip (the reference side of this trade is
+    # train.py's gradient_checkpointing flag). Forward-only paths
+    # (generate/engine) are unaffected numerically either way.
+    remat: bool = False
     # MoE knobs (Mixtral / Qwen2-MoE; llava_mixtral.py / llava_qwen_moe.py)
     num_experts: int = 0           # 0 = dense FFN
     experts_per_tok: int = 2       # Mixtral top-2; Qwen2-MoE top-4
@@ -448,7 +456,8 @@ class LlamaModel(nn.Module):
         cfg = self.cfg
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.dim,
                                      param_dtype=jnp.float32, name="embed_tokens")
-        self.blocks = [LlamaBlock(cfg, name=f"layer_{i}")
+        block_cls = nn.remat(LlamaBlock) if cfg.remat else LlamaBlock
+        self.blocks = [block_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.layers)]
         self.norm = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="norm")
         if not cfg.tie_lm_head:

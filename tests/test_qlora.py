@@ -206,3 +206,30 @@ def test_runtime_lora_scales_b_only():
     np.testing.assert_array_equal(np.asarray(l0["a"]), np.asarray(r0["a"]))
     np.testing.assert_allclose(np.asarray(r0["b"]),
                                np.asarray(l0["b"]) * cfg.scale)
+
+
+def test_remat_matches_no_remat():
+    """cfg.remat recomputes blocks in the backward; forward and adapter
+    grads match the unrematerialized model to fp rounding."""
+    model, params = _fp_model_and_params()
+    qparams = _quant(params, "int8")
+    qcfg = dataclasses.replace(CFG, quant="int8")
+    rcfg = dataclasses.replace(qcfg, remat=True)
+    qm, rm = LlamaModel(qcfg), LlamaModel(rcfg)
+    emb, labels = _batch(model, params)
+    cache = KVCache.init(qcfg, 1, 8)
+    l1, _ = qm.apply(qparams, emb, cache, 0)
+    l2, _ = rm.apply(qparams, emb, cache, 0)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
+    lcfg = LoraConfig(r=2)
+    lora = init_lora(qparams, lcfg, jax.random.PRNGKey(9))
+    lora = jax.tree_util.tree_map(lambda x: x + 0.01, lora)
+    g1 = jax.grad(lambda l: vlm_loss(qm, qparams, l, lcfg, emb, labels,
+                                     cache))(lora)
+    g2 = jax.grad(lambda l: vlm_loss(rm, qparams, l, lcfg, emb, labels,
+                                     cache))(lora)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
