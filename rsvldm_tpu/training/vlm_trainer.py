@@ -288,3 +288,46 @@ class VLMTrainer:
 
     def merged_params(self) -> Dict:
         return export_merged(self.base_params, self.lora, self.lora_cfg)
+
+
+# ------------------------------------------------------- adapter archives
+
+def save_lora_npz(lora: Dict, cfg: LoraConfig, path) -> None:
+    """Adapter checkpoint: one npz of path-flattened A/B planes plus the
+    LoraConfig as a json meta entry (the save-side of the reference's
+    get_peft_state_maybe_zero_3 non_lora/lora split — here the base is
+    frozen by construction so ONLY adapters ever need saving)."""
+    import json as _json
+
+    flat = {}
+
+    def walk(tree, p):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, p + [k])
+            else:
+                flat["/".join(p + [k])] = np.asarray(v)
+
+    walk(lora, [])
+    np.savez(path, __meta__=_json.dumps(
+        {"r": cfg.r, "alpha": cfg.alpha, "targets": list(cfg.targets)}),
+        **flat)
+
+
+def load_lora_npz(path) -> tuple[Dict, LoraConfig]:
+    """Inverse of save_lora_npz: (adapter tree, LoraConfig)."""
+    import json as _json
+
+    z = np.load(path, allow_pickle=False)
+    meta = _json.loads(str(z["__meta__"]))
+    tree: Dict = {}
+    for k in z.files:
+        if k == "__meta__":
+            continue
+        parts = k.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(z[k])
+    return tree, LoraConfig(r=meta["r"], alpha=meta["alpha"],
+                            targets=tuple(meta["targets"]))

@@ -1,0 +1,59 @@
+"""train_vlm.py CLI (reference llava/train/train.py entry) smoke tests."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_data(path: Path, n=6):
+    recs = [{"id": i, "conversations": [
+        {"from": "human", "value": f"describe scene {i} in the image"},
+        {"from": "gpt", "value": f"a town with {i} harbors and trees"}]}
+        for i in range(n)]
+    path.write_text(json.dumps(recs))
+
+
+def test_cli_smoke_trains_and_saves(tmp_path):
+    data = tmp_path / "train.json"
+    _write_data(data)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "train_vlm.py"), "--smoke",
+         "--data_path", str(data), "--output_dir", str(tmp_path / "out"),
+         "--epochs", "12", "--batch_size", "2", "--pad_to", "16",
+         "--lr", "5e-2", "--platform", "cpu", "--bits", "8"],
+        capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["final_loss"] < res["first_loss"] * 0.8, res
+    # adapter archive round-trips with its config
+    from rsvldm_tpu.training.vlm_trainer import load_lora_npz
+    lora, cfg = load_lora_npz(res["adapters"])
+    assert cfg.r == 16 and "layer_0" in lora
+    assert lora["layer_0"]["q_proj"]["a"].shape[1] == cfg.r
+    assert float(np.abs(np.asarray(
+        lora["layer_0"]["q_proj"]["b"])).max()) > 0  # training moved B
+
+
+def test_splice_training_sample_expands_image_span():
+    import jax.numpy as jnp
+    sys.path.insert(0, str(REPO))
+    from train_vlm import splice_training_sample
+    from rsvldm_tpu.models.vlm.generate import IMAGE_TOKEN_INDEX
+    from rsvldm_tpu.training.vlm_trainer import IGNORE_INDEX
+
+    ids = np.array([5, IMAGE_TOKEN_INDEX, 7, 8], np.int32)
+    labels = np.array([IGNORE_INDEX, IGNORE_INDEX, 7, 8], np.int32)
+    embed_fn = lambda x: jnp.asarray(np.asarray(x, np.float32)[:, None]
+                                     * np.ones((1, 4), np.float32))
+    feats = jnp.full((3, 4), 9.0)
+    emb, lab = splice_training_sample(ids, labels, embed_fn, feats,
+                                      IGNORE_INDEX)
+    assert emb.shape == (6, 4) and lab.shape == (6,)
+    np.testing.assert_array_equal(np.asarray(emb[1:4]), np.asarray(feats))
+    np.testing.assert_array_equal(
+        lab, [IGNORE_INDEX] + [IGNORE_INDEX] * 3 + [7, 8])

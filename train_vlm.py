@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""LLaVA supervised finetuning CLI.
+
+Parity surface: /root/reference/llava/train/train.py (the `train()` entry
+its shell scripts drive) — conversation-JSON data, per-template masking,
+LoRA on the LM projections, optional 8/4-bit frozen base (QLoRA,
+train.py:1471-1529), gradient checkpointing, length-grouped batching.
+
+TPU design: one jitted loss+grad+adamw step over the LoRA tree only
+(training/vlm_trainer.py — the frozen base never enters optimizer state);
+quantized bases run the s8-MXU forward with an STE backward and a runtime
+low-rank adapter branch; `--gradient_checkpointing` maps to
+LlamaConfig.remat (per-block jax.checkpoint). Image records use the
+LLaVA-1.5 "pad" recipe (expand2square -> one 336px tile -> projector);
+text records skip the vision tower. Batches are padded to a few jit
+buckets (--pad_to) so an epoch reuses a handful of executables.
+
+Real checkpoints:
+  python train_vlm.py --ckpt_dir ckpts --data_path train.json \
+      --image_folder imgs --output_dir out --bits 8 --lora_r 16 --steps 200
+
+Smoke (no checkpoints: tiny random model + deterministic hash tokenizer):
+  python train_vlm.py --smoke --data_path train.json --output_dir out \
+      --steps 20 --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--ckpt_dir", default="ckpts")
+    p.add_argument("--data_path", required=True,
+                   help="conversation JSON/JSONL (llava train format)")
+    p.add_argument("--image_folder", default=None)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--template", default="llama_3",
+                   choices=["llama_3", "chatml", "v1", "plain"])
+    p.add_argument("--bits", type=int, default=8, choices=[16, 8, 4],
+                   help="frozen-base precision (8/4 = QLoRA)")
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--steps", type=int, default=0,
+                   help="stop after N steps (0 = full epochs)")
+    p.add_argument("--max_length", type=int, default=2048)
+    p.add_argument("--pad_to", type=int, default=64)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   default=True)
+    p.add_argument("--no_gradient_checkpointing", action="store_false",
+                   dest="gradient_checkpointing")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny random model, no checkpoints needed")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before backend init")
+    return p.parse_args(argv)
+
+
+def _hash_encode(text: str):
+    """Deterministic whitespace tokenizer for --smoke (crc32, not hash():
+    stable across processes)."""
+    return [2 + zlib.crc32(w.encode()) % 498 for w in text.split()]
+
+
+def _smoke_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LlamaConfig,
+                                             LlamaModel,
+                                             quantize_llama_params)
+    from rsvldm_tpu.training.vlm_data import Llama3Special
+    cfg = LlamaConfig(vocab_size=512, dim=32, layers=2, heads=4, kv_heads=2,
+                      ffn_dim=64, dtype=jnp.float32)
+    model = LlamaModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                        KVCache.init(cfg, 1, 8), 0, method=model.from_tokens)
+    sp = Llama3Special(bos=501, start_header=502, end_header=503, eot=504,
+                       nl=505)
+    return cfg, model, params, _hash_encode, {"sp": sp}
+
+
+def splice_training_sample(ids, labels, embed_fn, feats, ignore_index):
+    """ids may hold one IMAGE_TOKEN_INDEX; expand it to the image feature
+    stream and pad the labels span with IGNORE (llava_arch.py:447-495 at
+    training time). Returns (embeds [S', D], labels [S'])."""
+    import jax.numpy as jnp
+
+    from rsvldm_tpu.models.vlm.generate import IMAGE_TOKEN_INDEX
+    ids = np.asarray(ids)
+    labels = np.asarray(labels)
+    emb = embed_fn(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
+    img_pos = np.where(ids == IMAGE_TOKEN_INDEX)[0]
+    if img_pos.size and feats is not None:
+        pos = int(img_pos[0])
+        emb = jnp.concatenate([emb[:pos], feats, emb[pos + 1:]], axis=0)
+        labels = np.concatenate([
+            labels[:pos], np.full((feats.shape[0],), ignore_index,
+                                  labels.dtype), labels[pos + 1:]])
+    return emb, labels
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from rsvldm_tpu.models.vlm.anyres import expand2square
+    from rsvldm_tpu.models.vlm.llama import KVCache, LlamaModel
+    from rsvldm_tpu.models.vlm.vision import CLIP_MEAN, normalize_pixels
+    from rsvldm_tpu.training.vlm_data import (LazyConversationDataset,
+                                              get_modality_length_grouped_indices)
+    from rsvldm_tpu.training.vlm_trainer import (IGNORE_INDEX, LoraConfig,
+                                                 VLMTrainer, save_lora_npz)
+
+    quant = {16: None, 8: "int8", 4: "int4"}[args.bits]
+    feats_fn = None
+    process_image = None
+    if args.smoke:
+        cfg, model, params, encode, pre_kw = _smoke_setup()
+        if quant:
+            from rsvldm_tpu.models.vlm.llama import quantize_llama_params
+            params = {"params": quantize_llama_params(params["params"],
+                                                      mode=quant)}
+            model = LlamaModel(dataclasses.replace(cfg, quant=quant))
+        cfg = model.cfg
+    else:
+        from rsvldm_tpu.models.vlm.captioner import LlavaCaptioner
+        cap = LlavaCaptioner.load(args.ckpt_dir, quant=quant)
+        if cap is None:
+            sys.exit(f"no checkpoint under {args.ckpt_dir}/llava — pass "
+                     "--smoke for a random tiny model")
+        cfg = dataclasses.replace(cap.llama.cfg,
+                                  remat=args.gradient_checkpointing)
+        model = LlamaModel(cfg)
+        params = cap.llama_params
+        encode = lambda s: cap.tokenizer.encode(s, add_special_tokens=False)
+        pre_kw = {}
+        size = cap.vision.cfg.image_size
+        bg = tuple(int(255 * m) for m in CLIP_MEAN)
+
+        def process_image(path):
+            from PIL import Image
+            img = expand2square(Image.open(path).convert("RGB"), bg)
+            return np.asarray(img.resize((size, size), Image.BICUBIC))
+
+        def feats_fn(pixels):  # [336,336,3] uint8 -> [576, D]
+            px = normalize_pixels(jnp.asarray(pixels)[None])
+            return cap.projector.apply(cap.projector_params,
+                                       cap.vision.apply(cap.vision_params,
+                                                        px))[0]
+
+    ds = LazyConversationDataset(args.data_path, encode,
+                                 template=args.template,
+                                 image_folder=args.image_folder,
+                                 process_image=process_image,
+                                 preprocess_kw=pre_kw)
+    trainer = VLMTrainer(model, params,
+                         LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+                         lr=args.lr, rng=jax.random.PRNGKey(args.seed))
+    embed_fn = lambda ids: model.apply(params, jnp.asarray(ids),
+                                       method=model.embed)
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    step = 0
+    losses = []
+    for epoch in range(args.epochs):
+        order = get_modality_length_grouped_indices(
+            ds.modality_lengths, args.batch_size, 1,
+            seed=args.seed + epoch)
+        for i in range(0, len(order) - args.batch_size + 1,
+                       args.batch_size):
+            items = [ds[j] for j in order[i:i + args.batch_size]]
+            pairs = []
+            for it in items:
+                feats = (feats_fn(it["image"])
+                         if "image" in it and feats_fn else None)
+                pairs.append(splice_training_sample(
+                    it["input_ids"][:args.max_length],
+                    it["labels"][:args.max_length], embed_fn, feats,
+                    IGNORE_INDEX))
+            width = max(e.shape[0] for e, _ in pairs)
+            width = -(-width // args.pad_to) * args.pad_to
+            emb = jnp.stack([jnp.pad(e, ((0, width - e.shape[0]), (0, 0)))
+                             for e, _ in pairs])
+            lab = np.full((len(pairs), width), IGNORE_INDEX, np.int32)
+            for j, (_, l) in enumerate(pairs):
+                lab[j, :len(l)] = l
+            cache = KVCache.init(cfg, len(pairs), width, cfg.dtype)
+            loss = trainer.train_step(emb, jnp.asarray(lab), cache)
+            losses.append(loss)
+            step += 1
+            if step % 10 == 0 or step == 1:
+                print(f"step {step} epoch {epoch} loss {loss:.4f}",
+                      flush=True)
+            if args.save_every and step % args.save_every == 0:
+                save_lora_npz(trainer.lora, trainer.lora_cfg,
+                              out / f"lora_step{step}.npz")
+            if args.steps and step >= args.steps:
+                break
+        if args.steps and step >= args.steps:
+            break
+    save_lora_npz(trainer.lora, trainer.lora_cfg, out / "lora_final.npz")
+    print(json.dumps({"steps": step, "first_loss": float(losses[0]),
+                      "final_loss": float(losses[-1]),
+                      "adapters": str(out / "lora_final.npz")}))
+
+
+if __name__ == "__main__":
+    main()
