@@ -35,6 +35,10 @@ def main():
                     help="Llama-family draft checkpoint for speculative "
                          "caption decoding (default: auto-detect "
                          "<ckpt_dir>/llava_draft)")
+    ap.add_argument("--lora_npz", type=str, default="",
+                    help="adapter archive from train_vlm.py, folded into "
+                         "the captioner (fp) or served as the runtime "
+                         "QLoRA branch (int8/int4 decoder)")
     args = ap.parse_args()
 
     if args.platform:
@@ -56,6 +60,7 @@ def main():
     cfg.stage1.ddim_steps = args.stage1_steps
     cfg.refine.edm_steps = args.edm_steps
     cfg.llava.draft_dir = args.draft_dir
+    cfg.llava.lora_npz = args.lora_npz
 
     pipeline = SuperResolutionPipeline(cfg, debug_tiny=args.debug_tiny)
     pipeline.process()

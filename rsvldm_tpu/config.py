@@ -90,6 +90,10 @@ class LlavaConfig:
     # (models/vlm/speculative.py, bench_spec.py).
     draft_dir: str = ""
     spec_k: int = 4          # draft tokens proposed per verify round
+    # LoRA adapter archive from train_vlm.py (save_lora_npz): folded into
+    # fp kernels, or attached as the runtime QLoRA branch on a quantized
+    # decoder. Empty = none.
+    lora_npz: str = ""
 
     def __post_init__(self):
         if self.prompt_yaml:

@@ -125,7 +125,8 @@ class LlavaCaptioner:
              tokenizer=None, mesh=None,
              quant: str | None = None,
              draft_dir: str | Path | None = None,
-             spec_k: int = 4) -> Optional["LlavaCaptioner"]:
+             spec_k: int = 4,
+             lora_npz: str | Path | None = None) -> Optional["LlavaCaptioner"]:
         """mesh: optional jax.sharding.Mesh — the 8B decoder weights are
         tensor-sharded over its 'data' axis (Megatron col/row rules,
         parallel/llama_sharding.py) so the caption stage, the wall-clock
@@ -145,7 +146,14 @@ class LlavaCaptioner:
         <ckpt_dir>/llava_draft/ when that directory exists. The draft must
         share the target's hidden dim and tokenizer (depth-pruned /
         distilled drafts); it is quantized with the same `quant` mode.
-        spec_k: draft tokens proposed per verify round."""
+        spec_k: draft tokens proposed per verify round.
+
+        lora_npz: adapter archive from train_vlm.py (save_lora_npz). On an
+        fp base the adapters fold into the kernels; on a quantized base
+        they attach as the runtime "lora" collection (the exact QLoRA
+        serving path — quantized kernels cannot absorb a fold-in), which
+        every decode entry (generate / engine / speculative target) sees
+        because `params` IS the variables dict."""
         d = Path(ckpt_dir) / "llava"
         if not d.is_dir():
             return None
@@ -164,6 +172,18 @@ class LlavaCaptioner:
             llama_params = {"params": quantize_llama_params(
                 llama_params["params"], embed_dtype=jnp.bfloat16,
                 mode=quant)}
+        if lora_npz:
+            from ...training.vlm_trainer import (apply_lora, load_lora_npz,
+                                                 quant_mode, runtime_lora)
+            lora, lcfg = load_lora_npz(lora_npz)
+            if quant_mode(llama_params):
+                llama_params = {**llama_params,
+                                "lora": runtime_lora(lora, lcfg.scale)}
+            else:
+                llama_params = apply_lora(llama_params, lora, lcfg.scale)
+            log.info("LoRA adapters attached from %s (r=%d, %s)", lora_npz,
+                     lcfg.r, "runtime branch" if quant else "folded")
+
         vision = CLIPVisionTower(vision_cfg)
         vsd = {k[len("model.vision_tower.vision_tower."):]: v
                for k, v in sd.items()

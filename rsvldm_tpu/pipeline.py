@@ -240,6 +240,7 @@ class SuperResolutionPipeline:
                 kw = {"quant": self.cfg.llava.quant or None,
                       "draft_dir": self.cfg.llava.draft_dir or None,
                       "spec_k": self.cfg.llava.spec_k,
+                      "lora_npz": self.cfg.llava.lora_npz or None,
                       **(self.llava_load_kw or {})}
                 self.llava = LlavaCaptioner.load(cd, mesh=self.mesh, **kw)
             except Exception as e:  # assets missing/partial

@@ -230,3 +230,58 @@ def test_spec_captioner_mismatched_draft_greedy_exact(tmp_path):
                               tokenizer=FakeTokenizer(), spec_k=3)
     assert cap.draft is not None and cap.draft.cfg.layers == 1
     assert cap.caption(img, lcfg) == ref
+
+
+def test_lora_npz_adapters(tmp_path):
+    """train_vlm.py adapters attach at load: folded kernels on an fp base,
+    runtime "lora" collection on the int8 base — and the quant caption
+    output actually responds to the adapters."""
+    import jax
+    import jax.numpy as jnp
+    from safetensors.torch import save_file
+
+    from rsvldm_tpu.training.vlm_trainer import (LoraConfig, init_lora,
+                                                 save_lora_npz)
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+
+    cap0 = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                               tokenizer=FakeTokenizer())
+    lcfg = LoraConfig(r=2, alpha=4)
+    lora = init_lora(cap0.llama_params, lcfg, jax.random.PRNGKey(0))
+    lora = jax.tree_util.tree_map(lambda x: x + 0.05, lora)
+    save_lora_npz(lora, lcfg, tmp_path / "lora.npz")
+
+    cap_fp = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                                 tokenizer=FakeTokenizer(),
+                                 lora_npz=tmp_path / "lora.npz")
+    q1 = np.asarray(cap_fp.llama_params["params"]["layer_0"]["q_proj"]
+                    ["kernel"])
+    q0 = np.asarray(cap0.llama_params["params"]["layer_0"]["q_proj"]
+                    ["kernel"])
+    assert not np.allclose(q1, q0)  # folded in
+
+    cap_q = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                                tokenizer=FakeTokenizer(), quant="int8",
+                                lora_npz=tmp_path / "lora.npz")
+    assert "lora" in cap_q.llama_params  # runtime branch, kernels untouched
+    img = Image.fromarray(np.random.default_rng(1).integers(
+        0, 255, (40, 40, 3), dtype=np.uint8))
+    gen = LlavaConfig(max_new_tokens=4, temperature=0.0, do_sample=False)
+    cap_q_plain = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG,
+                                      vision_cfg=VCFG,
+                                      tokenizer=FakeTokenizer(),
+                                      quant="int8")
+    # adapters flow through the generate path: logits must differ
+    e = jnp.ones((3, 32), jnp.float32)
+    c_with = cap_q.llama.apply(cap_q.llama_params, e[None],
+                               __import__("rsvldm_tpu.models.vlm.llama",
+                                          fromlist=["KVCache"]).KVCache.init(
+                                   cap_q.llama.cfg, 1, 8), 0)[0]
+    c_wo = cap_q_plain.llama.apply(cap_q_plain.llama_params, e[None],
+                                   __import__("rsvldm_tpu.models.vlm.llama",
+                                              fromlist=["KVCache"]).KVCache
+                                   .init(cap_q_plain.llama.cfg, 1, 8), 0)[0]
+    assert not np.allclose(np.asarray(c_with), np.asarray(c_wo))
+    assert isinstance(cap_q.caption(img, gen), str)
