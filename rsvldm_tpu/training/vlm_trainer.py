@@ -203,6 +203,10 @@ def vlm_loss(model, base_params, lora, lora_cfg: LoraConfig,
     positions (image/prompt spans)."""
     logits, _ = apply_model(model, base_params, lora, lora_cfg,
                             input_embeds, cache, 0)
+    return masked_ce(logits, labels)
+
+
+def masked_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     logits = logits[:, :-1]
     targets = labels[:, 1:]
     mask = targets != IGNORE_INDEX
@@ -210,6 +214,26 @@ def vlm_loss(model, base_params, lora, lora_cfg: LoraConfig,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def mm_loss(model, base_params, lora, lora_cfg: LoraConfig,
+            projector, proj_params, vis_feats: jnp.ndarray,
+            text_embeds: jnp.ndarray, img_pos: jnp.ndarray,
+            labels: jnp.ndarray, cache) -> jnp.ndarray:
+    """Multimodal loss with the PROJECTOR inside the differentiated graph
+    (train.py's tune_mm_mlp_adapter pretrain stage / mm_projector_lr joint
+    finetune — the projector is the one multimodal module the reference
+    always trains). vis_feats [B,T,Dv] are PRE-projector tower features;
+    text_embeds [B,S,D] carry a zero-filled reserved span of T rows at
+    img_pos[b] (labels IGNORE there); the projected features are scattered
+    into the span per row, so projector grads flow through the LM."""
+    feats = projector.apply(proj_params, vis_feats)
+    emb = jax.vmap(
+        lambda e, f, p: jax.lax.dynamic_update_slice(
+            e, f.astype(e.dtype), (p, 0)))(text_embeds, feats, img_pos)
+    logits, _ = apply_model(model, base_params, lora, lora_cfg, emb,
+                            cache, 0)
+    return masked_ce(logits, labels)
 
 
 # ------------------------------------------------------------------ DPO
@@ -290,6 +314,87 @@ class VLMTrainer:
         return export_merged(self.base_params, self.lora, self.lora_cfg)
 
 
+class MMTrainer:
+    """Multimodal trainer over any combination of {LoRA adapters,
+    projector}, with the projector inside the differentiated graph.
+
+    tune=("projector",) reproduces the reference PRETRAIN stage
+    (tune_mm_mlp_adapter — projector-only, LM and tower frozen,
+    train.py:1618-1630); tune=("lora", "projector") is the finetune
+    recipe, with mm_projector_lr as the projector's own param-group lr
+    (llava_trainer.py:361-438 builds exactly these optimizer groups).
+    The frozen base (fp or int8/int4-quantized) never enters optimizer
+    state."""
+
+    def __init__(self, model, base_params, projector, proj_params,
+                 lora_cfg: LoraConfig = LoraConfig(),
+                 tune: Sequence[str] = ("lora", "projector"),
+                 lr: float = 2e-4, mm_projector_lr: float | None = None,
+                 rng: jax.Array | None = None, mesh=None):
+        assert set(tune) <= {"lora", "projector"} and tune, tune
+        self.model = model
+        self.base_params = base_params
+        self.projector = projector
+        self.lora_cfg = lora_cfg
+        self.tune = tuple(tune)
+        self.mesh = mesh
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        trainable: Dict = {}
+        if "lora" in tune:
+            trainable["lora"] = init_lora(base_params, lora_cfg, rng)
+        if "projector" in tune:
+            trainable["proj"] = proj_params
+        self._frozen_proj = None if "projector" in tune else proj_params
+        self.trainable = trainable
+        self.tx = optax.multi_transform(
+            {"lora": optax.adamw(lr),
+             "proj": optax.adamw(mm_projector_lr
+                                 if mm_projector_lr is not None else lr)},
+            {k: jax.tree_util.tree_map(lambda _, kk=k: kk, v)
+             for k, v in trainable.items()})
+        self.opt_state = self.tx.init(trainable)
+        self.step = 0
+        frozen_proj = self._frozen_proj
+
+        def _step(trainable, opt_state, vis_feats, text_embeds, img_pos,
+                  labels, cache):
+            def loss_fn(tr):
+                return mm_loss(model, base_params, tr.get("lora"), lora_cfg,
+                               projector, tr.get("proj", frozen_proj),
+                               vis_feats, text_embeds, img_pos, labels,
+                               cache)
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = self.tx.update(grads, opt_state, trainable)
+            return optax.apply_updates(trainable, updates), opt_state, loss
+
+        self._train_step = jax.jit(_step)
+
+    @property
+    def lora(self):
+        return self.trainable.get("lora")
+
+    @property
+    def proj_params(self):
+        return self.trainable.get("proj", self._frozen_proj)
+
+    def train_step(self, vis_feats, text_embeds, img_pos, labels,
+                   cache) -> float:
+        """vis_feats [B,T,Dv] pre-projector tower features; text_embeds
+        [B,S,D] with a zero reserved span of T rows at img_pos[b];
+        labels [B,S] (IGNORE over prompt + image spans)."""
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            vis_feats = jax.device_put(
+                vis_feats, batch_sharding(self.mesh, vis_feats.ndim))
+            text_embeds = jax.device_put(
+                text_embeds, batch_sharding(self.mesh, text_embeds.ndim))
+        self.trainable, self.opt_state, loss = self._train_step(
+            self.trainable, self.opt_state, vis_feats, text_embeds,
+            jnp.asarray(img_pos), labels, cache)
+        self.step += 1
+        return float(loss)
+
+
 # ------------------------------------------------------- adapter archives
 
 def save_lora_npz(lora: Dict, cfg: LoraConfig, path) -> None:
@@ -331,3 +436,31 @@ def load_lora_npz(path) -> tuple[Dict, LoraConfig]:
         d[parts[-1]] = jnp.asarray(z[k])
     return tree, LoraConfig(r=meta["r"], alpha=meta["alpha"],
                             targets=tuple(meta["targets"]))
+
+
+def save_projector_npz(proj_params: Dict, path) -> None:
+    """Projector checkpoint (the pretrain-stage artifact — the reference
+    saves mm_projector.bin from get_mm_adapter_state, train.py:263-270)."""
+    flat = {}
+
+    def walk(tree, p):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, p + [k])
+            else:
+                flat["/".join(p + [k])] = np.asarray(v)
+
+    walk(proj_params, [])
+    np.savez(path, **flat)
+
+
+def load_projector_npz(path) -> Dict:
+    z = np.load(path, allow_pickle=False)
+    tree: Dict = {}
+    for k in z.files:
+        parts = k.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(z[k])
+    return tree

@@ -57,3 +57,48 @@ def test_splice_training_sample_expands_image_span():
     np.testing.assert_array_equal(np.asarray(emb[1:4]), np.asarray(feats))
     np.testing.assert_array_equal(
         lab, [IGNORE_INDEX] + [IGNORE_INDEX] * 3 + [7, 8])
+
+
+def _write_image_data(path: Path, n=6):
+    recs = [{"id": i, "image": f"img_{i}.png", "conversations": [
+        {"from": "human", "value": f"<image>\ndescribe scene {i}"},
+        {"from": "gpt", "value": f"a town with {i} harbors"}]}
+        for i in range(n)]
+    path.write_text(json.dumps(recs))
+
+
+def test_cli_projector_pretrain(tmp_path):
+    """--tune projector = the reference pretrain stage: loss decreases
+    with the LM fully frozen; the projector artifact is saved."""
+    data = tmp_path / "pre.json"
+    _write_image_data(data)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "train_vlm.py"), "--smoke",
+         "--data_path", str(data), "--output_dir", str(tmp_path / "o"),
+         "--epochs", "10", "--batch_size", "2", "--pad_to", "16",
+         "--lr", "5e-2", "--platform", "cpu", "--tune", "projector",
+         "--bits", "16"],
+        capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["final_loss"] < res["first_loss"]
+    assert "adapters" not in res  # projector-only: no LoRA artifact
+    from rsvldm_tpu.training.vlm_trainer import load_projector_npz
+    proj = load_projector_npz(res["projector"])
+    assert "params" in proj
+
+
+def test_cli_joint_qlora_projector(tmp_path):
+    data = tmp_path / "joint.json"
+    _write_image_data(data)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "train_vlm.py"), "--smoke",
+         "--data_path", str(data), "--output_dir", str(tmp_path / "o"),
+         "--epochs", "10", "--batch_size", "2", "--pad_to", "16",
+         "--lr", "5e-2", "--platform", "cpu", "--tune", "lora,projector",
+         "--bits", "8"],
+        capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["final_loss"] < res["first_loss"] * 0.8
+    assert "adapters" in res and "projector" in res

@@ -49,6 +49,13 @@ def parse_args(argv=None):
                    help="frozen-base precision (8/4 = QLoRA)")
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=int, default=16)
+    p.add_argument("--tune", default="lora",
+                   help="comma list of {lora, projector}: 'projector' "
+                        "alone = the reference pretrain stage "
+                        "(tune_mm_mlp_adapter); 'lora,projector' = joint "
+                        "finetune with --mm_projector_lr as the "
+                        "projector's param-group lr")
+    p.add_argument("--mm_projector_lr", type=float, default=None)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=1)
@@ -93,6 +100,26 @@ def _smoke_setup():
     return cfg, model, params, _hash_encode, {"sp": sp}
 
 
+def reserve_image_span(ids, labels, embed_fn, t, ignore_index):
+    """Expand IMAGE_TOKEN_INDEX into a ZERO-filled t-row span (labels
+    IGNORE there) and return its position — the projector fills the span
+    INSIDE the train step so its grads flow (MMTrainer.mm_loss)."""
+    import jax.numpy as jnp
+
+    from rsvldm_tpu.models.vlm.generate import IMAGE_TOKEN_INDEX
+    ids = np.asarray(ids)
+    labels = np.asarray(labels)
+    pos = int(np.where(ids == IMAGE_TOKEN_INDEX)[0][0])
+    emb = embed_fn(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
+    emb = jnp.concatenate([emb[:pos],
+                           jnp.zeros((t, emb.shape[1]), emb.dtype),
+                           emb[pos + 1:]], axis=0)
+    labels = np.concatenate([labels[:pos],
+                             np.full((t,), ignore_index, labels.dtype),
+                             labels[pos + 1:]])
+    return emb, labels, pos
+
+
 def splice_training_sample(ids, labels, embed_fn, feats, ignore_index):
     """ids may hold one IMAGE_TOKEN_INDEX; expand it to the image feature
     stream and pad the labels span with IGNORE (llava_arch.py:447-495 at
@@ -130,7 +157,12 @@ def main(argv=None):
                                                  VLMTrainer, save_lora_npz)
 
     quant = {16: None, 8: "int8", 4: "int4"}[args.bits]
-    feats_fn = None
+    tune = tuple(t.strip() for t in args.tune.split(",") if t.strip())
+    assert set(tune) <= {"lora", "projector"} and tune, args.tune
+    feats_fn = None          # projected features  (lora-only path)
+    feats_raw_fn = None      # pre-projector tower features (MMTrainer)
+    projector = proj_params = None
+    img_tokens = 0
     process_image = None
     if args.smoke:
         cfg, model, params, encode, pre_kw = _smoke_setup()
@@ -140,6 +172,17 @@ def main(argv=None):
                                                       mode=quant)}
             model = LlamaModel(dataclasses.replace(cfg, quant=quant))
         cfg = model.cfg
+        if "projector" in tune:
+            from rsvldm_tpu.models.vlm.projector import MLPProjector
+            img_tokens, dv = 4, 8
+            projector = MLPProjector(out_dim=cfg.dim, dtype=jnp.float32)
+            proj_params = projector.init(jax.random.PRNGKey(7),
+                                         jnp.zeros((1, img_tokens, dv)))
+            process_image = lambda path: path  # no pixels in smoke
+
+            def feats_raw_fn(_):
+                return jax.random.normal(jax.random.PRNGKey(11),
+                                         (img_tokens, dv))
     else:
         from rsvldm_tpu.models.vlm.captioner import LlavaCaptioner
         cap = LlavaCaptioner.load(args.ckpt_dir, quant=quant)
@@ -160,20 +203,36 @@ def main(argv=None):
             img = expand2square(Image.open(path).convert("RGB"), bg)
             return np.asarray(img.resize((size, size), Image.BICUBIC))
 
-        def feats_fn(pixels):  # [336,336,3] uint8 -> [576, D]
+        def feats_fn(pixels):  # [336,336,3] uint8 -> [576, D] (projected)
             px = normalize_pixels(jnp.asarray(pixels)[None])
             return cap.projector.apply(cap.projector_params,
                                        cap.vision.apply(cap.vision_params,
                                                         px))[0]
+
+        def feats_raw_fn(pixels):  # pre-projector tower features
+            px = normalize_pixels(jnp.asarray(pixels)[None])
+            return cap.vision.apply(cap.vision_params, px)[0]
+
+        if "projector" in tune:
+            projector = cap.projector
+            proj_params = cap.projector_params
+            img_tokens = (size // cap.vision.cfg.patch_size) ** 2
 
     ds = LazyConversationDataset(args.data_path, encode,
                                  template=args.template,
                                  image_folder=args.image_folder,
                                  process_image=process_image,
                                  preprocess_kw=pre_kw)
-    trainer = VLMTrainer(model, params,
-                         LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
-                         lr=args.lr, rng=jax.random.PRNGKey(args.seed))
+    lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+    if tune == ("lora",):
+        trainer = VLMTrainer(model, params, lcfg, lr=args.lr,
+                             rng=jax.random.PRNGKey(args.seed))
+    else:
+        from rsvldm_tpu.training.vlm_trainer import MMTrainer
+        trainer = MMTrainer(model, params, projector, proj_params, lcfg,
+                            tune=tune, lr=args.lr,
+                            mm_projector_lr=args.mm_projector_lr,
+                            rng=jax.random.PRNGKey(args.seed))
     embed_fn = lambda ids: model.apply(params, jnp.asarray(ids),
                                        method=model.embed)
 
@@ -188,39 +247,70 @@ def main(argv=None):
         for i in range(0, len(order) - args.batch_size + 1,
                        args.batch_size):
             items = [ds[j] for j in order[i:i + args.batch_size]]
-            pairs = []
-            for it in items:
-                feats = (feats_fn(it["image"])
-                         if "image" in it and feats_fn else None)
-                pairs.append(splice_training_sample(
-                    it["input_ids"][:args.max_length],
-                    it["labels"][:args.max_length], embed_fn, feats,
-                    IGNORE_INDEX))
-            width = max(e.shape[0] for e, _ in pairs)
+            if tune == ("lora",):
+                pairs = []
+                for it in items:
+                    feats = (feats_fn(it["image"])
+                             if "image" in it and feats_fn else None)
+                    pairs.append(splice_training_sample(
+                        it["input_ids"][:args.max_length],
+                        it["labels"][:args.max_length], embed_fn, feats,
+                        IGNORE_INDEX))
+                rows = [(e, l, None, None) for e, l in pairs]
+            else:
+                # projector inside the graph: reserve the span, ship RAW
+                # tower features; every record must carry an image
+                rows = []
+                for it in items:
+                    if "image" not in it:
+                        raise SystemExit(
+                            "--tune projector requires image records "
+                            "(the reference pretrain data is image-"
+                            "caption pairs)")
+                    e, l, p = reserve_image_span(
+                        it["input_ids"][:args.max_length],
+                        it["labels"][:args.max_length], embed_fn,
+                        img_tokens, IGNORE_INDEX)
+                    rows.append((e, l, p, feats_raw_fn(it["image"])))
+            width = max(e.shape[0] for e, _, _, _ in rows)
             width = -(-width // args.pad_to) * args.pad_to
             emb = jnp.stack([jnp.pad(e, ((0, width - e.shape[0]), (0, 0)))
-                             for e, _ in pairs])
-            lab = np.full((len(pairs), width), IGNORE_INDEX, np.int32)
-            for j, (_, l) in enumerate(pairs):
+                             for e, _, _, _ in rows])
+            lab = np.full((len(rows), width), IGNORE_INDEX, np.int32)
+            for j, (_, l, _, _) in enumerate(rows):
                 lab[j, :len(l)] = l
-            cache = KVCache.init(cfg, len(pairs), width, cfg.dtype)
-            loss = trainer.train_step(emb, jnp.asarray(lab), cache)
+            cache = KVCache.init(cfg, len(rows), width, cfg.dtype)
+            if tune == ("lora",):
+                loss = trainer.train_step(emb, jnp.asarray(lab), cache)
+            else:
+                loss = trainer.train_step(
+                    jnp.stack([f for _, _, _, f in rows]), emb,
+                    np.asarray([p for _, _, p, _ in rows]),
+                    jnp.asarray(lab), cache)
             losses.append(loss)
             step += 1
             if step % 10 == 0 or step == 1:
                 print(f"step {step} epoch {epoch} loss {loss:.4f}",
                       flush=True)
             if args.save_every and step % args.save_every == 0:
-                save_lora_npz(trainer.lora, trainer.lora_cfg,
-                              out / f"lora_step{step}.npz")
+                if trainer.lora is not None:
+                    save_lora_npz(trainer.lora, trainer.lora_cfg,
+                                  out / f"lora_step{step}.npz")
             if args.steps and step >= args.steps:
                 break
         if args.steps and step >= args.steps:
             break
-    save_lora_npz(trainer.lora, trainer.lora_cfg, out / "lora_final.npz")
-    print(json.dumps({"steps": step, "first_loss": float(losses[0]),
-                      "final_loss": float(losses[-1]),
-                      "adapters": str(out / "lora_final.npz")}))
+    res = {"steps": step, "first_loss": float(losses[0]),
+           "final_loss": float(losses[-1])}
+    if trainer.lora is not None:
+        save_lora_npz(trainer.lora, trainer.lora_cfg,
+                      out / "lora_final.npz")
+        res["adapters"] = str(out / "lora_final.npz")
+    if "projector" in tune:
+        from rsvldm_tpu.training.vlm_trainer import save_projector_npz
+        save_projector_npz(trainer.proj_params, out / "projector_final.npz")
+        res["projector"] = str(out / "projector_final.npz")
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
