@@ -39,6 +39,9 @@ def main():
                     help="adapter archive from train_vlm.py, folded into "
                          "the captioner (fp) or served as the runtime "
                          "QLoRA branch (int8/int4 decoder)")
+    ap.add_argument("--projector_npz", type=str, default="",
+                    help="projector archive from train_vlm.py --tune "
+                         "projector (pretrain artifact)")
     args = ap.parse_args()
 
     if args.platform:
@@ -61,6 +64,7 @@ def main():
     cfg.refine.edm_steps = args.edm_steps
     cfg.llava.draft_dir = args.draft_dir
     cfg.llava.lora_npz = args.lora_npz
+    cfg.llava.projector_npz = args.projector_npz
 
     pipeline = SuperResolutionPipeline(cfg, debug_tiny=args.debug_tiny)
     pipeline.process()

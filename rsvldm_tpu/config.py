@@ -94,6 +94,9 @@ class LlavaConfig:
     # fp kernels, or attached as the runtime QLoRA branch on a quantized
     # decoder. Empty = none.
     lora_npz: str = ""
+    # Projector archive from train_vlm.py --tune projector (pretrain
+    # artifact): replaces the checkpoint's mm_projector. Empty = none.
+    projector_npz: str = ""
 
     def __post_init__(self):
         if self.prompt_yaml:

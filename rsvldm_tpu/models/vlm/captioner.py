@@ -126,7 +126,9 @@ class LlavaCaptioner:
              quant: str | None = None,
              draft_dir: str | Path | None = None,
              spec_k: int = 4,
-             lora_npz: str | Path | None = None) -> Optional["LlavaCaptioner"]:
+             lora_npz: str | Path | None = None,
+             projector_npz: str | Path | None = None
+             ) -> Optional["LlavaCaptioner"]:
         """mesh: optional jax.sharding.Mesh — the 8B decoder weights are
         tensor-sharded over its 'data' axis (Megatron col/row rules,
         parallel/llama_sharding.py) so the caption stage, the wall-clock
@@ -191,6 +193,12 @@ class LlavaCaptioner:
         vision_params = convert_hf.convert_hf_clip_vision(vsd, vision_cfg)
         projector = MLPProjector(out_dim=llama_cfg.dim)
         projector_params = convert_hf.convert_mm_projector(sd)
+        if projector_npz:
+            # train_vlm.py artifact (pretrain stage / joint finetune):
+            # replaces the checkpoint's mm_projector wholesale
+            from ...training.vlm_trainer import load_projector_npz
+            projector_params = load_projector_npz(projector_npz)
+            log.info("projector weights replaced from %s", projector_npz)
         newline = jnp.asarray(np.asarray(sd["model.image_newline"], np.float32))
 
         if mesh is not None:

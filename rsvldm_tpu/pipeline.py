@@ -241,6 +241,7 @@ class SuperResolutionPipeline:
                       "draft_dir": self.cfg.llava.draft_dir or None,
                       "spec_k": self.cfg.llava.spec_k,
                       "lora_npz": self.cfg.llava.lora_npz or None,
+                      "projector_npz": self.cfg.llava.projector_npz or None,
                       **(self.llava_load_kw or {})}
                 self.llava = LlavaCaptioner.load(cd, mesh=self.mesh, **kw)
             except Exception as e:  # assets missing/partial

@@ -285,3 +285,25 @@ def test_lora_npz_adapters(tmp_path):
                                    .init(cap_q_plain.llama.cfg, 1, 8), 0)[0]
     assert not np.allclose(np.asarray(c_with), np.asarray(c_wo))
     assert isinstance(cap_q.caption(img, gen), str)
+
+
+def test_projector_npz_replaces_mm_projector(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from safetensors.torch import save_file
+
+    from rsvldm_tpu.training.vlm_trainer import save_projector_npz
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    cap0 = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                               tokenizer=FakeTokenizer())
+    trained = jax.tree_util.tree_map(lambda x: x + 0.5,
+                                     cap0.projector_params)
+    save_projector_npz(trained, tmp_path / "proj.npz")
+    cap1 = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                               tokenizer=FakeTokenizer(),
+                               projector_npz=tmp_path / "proj.npz")
+    a = np.asarray(jax.tree_util.tree_leaves(cap1.projector_params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(trained)[0])
+    np.testing.assert_array_equal(a, b)
