@@ -336,6 +336,52 @@ class LazyConversationDataset:
         return item
 
 
+class LazyPreferenceDataset(LazyConversationDataset):
+    """DPO preference pairs (train_dpo.py:1241-1289 tokenize_batch_element):
+    records {"prompt", "chosen", "rejected", optional "image"} become TWO
+    single-turn conversations through the same template preprocessors, so
+    the masking rules (prompt IGNOREd, answer supervised) match SFT."""
+
+    @staticmethod
+    def _make_conv(prompt: str, answer: str) -> List[Dict]:
+        return [{"from": "human", "value": prompt},
+                {"from": "gpt", "value": answer}]
+
+    @property
+    def lengths(self) -> List[int]:
+        out = []
+        for rec in self.records:
+            img = 128 if "image" in rec else 0
+            out.append(img + sum(len(rec.get(k, "").split())
+                                 for k in ("prompt", "chosen", "rejected")))
+        return out
+
+    @property
+    def modality_lengths(self) -> List[int]:
+        out = []
+        for rec in self.records:
+            n = sum(len(rec.get(k, "").split())
+                    for k in ("prompt", "chosen", "rejected"))
+            out.append(n if "image" in rec else -n)
+        return out
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        rec = self.records[i]
+        item: Dict[str, Any] = {"id": rec.get("id", i)}
+        for side in ("chosen", "rejected"):
+            ids, labels = preprocess(
+                self._make_conv(rec["prompt"], rec[side]), self.encode,
+                self.template, **self.preprocess_kw)
+            item[f"{side}_input_ids"] = ids
+            item[f"{side}_labels"] = labels
+        if "image" in rec and self.process_image is not None:
+            path = rec["image"]
+            if self.image_folder is not None:
+                path = str(self.image_folder / path)
+            item["image"] = self.process_image(path)
+        return item
+
+
 # ---------------------------------------------------------------- collator
 
 def collate(instances: Sequence[Dict], pad_id: int = 0,

@@ -314,6 +314,47 @@ class VLMTrainer:
         return export_merged(self.base_params, self.lora, self.lora_cfg)
 
 
+class DPOTrainer:
+    """LoRA-only DPO (train_dpo.py): the adapter-free base IS the frozen
+    reference policy, so one param set serves policy and reference
+    (dpo_loss runs the base twice without adapters for ref logprobs).
+    Works on fp and int8/int4-quantized bases (QLoRA-DPO)."""
+
+    def __init__(self, model, base_params, lora_cfg: LoraConfig = LoraConfig(),
+                 lr: float = 5e-5, beta: float = 0.1,
+                 rng: jax.Array | None = None, mesh=None):
+        self.model = model
+        self.base_params = base_params
+        self.lora_cfg = lora_cfg
+        self.beta = beta
+        self.mesh = mesh
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        self.lora = init_lora(base_params, lora_cfg, rng)
+        self.tx = optax.adamw(lr)
+        self.opt_state = self.tx.init(self.lora)
+        self.step = 0
+
+        def _step(lora, opt_state, ce, cl, re_, rl, cache):
+            loss, grads = jax.value_and_grad(
+                lambda l: dpo_loss(model, base_params, l, lora_cfg,
+                                   ce, cl, re_, rl, cache, beta))(lora)
+            updates, opt_state = self.tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        self._train_step = jax.jit(_step)
+
+    def train_step(self, chosen_embeds, chosen_labels, rejected_embeds,
+                   rejected_labels, cache) -> float:
+        self.lora, self.opt_state, loss = self._train_step(
+            self.lora, self.opt_state, chosen_embeds, chosen_labels,
+            rejected_embeds, rejected_labels, cache)
+        self.step += 1
+        return float(loss)
+
+    def merged_params(self) -> Dict:
+        return export_merged(self.base_params, self.lora, self.lora_cfg)
+
+
 class MMTrainer:
     """Multimodal trainer over any combination of {LoRA adapters,
     projector}, with the projector inside the differentiated graph.

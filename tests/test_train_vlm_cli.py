@@ -102,3 +102,55 @@ def test_cli_joint_qlora_projector(tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["final_loss"] < res["first_loss"] * 0.8
     assert "adapters" in res and "projector" in res
+
+
+def test_cli_dpo(tmp_path):
+    """--dpo: preference pairs through the template preprocessors; loss
+    starts at exactly log 2 (policy == frozen reference at B=0 init) and
+    decreases."""
+    data = tmp_path / "dpo.json"
+    recs = [{"id": i, "prompt": f"describe scene {i}",
+             "chosen": f"a town with {i} harbors", "rejected": "blurry"}
+            for i in range(6)]
+    data.write_text(json.dumps(recs))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "train_vlm.py"), "--smoke", "--dpo",
+         "--data_path", str(data), "--output_dir", str(tmp_path / "o"),
+         "--epochs", "8", "--batch_size", "2", "--pad_to", "16",
+         "--lr", "2e-2", "--platform", "cpu", "--bits", "8"],
+        capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert abs(res["first_loss"] - np.log(2)) < 1e-4
+    assert res["final_loss"] < res["first_loss"]
+
+
+def test_preference_dataset_masking():
+    from rsvldm_tpu.training.vlm_data import (LazyPreferenceDataset,
+                                              Llama3Special)
+    import tempfile
+    sp = Llama3Special(bos=501, start_header=502, end_header=503, eot=504,
+                       nl=505)
+    sys.path.insert(0, str(REPO))
+    from train_vlm import _hash_encode
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump([{"prompt": "hi there", "chosen": "good answer",
+                    "rejected": "bad"}], f)
+        path = f.name
+    ds = LazyPreferenceDataset(path, _hash_encode, preprocess_kw={"sp": sp})
+    it = ds[0]
+    from rsvldm_tpu.training.vlm_trainer import IGNORE_INDEX
+    for side in ("chosen", "rejected"):
+        ids = np.asarray(it[f"{side}_input_ids"])
+        labels = np.asarray(it[f"{side}_labels"])
+        assert ids.shape == labels.shape
+        sup = labels != IGNORE_INDEX
+        assert sup.any() and not sup.all()   # answer supervised, prompt not
+    # the two sides share the identical prompt prefix
+    c, r = (np.asarray(it["chosen_input_ids"]),
+            np.asarray(it["rejected_input_ids"]))
+    n = min(len(c), len(r))
+    shared = np.argmin(c[:n] == r[:n]) or n
+    assert shared >= 4
+    assert ds.modality_lengths[0] < 0  # text-only record

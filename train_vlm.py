@@ -56,6 +56,11 @@ def parse_args(argv=None):
                         "finetune with --mm_projector_lr as the "
                         "projector's param-group lr")
     p.add_argument("--mm_projector_lr", type=float, default=None)
+    p.add_argument("--dpo", action="store_true",
+                   help="preference optimization over {prompt, chosen, "
+                        "rejected} records (train_dpo.py); LoRA-only, the "
+                        "frozen base is the reference policy")
+    p.add_argument("--dpo_beta", type=float, default=0.1)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=1)
@@ -152,6 +157,7 @@ def main(argv=None):
     from rsvldm_tpu.models.vlm.llama import KVCache, LlamaModel
     from rsvldm_tpu.models.vlm.vision import CLIP_MEAN, normalize_pixels
     from rsvldm_tpu.training.vlm_data import (LazyConversationDataset,
+                                              LazyPreferenceDataset,
                                               get_modality_length_grouped_indices)
     from rsvldm_tpu.training.vlm_trainer import (IGNORE_INDEX, LoraConfig,
                                                  VLMTrainer, save_lora_npz)
@@ -159,6 +165,9 @@ def main(argv=None):
     quant = {16: None, 8: "int8", 4: "int4"}[args.bits]
     tune = tuple(t.strip() for t in args.tune.split(",") if t.strip())
     assert set(tune) <= {"lora", "projector"} and tune, args.tune
+    if args.dpo and tune != ("lora",):
+        sys.exit("--dpo optimizes LoRA adapters only (the frozen base is "
+                 "the reference policy) — use --tune lora")
     feats_fn = None          # projected features  (lora-only path)
     feats_raw_fn = None      # pre-projector tower features (MMTrainer)
     projector = proj_params = None
@@ -218,13 +227,17 @@ def main(argv=None):
             proj_params = cap.projector_params
             img_tokens = (size // cap.vision.cfg.patch_size) ** 2
 
-    ds = LazyConversationDataset(args.data_path, encode,
-                                 template=args.template,
-                                 image_folder=args.image_folder,
-                                 process_image=process_image,
-                                 preprocess_kw=pre_kw)
+    ds_cls = LazyPreferenceDataset if args.dpo else LazyConversationDataset
+    ds = ds_cls(args.data_path, encode, template=args.template,
+                image_folder=args.image_folder,
+                process_image=process_image, preprocess_kw=pre_kw)
     lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
-    if tune == ("lora",):
+    if args.dpo:
+        from rsvldm_tpu.training.vlm_trainer import DPOTrainer
+        trainer = DPOTrainer(model, params, lcfg, lr=args.lr,
+                             beta=args.dpo_beta,
+                             rng=jax.random.PRNGKey(args.seed))
+    elif tune == ("lora",):
         trainer = VLMTrainer(model, params, lcfg, lr=args.lr,
                              rng=jax.random.PRNGKey(args.seed))
     else:
@@ -247,6 +260,40 @@ def main(argv=None):
         for i in range(0, len(order) - args.batch_size + 1,
                        args.batch_size):
             items = [ds[j] for j in order[i:i + args.batch_size]]
+            if args.dpo:
+                sides = {}
+                for side in ("chosen", "rejected"):
+                    sides[side] = []
+                    for it in items:
+                        feats = (feats_fn(it["image"])
+                                 if "image" in it and feats_fn else None)
+                        sides[side].append(splice_training_sample(
+                            it[f"{side}_input_ids"][:args.max_length],
+                            it[f"{side}_labels"][:args.max_length],
+                            embed_fn, feats, IGNORE_INDEX))
+                width = max(e.shape[0] for ps in sides.values()
+                            for e, _ in ps)
+                width = -(-width // args.pad_to) * args.pad_to
+                packed = {}
+                for side, ps in sides.items():
+                    emb = jnp.stack([
+                        jnp.pad(e, ((0, width - e.shape[0]), (0, 0)))
+                        for e, _ in ps])
+                    lab = np.full((len(ps), width), IGNORE_INDEX, np.int32)
+                    for j, (_, l) in enumerate(ps):
+                        lab[j, :len(l)] = l
+                    packed[side] = (emb, jnp.asarray(lab))
+                cache = KVCache.init(cfg, len(items), width, cfg.dtype)
+                loss = trainer.train_step(*packed["chosen"],
+                                          *packed["rejected"], cache)
+                losses.append(loss)
+                step += 1
+                if step % 10 == 0 or step == 1:
+                    print(f"step {step} epoch {epoch} dpo loss {loss:.4f}",
+                          flush=True)
+                if args.steps and step >= args.steps:
+                    break
+                continue
             if tune == ("lora",):
                 pairs = []
                 for it in items:
