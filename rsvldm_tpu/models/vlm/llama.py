@@ -456,7 +456,14 @@ class LlamaModel(nn.Module):
         cfg = self.cfg
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.dim,
                                      param_dtype=jnp.float32, name="embed_tokens")
-        block_cls = nn.remat(LlamaBlock) if cfg.remat else LlamaBlock
+        # static_argnums keeps start_pos/valid_len as PYTHON ints through
+        # the remat trace — otherwise the flash-prefill gate
+        # (`isinstance(start_pos, int)` below) sees a tracer and training
+        # silently falls into the quadratic masked-einsum branch. Remat is
+        # a training knob: prefill-from-0 calls pass ints; traced decode
+        # positions on a remat model would raise a hashability error.
+        block_cls = (nn.remat(LlamaBlock, static_argnums=(3, 4))
+                     if cfg.remat else LlamaBlock)
         self.blocks = [block_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.layers)]
         self.norm = RMSNorm(cfg.rms_eps, cfg.norm_plus_one, name="norm")

@@ -345,6 +345,14 @@ class DPOTrainer:
 
     def train_step(self, chosen_embeds, chosen_labels, rejected_embeds,
                    rejected_labels, cache) -> float:
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            put = lambda x: jax.device_put(
+                x, batch_sharding(self.mesh, jnp.ndim(x)))
+            chosen_embeds, chosen_labels = put(chosen_embeds), put(
+                jnp.asarray(chosen_labels))
+            rejected_embeds, rejected_labels = put(rejected_embeds), put(
+                jnp.asarray(rejected_labels))
         self.lora, self.opt_state, loss = self._train_step(
             self.lora, self.opt_state, chosen_embeds, chosen_labels,
             rejected_embeds, rejected_labels, cache)
@@ -438,6 +446,33 @@ class MMTrainer:
 
 # ------------------------------------------------------- adapter archives
 
+def _flatten_tree(tree: Dict) -> Dict[str, np.ndarray]:
+    flat = {}
+
+    def walk(t, p):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                walk(v, p + [k])
+            else:
+                flat["/".join(p + [k])] = np.asarray(v)
+
+    walk(tree, [])
+    return flat
+
+
+def _unflatten_tree(z, skip=()) -> Dict:
+    tree: Dict = {}
+    for k in z.files:
+        if k in skip:
+            continue
+        parts = k.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(z[k])
+    return tree
+
+
 def save_lora_npz(lora: Dict, cfg: LoraConfig, path) -> None:
     """Adapter checkpoint: one npz of path-flattened A/B planes plus the
     LoraConfig as a json meta entry (the save-side of the reference's
@@ -445,19 +480,9 @@ def save_lora_npz(lora: Dict, cfg: LoraConfig, path) -> None:
     frozen by construction so ONLY adapters ever need saving)."""
     import json as _json
 
-    flat = {}
-
-    def walk(tree, p):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                walk(v, p + [k])
-            else:
-                flat["/".join(p + [k])] = np.asarray(v)
-
-    walk(lora, [])
     np.savez(path, __meta__=_json.dumps(
         {"r": cfg.r, "alpha": cfg.alpha, "targets": list(cfg.targets)}),
-        **flat)
+        **_flatten_tree(lora))
 
 
 def load_lora_npz(path) -> tuple[Dict, LoraConfig]:
@@ -466,42 +491,15 @@ def load_lora_npz(path) -> tuple[Dict, LoraConfig]:
 
     z = np.load(path, allow_pickle=False)
     meta = _json.loads(str(z["__meta__"]))
-    tree: Dict = {}
-    for k in z.files:
-        if k == "__meta__":
-            continue
-        parts = k.split("/")
-        d = tree
-        for p in parts[:-1]:
-            d = d.setdefault(p, {})
-        d[parts[-1]] = jnp.asarray(z[k])
-    return tree, LoraConfig(r=meta["r"], alpha=meta["alpha"],
-                            targets=tuple(meta["targets"]))
+    return _unflatten_tree(z, skip=("__meta__",)), LoraConfig(
+        r=meta["r"], alpha=meta["alpha"], targets=tuple(meta["targets"]))
 
 
 def save_projector_npz(proj_params: Dict, path) -> None:
     """Projector checkpoint (the pretrain-stage artifact — the reference
     saves mm_projector.bin from get_mm_adapter_state, train.py:263-270)."""
-    flat = {}
-
-    def walk(tree, p):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                walk(v, p + [k])
-            else:
-                flat["/".join(p + [k])] = np.asarray(v)
-
-    walk(proj_params, [])
-    np.savez(path, **flat)
+    np.savez(path, **_flatten_tree(proj_params))
 
 
 def load_projector_npz(path) -> Dict:
-    z = np.load(path, allow_pickle=False)
-    tree: Dict = {}
-    for k in z.files:
-        parts = k.split("/")
-        d = tree
-        for p in parts[:-1]:
-            d = d.setdefault(p, {})
-        d[parts[-1]] = jnp.asarray(z[k])
-    return tree
+    return _unflatten_tree(np.load(path, allow_pickle=False))

@@ -114,7 +114,12 @@ def reserve_image_span(ids, labels, embed_fn, t, ignore_index):
     from rsvldm_tpu.models.vlm.generate import IMAGE_TOKEN_INDEX
     ids = np.asarray(ids)
     labels = np.asarray(labels)
-    pos = int(np.where(ids == IMAGE_TOKEN_INDEX)[0][0])
+    where = np.where(ids == IMAGE_TOKEN_INDEX)[0]
+    if not where.size:
+        raise SystemExit(
+            "record has an 'image' field but no '<image>' token in its "
+            "conversation text — projector tuning needs the placeholder")
+    pos = int(where[0])
     emb = embed_fn(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
     emb = jnp.concatenate([emb[:pos],
                            jnp.zeros((t, emb.shape[1]), emb.dtype),
@@ -261,16 +266,20 @@ def main(argv=None):
                        args.batch_size):
             items = [ds[j] for j in order[i:i + args.batch_size]]
             if args.dpo:
+                item_feats = [feats_fn(it["image"])
+                              if "image" in it and feats_fn else None
+                              for it in items]
                 sides = {}
                 for side in ("chosen", "rejected"):
-                    sides[side] = []
-                    for it in items:
-                        feats = (feats_fn(it["image"])
-                                 if "image" in it and feats_fn else None)
-                        sides[side].append(splice_training_sample(
-                            it[f"{side}_input_ids"][:args.max_length],
-                            it[f"{side}_labels"][:args.max_length],
-                            embed_fn, feats, IGNORE_INDEX))
+                    sides[side] = [splice_training_sample(
+                        it[f"{side}_input_ids"], it[f"{side}_labels"],
+                        embed_fn, feats, IGNORE_INDEX)
+                        for it, feats in zip(items, item_feats)]
+                    # truncate AFTER image expansion (the reference
+                    # truncates post-multimodal-splice too)
+                    sides[side] = [(e[:args.max_length],
+                                    l[:args.max_length])
+                                   for e, l in sides[side]]
                 width = max(e.shape[0] for ps in sides.values()
                             for e, _ in ps)
                 width = -(-width // args.pad_to) * args.pad_to
@@ -286,54 +295,57 @@ def main(argv=None):
                 cache = KVCache.init(cfg, len(items), width, cfg.dtype)
                 loss = trainer.train_step(*packed["chosen"],
                                           *packed["rejected"], cache)
-                losses.append(loss)
-                step += 1
-                if step % 10 == 0 or step == 1:
-                    print(f"step {step} epoch {epoch} dpo loss {loss:.4f}",
-                          flush=True)
-                if args.steps and step >= args.steps:
-                    break
-                continue
-            if tune == ("lora",):
-                pairs = []
-                for it in items:
-                    feats = (feats_fn(it["image"])
-                             if "image" in it and feats_fn else None)
-                    pairs.append(splice_training_sample(
-                        it["input_ids"][:args.max_length],
-                        it["labels"][:args.max_length], embed_fn, feats,
-                        IGNORE_INDEX))
-                rows = [(e, l, None, None) for e, l in pairs]
             else:
-                # projector inside the graph: reserve the span, ship RAW
-                # tower features; every record must carry an image
-                rows = []
-                for it in items:
-                    if "image" not in it:
-                        raise SystemExit(
-                            "--tune projector requires image records "
-                            "(the reference pretrain data is image-"
-                            "caption pairs)")
-                    e, l, p = reserve_image_span(
-                        it["input_ids"][:args.max_length],
-                        it["labels"][:args.max_length], embed_fn,
-                        img_tokens, IGNORE_INDEX)
-                    rows.append((e, l, p, feats_raw_fn(it["image"])))
-            width = max(e.shape[0] for e, _, _, _ in rows)
-            width = -(-width // args.pad_to) * args.pad_to
-            emb = jnp.stack([jnp.pad(e, ((0, width - e.shape[0]), (0, 0)))
-                             for e, _, _, _ in rows])
-            lab = np.full((len(rows), width), IGNORE_INDEX, np.int32)
-            for j, (_, l, _, _) in enumerate(rows):
-                lab[j, :len(l)] = l
-            cache = KVCache.init(cfg, len(rows), width, cfg.dtype)
-            if tune == ("lora",):
-                loss = trainer.train_step(emb, jnp.asarray(lab), cache)
-            else:
-                loss = trainer.train_step(
-                    jnp.stack([f for _, _, _, f in rows]), emb,
-                    np.asarray([p for _, _, p, _ in rows]),
-                    jnp.asarray(lab), cache)
+                if tune == ("lora",):
+                    rows = []
+                    for it in items:
+                        feats = (feats_fn(it["image"])
+                                 if "image" in it and feats_fn else None)
+                        e, l = splice_training_sample(
+                            it["input_ids"], it["labels"], embed_fn, feats,
+                            IGNORE_INDEX)
+                        # truncate AFTER image expansion (the reference
+                        # caps post-multimodal-splice lengths too)
+                        rows.append((e[:args.max_length],
+                                     l[:args.max_length], None, None))
+                else:
+                    # projector inside the graph: reserve the span, ship
+                    # RAW tower features; every record must carry an image
+                    rows = []
+                    for it in items:
+                        if "image" not in it:
+                            raise SystemExit(
+                                "--tune projector requires image records "
+                                "(the reference pretrain data is image-"
+                                "caption pairs)")
+                        e, l, p = reserve_image_span(
+                            it["input_ids"], it["labels"], embed_fn,
+                            img_tokens, IGNORE_INDEX)
+                        if p + img_tokens > args.max_length:
+                            raise SystemExit(
+                                f"record {it.get('id')}: image span ends at "
+                                f"{p + img_tokens} > --max_length "
+                                f"{args.max_length}; raise the cap (the "
+                                "span cannot be truncated mid-image)")
+                        rows.append((e[:args.max_length],
+                                     l[:args.max_length], p,
+                                     feats_raw_fn(it["image"])))
+                width = max(e.shape[0] for e, _, _, _ in rows)
+                width = -(-width // args.pad_to) * args.pad_to
+                emb = jnp.stack([jnp.pad(e,
+                                         ((0, width - e.shape[0]), (0, 0)))
+                                 for e, _, _, _ in rows])
+                lab = np.full((len(rows), width), IGNORE_INDEX, np.int32)
+                for j, (_, l, _, _) in enumerate(rows):
+                    lab[j, :len(l)] = l
+                cache = KVCache.init(cfg, len(rows), width, cfg.dtype)
+                if tune == ("lora",):
+                    loss = trainer.train_step(emb, jnp.asarray(lab), cache)
+                else:
+                    loss = trainer.train_step(
+                        jnp.stack([f for _, _, _, f in rows]), emb,
+                        np.asarray([p for _, _, p, _ in rows]),
+                        jnp.asarray(lab), cache)
             losses.append(loss)
             step += 1
             if step % 10 == 0 or step == 1:
@@ -347,6 +359,9 @@ def main(argv=None):
                 break
         if args.steps and step >= args.steps:
             break
+    if not losses:
+        sys.exit(f"no training steps ran: {len(ds)} records with "
+                 f"--batch_size {args.batch_size} yield zero full batches")
     res = {"steps": step, "first_loss": float(losses[0]),
            "final_loss": float(losses[-1])}
     if trainer.lora is not None:
