@@ -272,6 +272,20 @@ class LlavaCaptioner:
                                  self.draft_params, spliced, cfg, rng,
                                  k=self.spec_k)
 
+    def embed_mm(self, prompt: str, images):
+        """Multimodal prompt embedder for the serving engine
+        (LLMWorker(embed_mm=cap.embed_mm)): one anyres feature stream per
+        <image> placeholder, spliced in order
+        (generate.py::embed_multimodal_prompt)."""
+        from .generate import embed_multimodal_prompt
+        encode = lambda s: self.tokenizer.encode(s, add_special_tokens=False)
+        return embed_multimodal_prompt(
+            self.llama, self.llama_params,
+            lambda px: self.vision.apply(self.vision_params, px),
+            lambda f: self.projector.apply(self.projector_params, f),
+            prompt, images, encode, self.image_newline,
+            patch_size=self.vision.cfg.image_size)
+
     def caption_batch(self, images, llava_cfg,
                       rng: jax.Array | None = None) -> list:
         """Folder-batched Stage-2a: one decode serves every image (the

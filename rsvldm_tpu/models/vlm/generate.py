@@ -62,6 +62,40 @@ def tokenize_with_image(prompt: str, encode_fn: Callable[[str], list],
     return np.asarray(ids, dtype=np.int32)
 
 
+def embed_multimodal_prompt(model, params, vision_apply, projector_apply,
+                            prompt_text: str, images, encode_fn,
+                            image_newline, patch_size: int = 336
+                            ) -> jnp.ndarray:
+    """Rendered prompt (any number of <image> placeholders) + PIL images
+    -> spliced [S, D] input embeds: one anyres->spatial-unpad feature
+    stream per placeholder, in order (model_worker.py:114-141 +
+    llava_arch.py:447-495 multi-image semantics)."""
+    from . import anyres
+    from .vision import normalize_pixels
+
+    ids = tokenize_with_image(prompt_text, encode_fn)
+    safe = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
+    text_embeds = model.apply(params, safe, method=model.embed)
+    positions = np.where(ids == IMAGE_TOKEN_INDEX)[0]
+    if len(positions) != len(images):
+        raise ValueError(f"{len(images)} images for {len(positions)} "
+                         f"{DEFAULT_IMAGE_TOKEN} tokens in the prompt")
+    grid = (anyres.DEFAULT_GRID_PINPOINTS if patch_size == 336
+            else anyres.grid_pinpoints_for(patch_size))
+    segs, prev = [], 0
+    for pos, image in zip(positions, images):
+        patches = anyres.process_anyres_image(image, patch_size, grid)
+        feats = projector_apply(vision_apply(
+            normalize_pixels(jnp.asarray(patches))))
+        toks = anyres.assemble_spatial_unpad(
+            np.asarray(feats), image.size, np.asarray(image_newline),
+            grid, patch_size)
+        segs += [text_embeds[prev:int(pos)], jnp.asarray(toks)]
+        prev = int(pos) + 1
+    segs.append(text_embeds[prev:])
+    return jnp.concatenate(segs, axis=0)
+
+
 def splice_image_embeds(token_ids: np.ndarray, text_embeds: jnp.ndarray,
                         image_features: jnp.ndarray) -> jnp.ndarray:
     """Replace the single -200 position with the image token stream
@@ -224,23 +258,11 @@ def caption_image(model, params, vision_apply, projector_apply, image,
     (model, params, spliced, cfg, rng, mesh=) -> np ids — used to swap in
     the speculative decoder (speculative.py) without duplicating the
     anyres/splice orchestration."""
-    from . import anyres
-    from .vision import normalize_pixels
-
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    grid = (anyres.DEFAULT_GRID_PINPOINTS if patch_size == 336
-            else anyres.grid_pinpoints_for(patch_size))
-    patches = anyres.process_anyres_image(image, patch_size, grid)
-    pixels = normalize_pixels(jnp.asarray(patches))
-    feats = projector_apply(vision_apply(pixels))           # [1+n, 576, D]
-    tokens = anyres.assemble_spatial_unpad(np.asarray(feats), image.size,
-                                           np.asarray(image_newline),
-                                           grid, patch_size)
-    prompt = llama3_chat_prompt(prompt_text)
-    ids = tokenize_with_image(prompt, encode_fn)
-    safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
-    text_embeds = model.apply(params, safe_ids, method=model.embed)
-    spliced = splice_image_embeds(ids, text_embeds, jnp.asarray(tokens))
+    spliced = embed_multimodal_prompt(
+        model, params, vision_apply, projector_apply,
+        llama3_chat_prompt(prompt_text), [image], encode_fn, image_newline,
+        patch_size)
     out_ids = (generate_fn or generate)(model, params, spliced, cfg, rng,
                                         mesh=mesh)
     return decode_fn(out_ids.tolist()).lstrip()

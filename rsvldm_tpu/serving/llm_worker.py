@@ -44,18 +44,26 @@ class LLMWorker(Worker):
                  worker_name: str, controller_url: str | None = None,
                  model_names: tuple = ("rsvldm-llm",),
                  base_cfg: GenerateConfig | None = None,
-                 prefix_text: str | None = None):
+                 prefix_text: str | None = None,
+                 embed_mm: Callable | None = None):
         """prefix_text: optional shared prompt scaffold (system prompt +
         conversation header). Its KV block is prefilled once via the
         engine's prefix cache; any request whose rendered prompt starts
         with it prefills only the remainder. The split MUST fall on a
         token boundary (end it at a special token such as <|eot_id|>) so
-        embed_prompt(suffix) equals the suffix of embed_prompt(full)."""
+        embed_prompt(suffix) equals the suffix of embed_prompt(full).
+
+        embed_mm: optional (prompt, pil_images) -> [S, D] multimodal
+        embedder (models/vlm/generate.py::embed_multimodal_prompt via
+        LlavaCaptioner.embed_mm) — enables the reference model_worker's
+        base64-`images` payloads (:114-141). Image prompts skip the
+        prefix cache (the scaffold split is text-only)."""
         super().__init__(pipeline=None, worker_name=worker_name,
                          controller_url=controller_url,
                          model_names=model_names)
         self.engine = engine
         self.embed_prompt = embed_prompt
+        self.embed_mm = embed_mm
         self.decode_fn = decode_fn
         self.base_cfg = base_cfg or GenerateConfig()
         self.prefix_text = prefix_text
@@ -64,7 +72,22 @@ class LLMWorker(Worker):
         self._driver_started = False
         self._state_lock = threading.Lock()
 
-    def _submit(self, prompt: str, cfg: GenerateConfig) -> int:
+    def _submit(self, prompt: str, cfg: GenerateConfig,
+                images=None) -> int:
+        if images:
+            if self.embed_mm is None:
+                raise ValueError("worker is not multimodal (no embed_mm)")
+            import base64
+            import io
+
+            from PIL import Image
+            n_tok = prompt.count("<image>")
+            if len(images) != n_tok:
+                raise ValueError(f"{len(images)} images does not match "
+                                 f"{n_tok} <image> tokens in prompt")
+            pil = [Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB")
+                   for b in images]
+            return self.engine.submit(self.embed_mm(prompt, pil), cfg)
         if self._prefix_id is not None and prompt.startswith(self.prefix_text):
             return self.engine.submit(
                 self.embed_prompt(prompt[len(self.prefix_text):]), cfg,
@@ -86,7 +109,8 @@ class LLMWorker(Worker):
         threading.Thread(target=self._driver_loop, daemon=True).start()
 
     def generate_text(self, prompt: str, max_new_tokens: int | None = None,
-                      temperature: float | None = None) -> str:
+                      temperature: float | None = None,
+                      images=None) -> str:
         self._ensure_driver()
         cfg = self.base_cfg
         if max_new_tokens is not None:
@@ -97,7 +121,7 @@ class LLMWorker(Worker):
         with self._state_lock:
             self.queue_length += 1
         try:
-            uid = self._submit(prompt, cfg)
+            uid = self._submit(prompt, cfg, images=images)
             ids = self.engine.wait(uid, timeout=600)
             return self.decode_fn(ids.tolist()).lstrip()
         finally:
@@ -105,7 +129,8 @@ class LLMWorker(Worker):
                 self.queue_length -= 1
 
     def generate_stream(self, prompt: str, max_new_tokens=None,
-                        temperature=None, poll_s: float = 0.01):
+                        temperature=None, poll_s: float = 0.01,
+                        images=None):
         """Yield growing-prefix decoded strings while the engine decodes,
         then the final text. Decoding a PREFIX of the id stream each frame
         keeps multi-byte/BPE merges correct (the reference decodes the
@@ -120,7 +145,7 @@ class LLMWorker(Worker):
         with self._state_lock:
             self.queue_length += 1
         try:
-            uid = self._submit(prompt, cfg)
+            uid = self._submit(prompt, cfg, images=images)
             req = self.engine._requests[uid]
             sent = 0
             while not req.event.wait(poll_s):
@@ -164,7 +189,8 @@ class LLMWorker(Worker):
                             for text in worker.generate_stream(
                                     payload["prompt"],
                                     payload.get("max_new_tokens"),
-                                    payload.get("temperature")):
+                                    payload.get("temperature"),
+                                    images=payload.get("images")):
                                 last = text
                                 chunk({"text": text})
                             chunk({"text": last, "finished": True})
@@ -176,7 +202,8 @@ class LLMWorker(Worker):
                         out = {"text": worker.generate_text(
                             payload["prompt"],
                             payload.get("max_new_tokens"),
-                            payload.get("temperature"))}
+                            payload.get("temperature"),
+                            images=payload.get("images"))}
                     elif self.path == "/worker_get_status":
                         out = dict(model_names=worker.model_names,
                                    queue_length=worker.queue_length)

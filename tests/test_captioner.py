@@ -307,3 +307,35 @@ def test_projector_npz_replaces_mm_projector(tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(cap1.projector_params)[0])
     b = np.asarray(jax.tree_util.tree_leaves(trained)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_embed_mm_multi_image_ordering(tmp_path):
+    """embed_multimodal_prompt: one feature stream per <image>, in prompt
+    order — swapping the images swaps exactly the image spans."""
+    from safetensors.torch import save_file
+
+    from rsvldm_tpu.models.vlm.generate import tokenize_with_image
+    d = tmp_path / "llava"
+    d.mkdir()
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    cap = LlavaCaptioner.load(tmp_path, llama_cfg=LCFG, vision_cfg=VCFG,
+                              tokenizer=FakeTokenizer())
+    rng = np.random.default_rng(3)
+    a = Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    b = Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    prompt = "x <image> y <image> z"
+    ids = tokenize_with_image(
+        prompt, lambda s: FakeTokenizer().encode(s))
+    p1, p2 = np.where(ids == -200)[0]
+    ab = np.asarray(cap.embed_mm(prompt, [a, b]))
+    ba = np.asarray(cap.embed_mm(prompt, [b, a]))
+    assert ab.shape == ba.shape
+    t = (ab.shape[0] - (len(ids) - 2)) // 2   # tokens per image stream
+    s1, s2 = int(p1), int(p2) - 1 + t          # span starts in the spliced seq
+    np.testing.assert_allclose(ab[s1:s1 + t], ba[s2:s2 + t], atol=1e-6)
+    np.testing.assert_allclose(ab[s2:s2 + t], ba[s1:s1 + t], atol=1e-6)
+    assert not np.allclose(ab[s1:s1 + t], ab[s2:s2 + t])
+    # text segments identical either way
+    np.testing.assert_allclose(ab[:s1], ba[:s1], atol=1e-6)
+    np.testing.assert_allclose(ab[s1 + t:s2], ba[s1 + t:s2], atol=1e-6)
+    np.testing.assert_allclose(ab[s2 + t:], ba[s2 + t:], atol=1e-6)

@@ -383,3 +383,52 @@ def test_engine_chunked_prefill_interleaves_decode(model_and_params):
     ref_a, ref_b = _ref(model, params, [a, b], GREEDY)
     np.testing.assert_array_equal(ref_a, eng.result(ua))
     np.testing.assert_array_equal(ref_b, eng.result(ub))
+
+
+def test_llm_worker_multimodal_images(model_and_params):
+    """model_worker.py:114-141 parity surface: base64 `images` payloads go
+    through embed_mm; output equals solo generate on the same spliced
+    embeds; count-mismatch and non-multimodal errors are raised."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from rsvldm_tpu.serving.llm_worker import LLMWorker
+    model, params = model_and_params
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+
+    def embed_text(prompt):
+        ids = jnp.asarray([min(ord(c), 120) for c in prompt], jnp.int32)
+        return model.apply(params, ids, method=model.embed)
+
+    def embed_mm(prompt, pil_images):
+        # deterministic fake splice: text embeds + one row per image pixel
+        # mean — enough to prove the worker routes images to embed_mm
+        rows = [embed_text(prompt.replace("<image>", ""))]
+        for im in pil_images:
+            v = float(np.asarray(im).mean()) / 255.0
+            rows.append(jnp.full((2, CFG.dim), v, jnp.float32))
+        return jnp.concatenate(rows, axis=0)
+
+    worker = LLMWorker(eng, embed_text, lambda ids: " ".join(map(str, ids)),
+                       worker_name="w-mm", base_cfg=GREEDY,
+                       embed_mm=embed_mm)
+    img = Image.fromarray(np.full((8, 8, 3), 120, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    prompt = "look <image> here"
+    out = worker.generate_text(prompt, images=[b64])
+    ref = generate(model, params, embed_mm(prompt, [img]), GREEDY,
+                   jax.random.PRNGKey(1))
+    assert out == " ".join(map(str, ref.tolist())).lstrip()
+
+    with pytest.raises(ValueError, match="does not match"):
+        worker.generate_text("no placeholder", images=[b64])
+    worker_text_only = LLMWorker(eng, embed_text, str, worker_name="w-t")
+    with pytest.raises(ValueError, match="not multimodal"):
+        worker_text_only.generate_text(prompt, images=[b64])
+    worker.stop()
+    worker_text_only.stop()
