@@ -12,6 +12,12 @@ Run: python bench_engine.py [slots ...]   (suffix q = int8 KV cache,
 e.g. `bench_engine.py 8 16q` — kv_quant halves cache bytes so 16 slots
 at the same context fit where bf16 KV allows 8)
 
+     python bench_engine.py spec [slots] — speculative rounds over the
+     slot pool (8B int8 target + 4-layer draft, k=4): per-round step time
+     and the implied aggregate tok/s at draft-acceptance 0 / 2 / 4 —
+     batching and speculation compose (every slot commits 1..k+1 tokens
+     per shared target read).
+
      python bench_engine.py iso    — decode-latency isolation: worst
      per-step() latency seen by a decoding co-tenant while a 3584-token
      prompt is admitted, monolithic prefill vs prefill_chunk=256 (the
@@ -90,9 +96,57 @@ def isolation():
     print(json.dumps(res))
 
 
+def spec(slots: int = 4):
+    """Speculative rounds over the slot pool at the 8B int8 geometry."""
+    from rsvldm_tpu.models.vlm.llama import (LLAMA3_8B_CONFIG, LlamaConfig,
+                                             LlamaModel)
+    from rsvldm_tpu.models.vlm.generate import GenerateConfig
+    from rsvldm_tpu.serving.engine import DecodeEngine
+
+    from bench_full import dummy_llama_params
+
+    tiny = bool(os.environ.get("BENCH_TINY"))
+    if tiny:
+        tcfg = LlamaConfig(vocab_size=64, dim=32, layers=2, heads=4,
+                           kv_heads=2, ffn_dim=64, quant="int8")
+        max_len, pad, k = 96, 8, 4
+    else:
+        tcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
+                                   quant="int8")
+        max_len, pad, k = 1280, 128, 4
+    dcfg = dataclasses.replace(tcfg, layers=max(1, tcfg.layers // 8))
+    lm, dm = LlamaModel(tcfg), LlamaModel(dcfg)
+    lp, dp = dummy_llama_params(lm, tcfg), dummy_llama_params(dm, dcfg)
+    eng = DecodeEngine(lm, lp, slots=slots, max_len=max_len, pad_to=pad,
+                       draft=dm, draft_params=dp, spec_k=k)
+    prompt_len = pad * (2 if tiny else 4)
+    cfg = GenerateConfig(
+        max_new_tokens=max_len - prompt_len - (k + 2), temperature=0.0,
+        do_sample=False, eot_ids=(), pad_to=pad)
+    emb = jnp.zeros((prompt_len, lm.cfg.dim), jnp.bfloat16)
+    for _ in range(slots):
+        eng.submit(emb, cfg)
+    for _ in range(3):          # warm prefill + round executables
+        eng.step()
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        eng.step()
+    dt = (time.perf_counter() - t0) / n
+    res = {f"engine_spec{slots}slot_round_ms": round(1000 * dt, 1)}
+    for acc in (0, 2, 4):
+        res[f"engine_spec{slots}slot_acc{acc}_tok_s"] = round(
+            slots * (acc + 1) / dt, 1)
+    print(json.dumps(res))
+
+
 def main():
     if "iso" in sys.argv[1:]:
         isolation()
+        return
+    if "spec" in sys.argv[1:]:
+        rest = [a for a in sys.argv[1:] if a != "spec"]
+        spec(int(rest[0]) if rest else 4)
         return
     specs = [(int(a.rstrip("q")), a.endswith("q"))
              for a in sys.argv[1:]] or [(1, False), (4, False)]

@@ -42,6 +42,15 @@ BETWEEN jitted steps instead:
   stalls co-tenant token streams for hundreds of ms. One executable serves
   every chunk of every request (offsets are traced scalars).
 
+- Speculative decoding composes with the slot pool (`draft=`/`spec_k=`):
+  each step becomes one jitted ROUND — a k-step batched draft scan + ONE
+  (k+1)-token target verify over all slots (per-row positions) + per-row
+  Leviathan acceptance — so every slot commits 1..k+1 tokens per round
+  while still sharing the target weight stream. Keys follow the engine's
+  (nonce, index) schedule, so draft==target reproduces the vanilla engine
+  stream bit-for-bit and ANY draft keeps greedy output exact (the
+  single-stream contracts of models/vlm/speculative.py, per slot).
+
 Sampling matches `generate`'s semantics (temperature categorical / greedy
 argmax) but is keyed per request: key = fold_in(fold_in(base, nonce), step)
 so a request's token stream is independent of which slot it lands in and
@@ -106,7 +115,13 @@ class DecodeEngine:
     def __init__(self, model: LlamaModel, params: Any, slots: int = 4,
                  max_len: int = 4096, pad_to: int = 128,
                  cache_dtype=None, rng: jax.Array | None = None,
-                 prefill_chunk: int | None = None):
+                 prefill_chunk: int | None = None,
+                 draft: LlamaModel | None = None, draft_params: Any = None,
+                 spec_k: int = 4):
+        """draft/draft_params/spec_k: optional speculative decoding — the
+        draft must share the target's hidden dim (its prefill consumes the
+        same spliced embeds). Not composed with prefix caching or chunked
+        prefill (the draft pool has no prefix/chunk bookkeeping)."""
         self.model = model
         self.params = params
         self.slots = slots
@@ -114,10 +129,19 @@ class DecodeEngine:
         self.pad_to = pad_to
         if prefill_chunk is not None and prefill_chunk % pad_to:
             raise ValueError("prefill_chunk must be a multiple of pad_to")
+        if draft is not None and prefill_chunk is not None:
+            raise ValueError("speculative decoding does not compose with "
+                             "prefill_chunk")
         self.prefill_chunk = prefill_chunk
+        self.draft = draft
+        self.draft_params = draft_params
+        self.spec_k = spec_k
         self.rng = jax.random.PRNGKey(0) if rng is None else rng
         self.cache = KVCache.init(model.cfg, slots, max_len,
                                   cache_dtype or model.cfg.dtype)
+        self.draft_cache = (KVCache.init(draft.cfg, slots, max_len,
+                                         draft.cfg.dtype)
+                            if draft is not None else None)
         self._free = list(range(slots))
         self._active: dict[int, _Request] = {}      # slot -> request
         self._waiting: list[_Request] = []
@@ -218,6 +242,95 @@ class DecodeEngine:
                            )(logits[:, -1], temps, keys)
             return pool, nxt
 
+        if draft is not None:
+            drf, k = draft, spec_k
+            from ..models.vlm.speculative import _sample_dist, _token_dist
+
+            @functools.partial(jax.jit, donate_argnums=(1,),
+                               static_argnames=("s_pad",))
+            def _prefill_draft(dp, pool_d: KVCache, embeds, slot,
+                               s_pad: int):
+                """Draft-side prompt prefill into the draft slot pool (no
+                sampling — the target's prefill emits token 0)."""
+                row = KVCache.init(drf.cfg, 1, pool_d.k.shape[2],
+                                   pool_d.k.dtype)
+                _, row = drf.apply(dp, embeds[None], row, 0)
+                return jax.tree_util.tree_map(
+                    lambda pa, ra: jax.lax.dynamic_update_slice(
+                        pa, ra, (0, slot) + (0,) * (ra.ndim - 2)),
+                    pool_d, row)
+
+            def _row_key(nonce, j):
+                return jax.random.fold_in(
+                    jax.random.fold_in(self.rng, nonce), j)
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3))
+            def _spec_round(tp, dp, pool_t: KVCache, pool_d: KVCache,
+                            toks, pos, temps, nonces, counts):
+                """One speculative round for ALL slots: k-step draft scan,
+                one (k+1)-token target verify, per-row Leviathan accept.
+                toks [B] = each row's pending (sampled, unfed) token at
+                position pos[b]; counts [B] = its generated index + 1 ==
+                the index of the first NEW token this round. Returns
+                (pool_t, pool_d, committed [B, k+1], n_commit [B])."""
+                b = toks.shape[0]
+
+                def d_step(carry, i):
+                    tok, cache = carry
+                    emb = drf.apply(dp, tok[:, None], method=drf.embed)
+                    lg, cache = drf.apply(dp, emb, cache, pos + i)
+                    dists = jax.vmap(_token_dist)(lg[:, -1], temps)
+                    keys = jax.vmap(_row_key)(nonces, counts + i)
+                    nxt = jax.vmap(_sample_dist)(dists, keys
+                                                 ).astype(jnp.int32)
+                    return (nxt, cache), (nxt, dists)
+
+                (d_last, pool_d), (d_toks, d_dists) = jax.lax.scan(
+                    d_step, (toks, pool_d), jnp.arange(k))
+                # catch-up feed so the draft cache covers the whole block
+                emb = drf.apply(dp, d_last[:, None], method=drf.embed)
+                _, pool_d = drf.apply(dp, emb, pool_d, pos + k)
+
+                block = jnp.concatenate([toks[None], d_toks]).T  # [B, k+1]
+                t_emb = mdl.apply(tp, block, method=mdl.embed)
+                t_lg, pool_t = mdl.apply(tp, t_emb, pool_t, pos)
+                t_dists = jax.vmap(jax.vmap(_token_dist, in_axes=(0, None)),
+                                   in_axes=(0, 0))(t_lg, temps)  # [B,k+1,V]
+
+                def row_accept(row):
+                    dt = d_toks[:, row]                          # [k]
+                    td, dd = t_dists[row], d_dists[:, row]
+                    ratio = jax.vmap(lambda i: td[i, dt[i]]
+                                     / jnp.maximum(dd[i, dt[i]], 1e-30))(
+                        jnp.arange(k))
+                    u = jax.vmap(lambda i: jax.random.uniform(
+                        jax.random.fold_in(
+                            _row_key(nonces[row], counts[row] + i), 7)))(
+                        jnp.arange(k))
+                    ok = jnp.cumprod((u < ratio).astype(jnp.int32))
+                    n_acc = ok.sum()
+                    t_na = td[n_acc]
+                    d_na = dd[jnp.minimum(n_acc, k - 1)]
+                    resid = jnp.maximum(t_na - d_na, 0.0)
+                    resid = resid / jnp.maximum(resid.sum(), 1e-30)
+                    corr_dist = jnp.where(n_acc == k, t_na, resid)
+                    corr_key = jax.lax.cond(
+                        n_acc == k,
+                        lambda: _row_key(nonces[row], counts[row] + k),
+                        lambda: jax.random.fold_in(
+                            _row_key(nonces[row], counts[row] + n_acc), 13))
+                    corr = _sample_dist(corr_dist, corr_key
+                                        ).astype(jnp.int32)
+                    committed = jnp.concatenate(
+                        [dt, jnp.zeros((1,), jnp.int32)]).at[n_acc].set(corr)
+                    return committed, n_acc + 1
+
+                committed, n_commit = jax.vmap(row_accept)(jnp.arange(b))
+                return pool_t, pool_d, committed, n_commit
+
+            self._prefill_draft = _prefill_draft
+            self._spec_round = _spec_round
+
         self._prefill = _prefill
         self._prefill_pfx = _prefill_pfx
         self._prefix_kv = _prefix_kv
@@ -254,8 +367,13 @@ class DecodeEngine:
         cfg = cfg or GenerateConfig()
         s = input_embeds.shape[0]
         s_pad = -(-s // self.pad_to) * self.pad_to
+        # a speculative round writes up to k+1 positions past the frontier
+        spec_pad = (self.spec_k + 1) if self.draft is not None else 0
         p = 0
         if prefix_id is not None:
+            if self.draft is not None:
+                raise ValueError("speculative decoding does not compose "
+                                 "with prefix caching")
             kv, p = self._prefixes[prefix_id]
             p_pad = kv.k.shape[2]
             # suffix KV lands at p..p+s_pad; everything must fit the slot
@@ -266,7 +384,7 @@ class DecodeEngine:
                     f"{self.max_len}")
         # the prefill writes the PADDED prompt into the slot row, so the
         # bucket itself must fit the cache too
-        elif max(s_pad, s + cfg.max_new_tokens) > self.max_len:
+        elif max(s_pad, s + cfg.max_new_tokens + spec_pad) > self.max_len:
             raise ValueError(
                 f"prompt {s} (padded {s_pad}) + max_new "
                 f"{cfg.max_new_tokens} exceeds the engine max_len "
@@ -323,6 +441,10 @@ class DecodeEngine:
                     jnp.asarray(req.nonce), jnp.float32(req.temperature),
                     s_pad=s_pad)
                 req.prompt_len = s
+            if self.draft is not None:
+                self.draft_cache = self._prefill_draft(
+                    self.draft_params, self.draft_cache, emb,
+                    jnp.asarray(slot), s_pad=s_pad)
             req.slot = slot
             self._active[slot] = req
             self._record(req, int(tok))
@@ -385,12 +507,28 @@ class DecodeEngine:
                 temps[slot] = req.temperature
                 nonces[slot] = req.nonce
                 counts[slot] = len(req.out_ids)
-            self.cache, nxt = self._decode(
-                self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(nonces), jnp.asarray(counts))
-            nxt = np.asarray(nxt)
-            for slot, req in list(self._active.items()):
-                self._record(req, int(nxt[slot]))
+            if self.draft is not None:
+                (self.cache, self.draft_cache, committed,
+                 n_commit) = self._spec_round(
+                    self.params, self.draft_params, self.cache,
+                    self.draft_cache, jnp.asarray(toks), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(nonces),
+                    jnp.asarray(counts))
+                committed = np.asarray(committed)
+                n_commit = np.asarray(n_commit)
+                for slot, req in list(self._active.items()):
+                    for t in committed[slot, : int(n_commit[slot])]:
+                        self._record(req, int(t))
+                        if req.done:
+                            break   # drop the rest of the block
+            else:
+                self.cache, nxt = self._decode(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.asarray(pos), jnp.asarray(temps),
+                    jnp.asarray(nonces), jnp.asarray(counts))
+                nxt = np.asarray(nxt)
+                for slot, req in list(self._active.items()):
+                    self._record(req, int(nxt[slot]))
             return (len(self._active) + len(self._prefilling)
                     + len(self._waiting))
 

@@ -432,3 +432,74 @@ def test_llm_worker_multimodal_images(model_and_params):
         worker_text_only.generate_text(prompt, images=[b64])
     worker.stop()
     worker_text_only.stop()
+
+
+SAMPLED = GenerateConfig(max_new_tokens=12, temperature=0.8, do_sample=True,
+                         eot_ids=(127,), pad_to=8)
+
+
+def _engine_ref(model, params, prompts, cfg):
+    """Vanilla-ENGINE reference streams (one request at a time, fresh
+    engine) — the spec engine must reproduce these exactly."""
+    outs = []
+    for i, p in enumerate(prompts):
+        eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+        # nonce must match the spec engine's for this submission order
+        for _ in range(i):
+            next(eng._nonce)
+        uid = eng.submit(p, cfg)
+        eng.run_until_idle()
+        outs.append(eng.result(uid))
+    return outs
+
+
+@pytest.mark.parametrize("cfg", [GREEDY, SAMPLED], ids=["greedy", "sampled"])
+def test_engine_speculative_draft_eq_target(model_and_params, cfg):
+    """draft == target: every proposal is accepted and the committed
+    streams are BIT-IDENTICAL to the vanilla engine, across slots and
+    staggered admission."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [9, 5, 17], seed=61)
+    ref = _engine_ref(model, params, prompts, cfg)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       draft=model, draft_params=params, spec_k=3)
+    u0 = eng.submit(prompts[0], cfg)
+    u1 = eng.submit(prompts[1], cfg)
+    eng.step()
+    u2 = eng.submit(prompts[2], cfg)   # queued; admitted on a free slot
+    eng.run_until_idle()
+    for r, u in zip(ref, (u0, u1, u2)):
+        np.testing.assert_array_equal(r, eng.result(u))
+
+
+def test_engine_speculative_mismatched_draft_greedy_exact(model_and_params):
+    """ANY draft keeps greedy output exact — here a 1-layer model with
+    different (random) weights proposes mostly-wrong tokens."""
+    import dataclasses
+    model, params = model_and_params
+    dcfg = dataclasses.replace(CFG, layers=1)
+    dmodel = LlamaModel(dcfg)
+    dparams = dmodel.init(jax.random.PRNGKey(9),
+                          jnp.zeros((1, 4), jnp.int32),
+                          KVCache.init(dcfg, 1, 8, jnp.float32), 0,
+                          method=dmodel.from_tokens)
+    prompts = _prompts(model, params, [7, 12], seed=67)
+    ref = _engine_ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       draft=dmodel, draft_params=dparams, spec_k=3)
+    outs = eng.generate_all(prompts, GREEDY)
+    for r, o in zip(ref, outs):
+        np.testing.assert_array_equal(r, o)
+
+
+def test_engine_speculative_guards(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        DecodeEngine(model, params, slots=1, max_len=64, pad_to=8,
+                     prefill_chunk=8, draft=model, draft_params=params)
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8,
+                       draft=model, draft_params=params)
+    pid_engine = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    pid = pid_engine.register_prefix(_prompts(model, params, [8])[0])
+    with pytest.raises(ValueError, match="prefix"):
+        eng.submit(_prompts(model, params, [8])[0], GREEDY, prefix_id=pid)
