@@ -109,7 +109,7 @@ def spec(slots: int = 4):
     if tiny:
         tcfg = LlamaConfig(vocab_size=64, dim=32, layers=2, heads=4,
                            kv_heads=2, ffn_dim=64, quant="int8")
-        max_len, pad, k = 96, 8, 4
+        max_len, pad, k = 256, 8, 4
     else:
         tcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
                                    quant="int8")

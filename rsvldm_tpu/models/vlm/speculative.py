@@ -66,6 +66,38 @@ def _sample_dist(probs, key):
     return jax.random.categorical(key, logp)
 
 
+def accept_and_correct(d_toks, d_dists, t_dists, key_for, k: int):
+    """The Leviathan accept + correction/bonus core, shared by the
+    single-stream round below and the engine's per-slot rounds
+    (serving/engine.py::_spec_round) so the two paths can never
+    desynchronize. d_toks [k]; d_dists [k, V]; t_dists [k+1, V];
+    key_for(j_rel) -> the caller's PRNG key for generated index
+    j0 + j_rel (accept keys fold 7 onto it, the rejection-resample key
+    folds 13, the bonus key is key_for(k) itself).
+    Returns (committed [k+1] int32, n_commit)."""
+    ratio = jax.vmap(lambda i: t_dists[i, d_toks[i]]
+                     / jnp.maximum(d_dists[i, d_toks[i]], 1e-30))(
+        jnp.arange(k))
+    u = jax.vmap(lambda i: jax.random.uniform(
+        jax.random.fold_in(key_for(i), 7)))(jnp.arange(k))
+    ok = jnp.cumprod((u < ratio).astype(jnp.int32))
+    n_acc = ok.sum()
+    t_na = t_dists[n_acc]
+    d_na = d_dists[jnp.minimum(n_acc, k - 1)]   # unused when n_acc==k
+    resid = jnp.maximum(t_na - d_na, 0.0)
+    resid = resid / jnp.maximum(resid.sum(), 1e-30)
+    corr_dist = jnp.where(n_acc == k, t_na, resid)
+    corr_key = jax.lax.cond(
+        n_acc == k,
+        lambda: key_for(k),                      # bonus == vanilla's key
+        lambda: jax.random.fold_in(key_for(n_acc), 13))
+    corr = _sample_dist(corr_dist, corr_key).astype(jnp.int32)
+    committed = jnp.concatenate(
+        [d_toks.astype(jnp.int32),
+         jnp.zeros((1,), jnp.int32)]).at[n_acc].set(corr)
+    return committed, n_acc + 1
+
+
 def make_round_fn(target: LlamaModel, draft: LlamaModel, k: int):
     """Builds the jitted speculative round:
     round(tp, dp, cache_t, cache_d, pending, p, j0, temp, rng)
@@ -99,34 +131,13 @@ def make_round_fn(target: LlamaModel, draft: LlamaModel, k: int):
         t_dists = jax.vmap(lambda lg: _token_dist(lg, temp))(
             t_logits[0])                                          # [k+1, V]
 
-        # --- Leviathan acceptance ---------------------------------------
-        def a_step(carry, i):
-            n_acc, still = carry
-            d_i = d_toks[i]
-            ratio = t_dists[i, d_i] / jnp.maximum(d_dists[i, d_i], 1e-30)
-            u = jax.random.uniform(jax.random.fold_in(
-                jax.random.fold_in(rng, j0 + i), 7))
-            ok = still & (u < ratio)
-            return (n_acc + ok.astype(jnp.int32), ok), None
-
-        (n_acc, _), _ = jax.lax.scan(
-            a_step, (jnp.int32(0), jnp.bool_(True)), jnp.arange(k))
-
-        # --- correction (rejection) / bonus (full acceptance) token -----
-        t_na = t_dists[n_acc]
-        d_na = d_dists[jnp.minimum(n_acc, k - 1)]   # unused when n_acc==k
-        resid = jnp.maximum(t_na - d_na, 0.0)
-        resid = resid / jnp.maximum(resid.sum(), 1e-30)
-        corr_dist = jnp.where(n_acc == k, t_na, resid)
-        corr_key = jax.lax.cond(
-            n_acc == k,
-            lambda: _key_for(rng, j0 + k),      # bonus == vanilla's key
-            lambda: jax.random.fold_in(
-                jax.random.fold_in(rng, j0 + n_acc), 13))
-        corr = _sample_dist(corr_dist, corr_key).astype(d_toks.dtype)
-        committed = jnp.concatenate(
-            [d_toks, jnp.zeros((1,), d_toks.dtype)]).at[n_acc].set(corr)
-        return committed, n_acc + 1, cache_t, cache_d
+        # --- Leviathan acceptance + correction/bonus (shared core) ------
+        # j0 >= 1 always (token 0 comes from the prefill), so the plain
+        # fold_in below equals _key_for at every reachable index
+        committed, n_commit = accept_and_correct(
+            d_toks, d_dists, t_dists,
+            lambda j_rel: jax.random.fold_in(rng, j0 + j_rel), k)
+        return committed, n_commit, cache_t, cache_d
 
     return spec_round
 

@@ -132,6 +132,14 @@ class DecodeEngine:
         if draft is not None and prefill_chunk is not None:
             raise ValueError("speculative decoding does not compose with "
                              "prefill_chunk")
+        if draft is not None:
+            if draft_params is None:
+                raise ValueError("draft model given without draft_params")
+            if draft.cfg.dim != model.cfg.dim:
+                raise ValueError(
+                    f"draft hidden dim {draft.cfg.dim} != target "
+                    f"{model.cfg.dim} — the draft prefill consumes the "
+                    "target's spliced embeds")
         self.prefill_chunk = prefill_chunk
         self.draft = draft
         self.draft_params = draft_params
@@ -244,21 +252,34 @@ class DecodeEngine:
 
         if draft is not None:
             drf, k = draft, spec_k
-            from ..models.vlm.speculative import _sample_dist, _token_dist
+            from ..models.vlm.speculative import (_sample_dist,
+                                                  _token_dist,
+                                                  accept_and_correct)
 
-            @functools.partial(jax.jit, donate_argnums=(1,),
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
                                static_argnames=("s_pad",))
-            def _prefill_draft(dp, pool_d: KVCache, embeds, slot,
-                               s_pad: int):
-                """Draft-side prompt prefill into the draft slot pool (no
-                sampling — the target's prefill emits token 0)."""
-                row = KVCache.init(drf.cfg, 1, pool_d.k.shape[2],
-                                   pool_d.k.dtype)
-                _, row = drf.apply(dp, embeds[None], row, 0)
-                return jax.tree_util.tree_map(
+            def _prefill_spec(tp, dp, pool_t: KVCache, pool_d: KVCache,
+                              embeds, slot, true_len, nonce, temp,
+                              s_pad: int):
+                """Target AND draft prompt prefill in ONE dispatch (an
+                admission would otherwise stall co-tenant rounds for two
+                relay round-trips); samples token 0 from the target."""
+                row_t = KVCache.init(mdl.cfg, 1, pool_t.k.shape[2],
+                                     pool_t.k.dtype)
+                logits, row_t = mdl.apply(tp, embeds[None], row_t, 0)
+                row_d = KVCache.init(drf.cfg, 1, pool_d.k.shape[2],
+                                     pool_d.k.dtype)
+                _, row_d = drf.apply(dp, embeds[None], row_d, 0)
+                ins = lambda pool, row: jax.tree_util.tree_map(
                     lambda pa, ra: jax.lax.dynamic_update_slice(
                         pa, ra, (0, slot) + (0,) * (ra.ndim - 2)),
-                    pool_d, row)
+                    pool, row)
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, axis=0, keepdims=False)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self.rng, nonce), 0)
+                tok = _sample(last[None], temp[None], key)[0]
+                return ins(pool_t, row_t), ins(pool_d, row_d), tok
 
             def _row_key(nonce, j):
                 return jax.random.fold_in(
@@ -298,37 +319,15 @@ class DecodeEngine:
                                    in_axes=(0, 0))(t_lg, temps)  # [B,k+1,V]
 
                 def row_accept(row):
-                    dt = d_toks[:, row]                          # [k]
-                    td, dd = t_dists[row], d_dists[:, row]
-                    ratio = jax.vmap(lambda i: td[i, dt[i]]
-                                     / jnp.maximum(dd[i, dt[i]], 1e-30))(
-                        jnp.arange(k))
-                    u = jax.vmap(lambda i: jax.random.uniform(
-                        jax.random.fold_in(
-                            _row_key(nonces[row], counts[row] + i), 7)))(
-                        jnp.arange(k))
-                    ok = jnp.cumprod((u < ratio).astype(jnp.int32))
-                    n_acc = ok.sum()
-                    t_na = td[n_acc]
-                    d_na = dd[jnp.minimum(n_acc, k - 1)]
-                    resid = jnp.maximum(t_na - d_na, 0.0)
-                    resid = resid / jnp.maximum(resid.sum(), 1e-30)
-                    corr_dist = jnp.where(n_acc == k, t_na, resid)
-                    corr_key = jax.lax.cond(
-                        n_acc == k,
-                        lambda: _row_key(nonces[row], counts[row] + k),
-                        lambda: jax.random.fold_in(
-                            _row_key(nonces[row], counts[row] + n_acc), 13))
-                    corr = _sample_dist(corr_dist, corr_key
-                                        ).astype(jnp.int32)
-                    committed = jnp.concatenate(
-                        [dt, jnp.zeros((1,), jnp.int32)]).at[n_acc].set(corr)
-                    return committed, n_acc + 1
+                    return accept_and_correct(
+                        d_toks[:, row], d_dists[:, row], t_dists[row],
+                        lambda j_rel: _row_key(nonces[row],
+                                               counts[row] + j_rel), k)
 
                 committed, n_commit = jax.vmap(row_accept)(jnp.arange(b))
                 return pool_t, pool_d, committed, n_commit
 
-            self._prefill_draft = _prefill_draft
+            self._prefill_spec = _prefill_spec
             self._spec_round = _spec_round
 
         self._prefill = _prefill
@@ -385,9 +384,11 @@ class DecodeEngine:
         # the prefill writes the PADDED prompt into the slot row, so the
         # bucket itself must fit the cache too
         elif max(s_pad, s + cfg.max_new_tokens + spec_pad) > self.max_len:
+            margin = (f" + speculative margin {spec_pad}" if spec_pad
+                      else "")
             raise ValueError(
                 f"prompt {s} (padded {s_pad}) + max_new "
-                f"{cfg.max_new_tokens} exceeds the engine max_len "
+                f"{cfg.max_new_tokens}{margin} exceeds the engine max_len "
                 f"{self.max_len}")
         req = _Request(uid=next(self._uid), embeds=input_embeds,
                        max_new_tokens=cfg.max_new_tokens,
@@ -435,16 +436,19 @@ class DecodeEngine:
                     jnp.asarray(req.nonce), jnp.float32(req.temperature),
                     s_pad=s_pad, p_pad=kv.k.shape[2])
                 req.prompt_len = p + s
+            elif self.draft is not None:
+                self.cache, self.draft_cache, tok = self._prefill_spec(
+                    self.params, self.draft_params, self.cache,
+                    self.draft_cache, emb, jnp.asarray(slot),
+                    jnp.asarray(s), jnp.asarray(req.nonce),
+                    jnp.float32(req.temperature), s_pad=s_pad)
+                req.prompt_len = s
             else:
                 self.cache, tok = self._prefill(
                     self.params, self.cache, emb, slot, s,
                     jnp.asarray(req.nonce), jnp.float32(req.temperature),
                     s_pad=s_pad)
                 req.prompt_len = s
-            if self.draft is not None:
-                self.draft_cache = self._prefill_draft(
-                    self.draft_params, self.draft_cache, emb,
-                    jnp.asarray(slot), s_pad=s_pad)
             req.slot = slot
             self._active[slot] = req
             self._record(req, int(tok))
