@@ -117,12 +117,26 @@ class DecodeEngine:
                  cache_dtype=None, rng: jax.Array | None = None,
                  prefill_chunk: int | None = None,
                  draft: LlamaModel | None = None, draft_params: Any = None,
-                 spec_k: int = 4):
+                 spec_k: int = 4, mesh=None):
         """draft/draft_params/spec_k: optional speculative decoding — the
         draft must share the target's hidden dim (its prefill consumes the
         same spliced embeds). Not composed with prefix caching or chunked
-        prefill (the draft pool has no prefix/chunk bookkeeping)."""
+        prefill (the draft pool has no prefix/chunk bookkeeping).
+
+        mesh: optional jax.sharding.Mesh — params are tensor-sharded over
+        its 'data' axis (Megatron col/row rules) and the slot-pool KV cache
+        shards over kv heads on the same axis, so every engine step's
+        matmuls stay local to their shard and XLA all-reduces only the
+        row-parallel projections over ICI (parallel/llama_sharding.py).
+        Scheduling is untouched: admission/eviction stay host-side and the
+        outputs are identical to the single-chip engine."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.llama_sharding import shard_llama_params
+            params = shard_llama_params(params, mesh)
+            if draft_params is not None:
+                draft_params = shard_llama_params(draft_params, mesh)
         self.params = params
         self.slots = slots
         self.max_len = max_len
@@ -150,6 +164,11 @@ class DecodeEngine:
         self.draft_cache = (KVCache.init(draft.cfg, slots, max_len,
                                          draft.cfg.dtype)
                             if draft is not None else None)
+        if mesh is not None:
+            from ..parallel.llama_sharding import shard_kv_cache
+            self.cache = shard_kv_cache(self.cache, mesh)
+            if self.draft_cache is not None:
+                self.draft_cache = shard_kv_cache(self.draft_cache, mesh)
         self._free = list(range(slots))
         self._active: dict[int, _Request] = {}      # slot -> request
         self._waiting: list[_Request] = []

@@ -503,3 +503,25 @@ def test_engine_speculative_guards(model_and_params):
     pid = pid_engine.register_prefix(_prompts(model, params, [8])[0])
     with pytest.raises(ValueError, match="prefix"):
         eng.submit(_prompts(model, params, [8])[0], GREEDY, prefix_id=pid)
+
+
+def test_engine_tp_matches_single(model_and_params):
+    """DecodeEngine(mesh=): TP-sharded params + kv-head-sharded pool
+    produce the same streams as the single-chip engine (greedy + spec)."""
+    from jax.sharding import Mesh
+    model, params = model_and_params
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    prompts = _prompts(model, params, [9, 14], seed=71)
+    ref = _engine_ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       mesh=mesh)
+    outs = eng.generate_all(prompts, GREEDY)
+    for r, o in zip(ref, outs):
+        np.testing.assert_array_equal(r, o)
+    # speculative round under TP (draft == target): still engine-exact
+    eng2 = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                        mesh=mesh, draft=model, draft_params=params,
+                        spec_k=2)
+    outs2 = eng2.generate_all(prompts, GREEDY)
+    for r, o in zip(ref, outs2):
+        np.testing.assert_array_equal(r, o)
