@@ -75,8 +75,11 @@ def main():
     # required composite terms first (stage1/sdxl/llama_int8/vae), then
     # the optional prefill term (0.0 fallback), then informational parts —
     # budget exhaustion degrades the metric gracefully in that order
+    # sr3_train / qlora_train are informational TRAINING throughputs
+    # (reference train geometry batch-8 SR3 step; 2048-token 8B QLoRA
+    # step on one chip) — last, so budget exhaustion drops them first
     for name in ("stage1", "sdxl", "llama_int8", "vae", "llama_prefill",
-                 "llama_int4", "llama"):
+                 "llama_int4", "llama", "sr3_train", "qlora_train"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"
             continue
@@ -97,6 +100,10 @@ def main():
         # informational: the load_4bit-equivalent path (composite stays on
         # the default int8 decoder)
         extras["llama8B_int4_tok_s"] = round(res["llama8B_int4_tok_s"], 1)
+    if "sr3_train_img_s" in res:
+        extras["sr3_train_img_s"] = res["sr3_train_img_s"]
+    if "qlora8B_train_tok_s" in res:
+        extras["qlora8B_train_tok_s"] = res["qlora8B_train_tok_s"]
     # roofline columns (compiled-program cost_analysis vs v5e ceilings)
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})
