@@ -104,3 +104,26 @@ def test_kv_quant_shard_cache():
     sharded = shard_kv_cache(cache, mesh)
     assert sharded.k.dtype == jnp.int8
     assert sharded.k_scale.sharding.spec[3] == "data"
+
+
+def test_kv_quant_engine_speculative(params):
+    """int8-KV pool + engine speculative rounds compose: draft==target on
+    quantized caches reproduces the vanilla int8-KV engine stream."""
+    from rsvldm_tpu.serving.engine import DecodeEngine
+    mq = LlamaModel(QCFG)
+    rng = np.random.default_rng(7)
+    embs = [mq.apply(params, jnp.asarray(rng.integers(0, 96, (s,)),
+                     jnp.int32), method=mq.embed) for s in (5, 9)]
+    ref = []
+    for i, e in enumerate(embs):
+        eng0 = DecodeEngine(mq, params, slots=1, max_len=48, pad_to=8)
+        for _ in range(i):
+            next(eng0._nonce)
+        uid = eng0.submit(e, GREEDY)
+        eng0.run_until_idle()
+        ref.append(eng0.result(uid))
+    eng = DecodeEngine(mq, params, slots=2, max_len=48, pad_to=8,
+                       draft=mq, draft_params=params, spec_k=2)
+    out = eng.generate_all(embs, GREEDY)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(r, o)
