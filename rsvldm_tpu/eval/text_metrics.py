@@ -72,3 +72,55 @@ def evaluate_captions(pairs: list[tuple[str, str]]) -> dict:
     rl = sum(rouge_l(c, r) for c, r in pairs) / len(pairs)
     tc = sum(tfidf_cosine(c, r, corpus) for c, r in pairs) / len(pairs)
     return {"rouge_l": rl, "tfidf_cosine": tc, "n": len(pairs)}
+
+
+# ---- multi-choice judging (evaluate_interleave.py Eval:22-133) ----------
+
+_PUNCT = [";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\",
+          "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+_COMMA_STRIP = re.compile(r"(\d)(\,)(\d)")
+
+
+def normalize_answer(answer: str) -> str:
+    """The reference's Eval.process answer normalization
+    (evaluate_interleave.py:50-72): punctuation stripped (space-adjacent
+    punctuation and digit-comma cases removed outright, the rest replaced
+    by spaces), non-decimal periods removed, quotes/parens stripped,
+    lowercased."""
+    out = answer.replace("\n", " ").replace("\t", " ").strip()
+    for p in _PUNCT:
+        if (p + " " in out or " " + p in out
+                or _COMMA_STRIP.search(out) is not None):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    out = _PERIOD_STRIP.sub("", out)
+    for ch in ("'", '"', ")", "("):
+        out = out.strip(ch)
+    return out.strip().lower()
+
+
+def judge_multi_choice(gt: str, pred: str) -> int:
+    """1 iff the normalized prediction matches the normalized ground
+    truth; a 'X: ...' prefix whose X is a single letter a-h is read as the
+    chosen option (evaluate_interleave.py:100-115)."""
+    gt, pred = normalize_answer(gt), normalize_answer(pred)
+    if ":" in pred:
+        for part in (p.strip() for p in pred.split(":")):
+            if len(part) == 1 and part in "abcdefgh":
+                pred = part
+    return int(pred == gt)
+
+
+def evaluate_multichoice(samples: list[dict]) -> tuple[dict, list[dict]]:
+    """samples: [{"sample_id", "gt_response", "pred_response"}] ->
+    ({"Accuracy": ...}, per-sample score list) — the reference's
+    evaluate_multichoice/evaluate_multi_choice_image (identical logic)."""
+    correct = 0
+    eval_list = []
+    for s in samples:
+        score = judge_multi_choice(s["gt_response"], s["pred_response"])
+        eval_list.append({"id": str(s["sample_id"]), "score": str(score)})
+        correct += score
+    return {"Accuracy": correct / len(samples) if samples else 0.0}, eval_list

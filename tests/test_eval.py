@@ -54,3 +54,54 @@ def test_evaluate_captions():
     assert out["n"] == 2
     assert 0 < out["rouge_l"] <= 1
     assert 0 < out["tfidf_cosine"] <= 1
+
+
+def test_multichoice_parity_vs_reference():
+    """normalize_answer/judge_multi_choice/evaluate_multichoice match the
+    reference Eval class (evaluate_interleave.py) on tricky cases."""
+    import sys
+
+    import ref_oracle
+    if not ref_oracle.available():
+        import pytest
+        pytest.skip("reference unavailable")
+    ref_oracle._stub("rouge", Rouge=object)
+    ref_oracle._stub("sklearn")
+    ref_oracle._stub("sklearn.feature_extraction")
+    ref_oracle._stub("sklearn.feature_extraction.text",
+                     TfidfVectorizer=object)
+    ref_oracle._stub("sklearn.metrics")
+    ref_oracle._stub("sklearn.metrics.pairwise", cosine_similarity=object)
+    # load the file standalone: llava/__init__ pulls the whole torch
+    # model stack, which the oracle stubs don't cover
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_evaluate_interleave",
+        "/root/reference/llava/eval/evaluate_interleave.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    Eval = mod.Eval
+    from rsvldm_tpu.eval import (evaluate_multichoice, judge_multi_choice,
+                                 normalize_answer)
+
+    ev = Eval()
+    cases = [
+        "A: the first option", "b", " (C) ", 'answer: "d"',
+        "It is 3.5, not 4.", "1,234 items; done!", "he said: a",
+        "x - y", "plain answer", "A:B:c", "\tTabbed\nanswer.",
+    ]
+    for c in cases:
+        assert normalize_answer(c) == ev.process(c), c
+    gts = ["a", "b", "the first option", "c", "35 not 4"]
+    preds = ["A: yes", "B", "the first option!", "answer: c", "3.5 not 4"]
+    samples = [{"sample_id": i, "gt_response": g, "pred_response": p}
+               for i, (g, p) in enumerate(zip(gts, preds))]
+    import copy
+    ref_res, ref_list = ev.evaluate_multichoice(copy.deepcopy(samples))
+    res, lst = evaluate_multichoice(samples)
+    assert res["Accuracy"] == ref_res["Accuracy"]
+    assert [e["score"] for e in lst] == [e["score"] for e in ref_list]
+    for g, p in zip(gts, preds):
+        s2 = {"sample_id": 0, "gt_response": g, "pred_response": p}
+        ev.process_sample(s2)
+        assert judge_multi_choice(g, p) == ev.judge_multi_choice(s2)
