@@ -4,9 +4,11 @@ The reference's gradio UI posts to the controller, which picks a worker by
 lottery/shortest-queue; the worker runs the model. Same topology here with
 zero dependencies: a stdlib http.server that serves an upload form, asks
 the controller for a worker address (/get_worker_address) and forwards the
-base64 image to the worker's /worker_generate. The sglang variant
-(sglang_worker.py) is descoped: it is an alternate inference runtime not
-present in this environment (and vestigial in the reference).
+base64 image to the worker's /worker_generate. A /chat page covers the
+multimodal chat UIs (gradio_web_server + gradio_multi_image): a prompt with
+any number of <image> placeholders plus uploaded files, routed to an
+LLMWorker (serving/llm_worker.py) whose payload protocol already carries
+base64 `images`.
 """
 
 from __future__ import annotations
@@ -33,6 +35,31 @@ async function go(e) {
     body: JSON.stringify({image: b64, model: 'rsvldm-sr'})});
   document.getElementById('out').textContent = await resp.text();
   return false;
+}
+</script>
+<p><a href=/chat>multimodal chat</a></p>"""
+
+CHAT_PAGE = """<!doctype html>
+<title>rsvldm-tpu chat</title>
+<h1>Multimodal chat</h1>
+<p>Write a prompt; use one <code>&lt;image&gt;</code> placeholder per
+uploaded file (gradio_multi_image parity).</p>
+<textarea id=p rows=4 cols=80>&lt;image&gt;\nDescribe this image.</textarea>
+<br><input type=file id=f accept=image/* multiple>
+<button onclick=go()>Send</button>
+<pre id=out></pre>
+<script>
+async function go() {
+  const files = [...document.getElementById('f').files];
+  const imgs = await Promise.all(files.map(f => new Promise(r => {
+    const fr = new FileReader();
+    fr.onload = () => r(fr.result.split(',')[1]); fr.readAsDataURL(f); })));
+  const resp = await fetch('/generate', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({prompt: document.getElementById('p').value,
+                          images: imgs, model: 'rsvldm-llm'})});
+  const j = await resp.json();
+  document.getElementById('out').textContent = j.text || JSON.stringify(j);
 }
 </script>"""
 
@@ -65,6 +92,8 @@ class WebServer:
             def do_GET(self):
                 if self.path in ("/", "/index.html"):
                     self._send(200, PAGE.encode(), "text/html")
+                elif self.path == "/chat":
+                    self._send(200, CHAT_PAGE.encode(), "text/html")
                 else:
                     self._send(404, b"{}")
 

@@ -127,3 +127,30 @@ def test_web_server_controller_topology():
         srv.shutdown()
         wsrv.shutdown()
         wsrv.server_close()
+
+
+def test_web_server_chat_page_and_images_payload():
+    """/chat serves the multimodal page (gradio_web_server +
+    gradio_multi_image parity) and /generate forwards prompt + base64
+    images untouched."""
+    seen = []
+
+    def fake_dispatch(payload):
+        seen.append(payload)
+        return {"text": f"{payload['prompt'].count('<image>')} imgs"}
+
+    srv = WebServer(dispatch_fn=fake_dispatch)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(base + "/chat", timeout=10) as r:
+            body = r.read()
+        assert b"Multimodal chat" in body and b"placeholder" in body
+        out = _post(base + "/generate",
+                    {"prompt": "<image> and <image>", "images": ["aa", "bb"],
+                     "model": "rsvldm-llm"})
+        assert out == {"text": "2 imgs"}
+        assert seen[0]["images"] == ["aa", "bb"]
+    finally:
+        srv.shutdown()
