@@ -87,6 +87,16 @@ def _flash_diff_bwd(causal, scale, res, g):
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+@functools.lru_cache(maxsize=1)
+def _flash_min_seq() -> int:
+    """Sequence length at/above which "auto" picks the Pallas flash kernel.
+    Tunable via RSVLDM_FLASH_MIN_SEQ for A/B measurement: at the crossover
+    region (~1k tokens, e.g. the SDXL ds=2 self-attention) XLA's fused
+    path and the flash kernel trade places depending on head dim."""
+    import os
+    return int(os.environ.get("RSVLDM_FLASH_MIN_SEQ", "1024"))
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
               causal: bool = False, scale: float | None = None,
               impl: str = "auto") -> jnp.ndarray:
@@ -97,7 +107,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        long_seq = q.shape[1] >= 1024 and k.shape[1] >= 1024
+        min_seq = _flash_min_seq()
+        long_seq = q.shape[1] >= min_seq and k.shape[1] >= min_seq
         impl = "flash" if (on_tpu and long_seq) else "xla"
     if impl == "flash":
         return _flash_diff(q, k, v, causal, scale)
