@@ -105,3 +105,34 @@ def test_multichoice_parity_vs_reference():
         s2 = {"sample_id": 0, "gt_response": g, "pred_response": p}
         ev.process_sample(s2)
         assert judge_multi_choice(g, p) == ev.judge_multi_choice(s2)
+
+
+def test_interleave_result_dir(tmp_path):
+    """evaluate_result_dir: jsonl -> per-dataset scoring routed by
+    question_type + category averages + artifact files (the reference
+    script's __main__ flow)."""
+    import json as _json
+
+    from rsvldm_tpu.eval.interleave import evaluate_result_dir
+    recs = [
+        {"dataset": "Spot-the-Diff", "sample_id": 0,
+         "question_type": "open-ended",
+         "gt_response": "a red car parked",
+         "pred_response": "a red car is parked"},
+        {"dataset": "RAVEN", "sample_id": 1,
+         "question_type": "multi-choice",
+         "gt_response": "a", "pred_response": "A: first"},
+        {"dataset": "RAVEN", "sample_id": 2,
+         "question_type": "multi-choice",
+         "gt_response": "b", "pred_response": "c"},
+    ]
+    with open(tmp_path / "result.jsonl", "w") as f:
+        for r in recs:
+            f.write(_json.dumps(r) + "\n")
+    cats = evaluate_result_dir(str(tmp_path))
+    assert cats["puzzle"] == 0.5
+    assert 0 < cats["spot_the_diff"] <= 1.0
+    res = _json.load(open(tmp_path / "eval_dataset.json"))
+    assert res["RAVEN"]["Accuracy"] == 0.5
+    details = _json.load(open(tmp_path / "eval_dataset_details.json"))
+    assert [e["score"] for e in details["RAVEN"]] == ["1", "0"]
