@@ -154,3 +154,55 @@ def test_preference_dataset_masking():
     shared = np.argmin(c[:n] == r[:n]) or n
     assert shared >= 4
     assert ds.modality_lengths[0] < 0  # text-only record
+
+
+def test_cli_anyres_lora_with_tiny_captioner(tmp_path, monkeypatch):
+    """--image_aspect_ratio anyres: real-checkpoint path with a tiny
+    captioner (anyres multi-tile features spliced into LoRA training)."""
+    import jax
+    from PIL import Image
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_captioner import (FakeTokenizer, LCFG, VCFG,
+                                _tiny_llava_state_dict)
+    from safetensors.torch import save_file
+    from rsvldm_tpu.models.vlm.captioner import LlavaCaptioner
+
+    d = tmp_path / "ck" / "llava"
+    d.mkdir(parents=True)
+    save_file(_tiny_llava_state_dict(), str(d / "model.safetensors"))
+    real_load = LlavaCaptioner.load.__func__
+
+    def fake_load(cls, ckpt_dir, **kw):
+        kw.pop("quant", None)
+        return real_load(cls, ckpt_dir, llama_cfg=LCFG, vision_cfg=VCFG,
+                         tokenizer=FakeTokenizer(), **kw)
+
+    monkeypatch.setattr(LlavaCaptioner, "load", classmethod(fake_load))
+    rng = np.random.default_rng(5)
+    (tmp_path / "imgs").mkdir()
+    recs = []
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+                        ).save(tmp_path / "imgs" / f"i{i}.png")
+        recs.append({"id": i, "image": f"i{i}.png", "conversations": [
+            {"from": "human", "value": "<image>\na scene"},
+            {"from": "gpt", "value": f"town {i}"}]})
+    (tmp_path / "d.json").write_text(json.dumps(recs))
+
+    import train_vlm
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train_vlm.main([
+            "--ckpt_dir", str(tmp_path / "ck"),
+            "--data_path", str(tmp_path / "d.json"),
+            "--image_folder", str(tmp_path / "imgs"),
+            "--output_dir", str(tmp_path / "out"),
+            "--image_aspect_ratio", "anyres", "--template", "plain",
+            "--bits", "16", "--epochs", "4", "--batch_size", "2",
+            "--pad_to", "16", "--lr", "5e-2", "--lora_r", "2"])
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["steps"] == 8 and np.isfinite(res["final_loss"])
+    assert res["final_loss"] < res["first_loss"]

@@ -56,6 +56,12 @@ def parse_args(argv=None):
                         "finetune with --mm_projector_lr as the "
                         "projector's param-group lr")
     p.add_argument("--mm_projector_lr", type=float, default=None)
+    p.add_argument("--image_aspect_ratio", default="pad",
+                   choices=["pad", "anyres"],
+                   help="pad = LLaVA-1.5 square recipe; anyres = the "
+                        "llava-next multi-tile finetune recipe (LoRA "
+                        "tuning only — the projector path needs a fixed "
+                        "per-image token count)")
     p.add_argument("--dpo", action="store_true",
                    help="preference optimization over {prompt, chosen, "
                         "rejected} records (train_dpo.py); LoRA-only, the "
@@ -212,16 +218,38 @@ def main(argv=None):
         size = cap.vision.cfg.image_size
         bg = tuple(int(255 * m) for m in CLIP_MEAN)
 
-        def process_image(path):
-            from PIL import Image
-            img = expand2square(Image.open(path).convert("RGB"), bg)
-            return np.asarray(img.resize((size, size), Image.BICUBIC))
+        if args.image_aspect_ratio == "anyres":
+            if "projector" in tune:
+                sys.exit("--image_aspect_ratio anyres supports LoRA "
+                         "tuning only (variable per-image token count)")
+            from rsvldm_tpu.models.vlm import anyres as _anyres
+            grid = (_anyres.DEFAULT_GRID_PINPOINTS if size == 336
+                    else _anyres.grid_pinpoints_for(size))
 
-        def feats_fn(pixels):  # [336,336,3] uint8 -> [576, D] (projected)
-            px = normalize_pixels(jnp.asarray(pixels)[None])
-            return cap.projector.apply(cap.projector_params,
-                                       cap.vision.apply(cap.vision_params,
-                                                        px))[0]
+            def process_image(path):
+                from PIL import Image
+                return Image.open(path).convert("RGB")
+
+            def feats_fn(image):  # PIL -> [T(image), D] anyres stream
+                patches = _anyres.process_anyres_image(image, size, grid)
+                px = normalize_pixels(jnp.asarray(patches))
+                feats = cap.projector.apply(
+                    cap.projector_params,
+                    cap.vision.apply(cap.vision_params, px))
+                return jnp.asarray(_anyres.assemble_spatial_unpad(
+                    np.asarray(feats), image.size,
+                    np.asarray(cap.image_newline), grid, size))
+        else:
+            def process_image(path):
+                from PIL import Image
+                img = expand2square(Image.open(path).convert("RGB"), bg)
+                return np.asarray(img.resize((size, size), Image.BICUBIC))
+
+            def feats_fn(pixels):  # [336,336,3] uint8 -> [576, D]
+                px = normalize_pixels(jnp.asarray(pixels)[None])
+                return cap.projector.apply(
+                    cap.projector_params,
+                    cap.vision.apply(cap.vision_params, px))[0]
 
         def feats_raw_fn(pixels):  # pre-projector tower features
             px = normalize_pixels(jnp.asarray(pixels)[None])
