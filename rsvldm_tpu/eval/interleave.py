@@ -97,4 +97,6 @@ def evaluate_result_dir(result_dir: str) -> Dict:
     with open(os.path.join(result_dir, "eval_dataset_details.json"),
               "w") as f:
         json.dump(details, f, indent=4)
+    with open(os.path.join(result_dir, "eval_cat.json"), "w") as f:
+        json.dump(cats, f, indent=4)
     return cats

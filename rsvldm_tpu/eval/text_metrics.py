@@ -84,18 +84,20 @@ _COMMA_STRIP = re.compile(r"(\d)(\,)(\d)")
 
 def normalize_answer(answer: str) -> str:
     """The reference's Eval.process answer normalization
-    (evaluate_interleave.py:50-72): punctuation stripped (space-adjacent
-    punctuation and digit-comma cases removed outright, the rest replaced
-    by spaces), non-decimal periods removed, quotes/parens stripped,
-    lowercased."""
-    out = answer.replace("\n", " ").replace("\t", " ").strip()
+    (evaluate_interleave.py:50-72), bug-for-bug: the space-adjacency test
+    runs against the ORIGINAL (stripped) input each iteration — not the
+    progressively mutated string — and the period strip passes re.UNICODE
+    (=32) as sub's COUNT argument, so only the first 32 non-decimal
+    periods are removed. Both quirks matter for exact-match judging."""
+    src = answer.replace("\n", " ").replace("\t", " ").strip()
+    out = src
     for p in _PUNCT:
-        if (p + " " in out or " " + p in out
-                or _COMMA_STRIP.search(out) is not None):
+        if (p + " " in src or " " + p in src
+                or _COMMA_STRIP.search(src) is not None):
             out = out.replace(p, "")
         else:
             out = out.replace(p, " ")
-    out = _PERIOD_STRIP.sub("", out)
+    out = _PERIOD_STRIP.sub("", out, 32)   # re.UNICODE-as-count quirk
     for ch in ("'", '"', ")", "("):
         out = out.strip(ch)
     return out.strip().lower()

@@ -62,6 +62,25 @@ def tokenize_with_image(prompt: str, encode_fn: Callable[[str], list],
     return np.asarray(ids, dtype=np.int32)
 
 
+def anyres_image_features(vision_apply, projector_apply, image,
+                          image_newline, patch_size: int = 336
+                          ) -> jnp.ndarray:
+    """One PIL image -> its anyres spatial-unpad token stream [T, D]
+    (tiles through the tower + projector, unpadded grid + newline column).
+    THE per-image feature pipeline — caption, multi-image serving, and
+    anyres training all route through here."""
+    from . import anyres
+    from .vision import normalize_pixels
+
+    grid = anyres.grid_pinpoints_for(patch_size)
+    patches = anyres.process_anyres_image(image, patch_size, grid)
+    feats = projector_apply(vision_apply(
+        normalize_pixels(jnp.asarray(patches))))
+    return jnp.asarray(anyres.assemble_spatial_unpad(
+        np.asarray(feats), image.size, np.asarray(image_newline),
+        grid, patch_size))
+
+
 def embed_multimodal_prompt(model, params, vision_apply, projector_apply,
                             prompt_text: str, images, encode_fn,
                             image_newline, patch_size: int = 336
@@ -70,9 +89,6 @@ def embed_multimodal_prompt(model, params, vision_apply, projector_apply,
     -> spliced [S, D] input embeds: one anyres->spatial-unpad feature
     stream per placeholder, in order (model_worker.py:114-141 +
     llava_arch.py:447-495 multi-image semantics)."""
-    from . import anyres
-    from .vision import normalize_pixels
-
     ids = tokenize_with_image(prompt_text, encode_fn)
     safe = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
     text_embeds = model.apply(params, safe, method=model.embed)
@@ -80,17 +96,11 @@ def embed_multimodal_prompt(model, params, vision_apply, projector_apply,
     if len(positions) != len(images):
         raise ValueError(f"{len(images)} images for {len(positions)} "
                          f"{DEFAULT_IMAGE_TOKEN} tokens in the prompt")
-    grid = (anyres.DEFAULT_GRID_PINPOINTS if patch_size == 336
-            else anyres.grid_pinpoints_for(patch_size))
     segs, prev = [], 0
     for pos, image in zip(positions, images):
-        patches = anyres.process_anyres_image(image, patch_size, grid)
-        feats = projector_apply(vision_apply(
-            normalize_pixels(jnp.asarray(patches))))
-        toks = anyres.assemble_spatial_unpad(
-            np.asarray(feats), image.size, np.asarray(image_newline),
-            grid, patch_size)
-        segs += [text_embeds[prev:int(pos)], jnp.asarray(toks)]
+        toks = anyres_image_features(vision_apply, projector_apply, image,
+                                     image_newline, patch_size)
+        segs += [text_embeds[prev:int(pos)], toks]
         prev = int(pos) + 1
     segs.append(text_embeds[prev:])
     return jnp.concatenate(segs, axis=0)

@@ -87,12 +87,11 @@ def _flash_diff_bwd(causal, scale, res, g):
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
-@functools.lru_cache(maxsize=1)
 def _flash_min_seq() -> int:
     """Sequence length at/above which "auto" picks the Pallas flash kernel.
-    Tunable via RSVLDM_FLASH_MIN_SEQ for A/B measurement: at the crossover
-    region (~1k tokens, e.g. the SDXL ds=2 self-attention) XLA's fused
-    path and the flash kernel trade places depending on head dim."""
+    Tunable via RSVLDM_FLASH_MIN_SEQ for A/B measurement (read per call —
+    a dict lookup is noise next to a dispatch — so one process can sweep
+    the crossover, e.g. the SDXL ds=2 self-attention at ~1k tokens)."""
     import os
     return int(os.environ.get("RSVLDM_FLASH_MIN_SEQ", "1024"))
 

@@ -70,8 +70,14 @@ def shard_llama_params(params, mesh: Mesh, axis: str = "data"):
 
 def shard_kv_cache(cache, mesh: Mesh, axis: str = "data"):
     """KV cache [L, B, T, kvh, hd] sharded over kv heads (axis 3 — also
-    the kvh axis of the 4-dim int8-KV scale arrays)."""
+    the kvh axis of the 4-dim int8-KV scale arrays). Geometries whose kv
+    heads don't divide the mesh axis (a GQA draft on a wide mesh) fall
+    back to replicated, mirroring shard_llama_params."""
+    n = mesh.shape[axis]
+
     def put(x):
+        if x.shape[3] % n:
+            return jax.device_put(x, NamedSharding(mesh, P()))
         spec = (None, None, None, axis) + ((None,) if x.ndim == 5 else ())
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
     return jax.tree_util.tree_map(put, cache)

@@ -89,6 +89,10 @@ def test_multichoice_parity_vs_reference():
         "A: the first option", "b", " (C) ", 'answer: "d"',
         "It is 3.5, not 4.", "1,234 items; done!", "he said: a",
         "x - y", "plain answer", "A:B:c", "\tTabbed\nanswer.",
+        # adjacency tested vs the ORIGINAL string, not the mutated one
+        "a;-b", "x;_y ; z",
+        # the reference's period strip caps at 32 replacements
+        "." * 40 + " end", "dots " + ".x" * 35,
     ]
     for c in cases:
         assert normalize_answer(c) == ev.process(c), c

@@ -222,23 +222,17 @@ def main(argv=None):
             if "projector" in tune:
                 sys.exit("--image_aspect_ratio anyres supports LoRA "
                          "tuning only (variable per-image token count)")
-            from rsvldm_tpu.models.vlm import anyres as _anyres
-            grid = (_anyres.DEFAULT_GRID_PINPOINTS if size == 336
-                    else _anyres.grid_pinpoints_for(size))
+            from rsvldm_tpu.models.vlm.generate import anyres_image_features
 
             def process_image(path):
                 from PIL import Image
                 return Image.open(path).convert("RGB")
 
             def feats_fn(image):  # PIL -> [T(image), D] anyres stream
-                patches = _anyres.process_anyres_image(image, size, grid)
-                px = normalize_pixels(jnp.asarray(patches))
-                feats = cap.projector.apply(
-                    cap.projector_params,
-                    cap.vision.apply(cap.vision_params, px))
-                return jnp.asarray(_anyres.assemble_spatial_unpad(
-                    np.asarray(feats), image.size,
-                    np.asarray(cap.image_newline), grid, size))
+                return anyres_image_features(
+                    lambda px: cap.vision.apply(cap.vision_params, px),
+                    lambda f: cap.projector.apply(cap.projector_params, f),
+                    image, cap.image_newline, size)
         else:
             def process_image(path):
                 from PIL import Image
@@ -333,9 +327,18 @@ def main(argv=None):
                             it["input_ids"], it["labels"], embed_fn, feats,
                             IGNORE_INDEX)
                         # truncate AFTER image expansion (the reference
-                        # caps post-multimodal-splice lengths too)
-                        rows.append((e[:args.max_length],
-                                     l[:args.max_length], None, None))
+                        # caps post-multimodal-splice lengths too) — and
+                        # refuse to train on nothing: an anyres image can
+                        # be thousands of tokens, pushing every supervised
+                        # label past the cap (loss would silently be 0)
+                        lt = l[:args.max_length]
+                        if not (np.asarray(lt) != IGNORE_INDEX).any():
+                            raise SystemExit(
+                                f"record {it.get('id')}: truncation to "
+                                f"--max_length {args.max_length} removed "
+                                f"every supervised token (spliced length "
+                                f"{len(l)}); raise --max_length")
+                        rows.append((e[:args.max_length], lt, None, None))
                 else:
                     # projector inside the graph: reserve the span, ship
                     # RAW tower features; every record must carry an image
