@@ -34,21 +34,12 @@ class ChatSession:
     def _encode_image(self):
         if self._image_tokens is not None:
             return self._image_tokens
-        from ..models.vlm import anyres
-        from ..models.vlm.vision import normalize_pixels
-        import jax.numpy as jnp
+        from ..models.vlm.generate import anyres_image_features
         cap = self.captioner
-        patch = cap.vision.cfg.image_size
-        grid = (anyres.DEFAULT_GRID_PINPOINTS if patch == 336
-                else anyres.grid_pinpoints_for(patch))
-        patches = anyres.process_anyres_image(self.image, patch, grid)
-        feats = cap.projector.apply(
-            cap.projector_params,
-            cap.vision.apply(cap.vision_params,
-                             normalize_pixels(jnp.asarray(patches))))
-        self._image_tokens = anyres.assemble_spatial_unpad(
-            np.asarray(feats), self.image.size,
-            np.asarray(cap.image_newline), grid, patch)
+        self._image_tokens = np.asarray(anyres_image_features(
+            lambda px: cap.vision.apply(cap.vision_params, px),
+            lambda f: cap.projector.apply(cap.projector_params, f),
+            self.image, cap.image_newline, cap.vision.cfg.image_size))
         return self._image_tokens
 
     def ask(self, user_msg: str, rng: jax.Array | None = None) -> str:
