@@ -13,6 +13,7 @@ Prints one JSON line with the composite per-image estimate.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -120,6 +121,39 @@ def dummy_llama_params(lm, cfg):
             return jnp.zeros(s.shape, jnp.bfloat16)
         return jnp.ones(s.shape, s.dtype)
     return jax.tree_util.tree_map(mk, shapes)
+
+
+def part_hbm_peak():
+    """Measured ACHIEVABLE HBM read bandwidth on this chip — the anchor for
+    every "decode is at weight-streaming speed-of-light" claim. The 819 GB/s
+    v5e figure is the paper peak; real programs see less, and the decode
+    parts should be judged against what a pure streaming loop actually
+    reaches here, not the datasheet.
+
+    A lax.scan whose every iteration reduces the FULL 2 GiB buffer through
+    the carry (acc enters the elementwise op, so iterations are serially
+    dependent and XLA can neither hoist the reduction out of the loop nor
+    CSE it across steps). bytes = N * |x|; one jit, so the axon relay's
+    ~33 ms dispatch floor is amortized away like every other part."""
+    import jax.lax as lax
+    gib = float(os.environ.get("RSVLDM_BENCH_HBM_GIB", "2"))
+    n_elems = int(gib * 1024**3) // 2     # bf16 buffer (env knob for smoke)
+    x = jnp.ones((n_elems,), jnp.bfloat16)
+    n_iters = 8
+
+    @jax.jit
+    def stream(x):
+        def body(acc, _):
+            # acc-dependent elementwise -> full re-read each iteration
+            return jnp.max(x + acc.astype(jnp.bfloat16)).astype(jnp.float32), None
+        acc, _ = lax.scan(body, jnp.float32(0), None, length=n_iters)
+        return acc
+
+    fc = aot(stream, x)
+    dt = timed(lambda: fc(x), n=3)
+    gbs = n_iters * (n_elems * 2) / dt / 1e9
+    return {"hbm_read_gbs_measured": round(gbs, 1),
+            "hbm_read_pct_of_peak": round(100.0 * gbs * 1e9 / V5E_PEAK_BW, 1)}
 
 
 def part_stage1():
@@ -435,6 +469,7 @@ def part_qlora_train():
 
 
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
+         "hbm_peak": part_hbm_peak,
          "sr3_train": part_sr3_train, "qlora_train": part_qlora_train,
          "llama": part_llama, "llama_int8": part_llama_int8,
          "llama_int4": part_llama_int4,

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--resume_iter", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=200)
+    ap.add_argument("--num_workers", type=int, default=4,
+                    help="threaded item-decode workers (DataLoader "
+                         "num_workers equivalent; 0 = inline)")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="batches staged on-device ahead of the train step")
     ap.add_argument("--platform", type=str, default=None,
                     help="force jax platform (e.g. cpu) — overrides the "
                          "site-injected TPU relay selection")
@@ -37,7 +42,7 @@ def main():
     logging.basicConfig(level=logging.INFO)
 
     import jax
-    from rsvldm_tpu.data import LRHRDataset
+    from rsvldm_tpu.data import LRHRDataset, make_loader
     from rsvldm_tpu.models.sr3 import SR3UNetConfig
     from rsvldm_tpu.parallel import make_mesh
     from rsvldm_tpu.training import SR3Trainer, SR3TrainConfig
@@ -51,7 +56,15 @@ def main():
         trainer.load(args.save_dir, args.resume_iter)
 
     ds = LRHRDataset(args.data_root, args.l_res, args.r_res, split="train")
-    it = ((hr, sr) for hr, sr in ds.batches(args.batch_size))
+    # decode/stack in worker threads, batches staged on-device ahead of the
+    # step (the DataLoader num_workers+pin_memory overlap)
+    sharding = None
+    if mesh is not None:
+        from rsvldm_tpu.parallel import batch_sharding
+        sharding = batch_sharding(mesh, 4)
+    it = make_loader(ds, args.batch_size, num_workers=args.num_workers,
+                     prefetch=args.prefetch, sharding=sharding,
+                     seed=args.seed)
     trainer.fit(it, args.steps - trainer.step, jax.random.PRNGKey(args.seed + 1),
                 log_every=args.log_every, save_dir=args.save_dir)
     trainer.save(args.save_dir)

@@ -75,6 +75,11 @@ def parse_args(argv=None):
     p.add_argument("--max_length", type=int, default=2048)
     p.add_argument("--pad_to", type=int, default=64)
     p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="threaded record-decode workers (DataLoader "
+                        "num_workers equivalent; 0 = inline). Order-"
+                        "preserving, so the training stream is identical "
+                        "for any worker count")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gradient_checkpointing", action="store_true",
                    default=True)
@@ -284,9 +289,14 @@ def main(argv=None):
         order = get_modality_length_grouped_indices(
             ds.modality_lengths, args.batch_size, 1,
             seed=args.seed + epoch)
-        for i in range(0, len(order) - args.batch_size + 1,
-                       args.batch_size):
-            items = [ds[j] for j in order[i:i + args.batch_size]]
+        # tokenization/PIL decode overlapped in worker threads (order-
+        # preserving, so num_workers never changes the training stream)
+        from rsvldm_tpu.data.prefetch import worker_map
+        usable = len(order) - len(order) % args.batch_size
+        item_iter = worker_map(ds.__getitem__, order[:usable],
+                               num_workers=args.num_workers)
+        for i in range(0, usable, args.batch_size):
+            items = [next(item_iter) for _ in range(args.batch_size)]
             if args.dpo:
                 item_feats = [feats_fn(it["image"])
                               if "image" in it and feats_fn else None
