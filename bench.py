@@ -44,10 +44,16 @@ ASSUMED_REF_S_PER_IMAGE = 60.0
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+# parts that live in their own driver script (everything else is a
+# bench_full.py part name)
+PART_CMDS = {"engine": ("bench_engine.py", "8")}
+
+
 def run_part(name: str) -> dict:
+    script, *extra = PART_CMDS.get(name, ("bench_full.py", name))
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench_full.py"), name],
+            [sys.executable, os.path.join(HERE, script), *extra],
             capture_output=True, text=True, timeout=1800)
     except subprocess.TimeoutExpired:
         # never break the one-JSON-line contract on a hung part
@@ -79,7 +85,7 @@ def main():
     # (reference train geometry batch-8 SR3 step; 2048-token 8B QLoRA
     # step on one chip) — last, so budget exhaustion drops them first
     for name in ("stage1", "sdxl", "llama_int8", "vae", "llama_prefill",
-                 "hbm_peak", "llama_int4", "llama", "sr3_train",
+                 "hbm_peak", "llama_int4", "llama", "engine", "sr3_train",
                  "qlora_train"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"
@@ -105,6 +111,10 @@ def main():
         # the chip's measured achievable read bandwidth — the honest ceiling
         # for the weight-streaming decode claims (819 GB/s is the datasheet)
         extras["hbm_read_gbs_measured"] = res["hbm_read_gbs_measured"]
+    if "engine_8slot_agg_tok_s" in res:
+        # informational: continuous-batching serving throughput (8 slots,
+        # int8 8B, one chip) — the sglang_worker-equivalent runtime
+        extras["engine_8slot_agg_tok_s"] = res["engine_8slot_agg_tok_s"]
     if "sr3_train_img_s" in res:
         extras["sr3_train_img_s"] = res["sr3_train_img_s"]
     if "qlora8B_train_tok_s" in res:
