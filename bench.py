@@ -111,6 +111,7 @@ def main():
         # the chip's measured achievable read bandwidth — the honest ceiling
         # for the weight-streaming decode claims (819 GB/s is the datasheet)
         extras["hbm_read_gbs_measured"] = res["hbm_read_gbs_measured"]
+        extras["hbm_read_pct_of_peak"] = res.get("hbm_read_pct_of_peak")
     if "engine_8slot_agg_tok_s" in res:
         # informational: continuous-batching serving throughput (8 slots,
         # int8 8B, one chip) — the sglang_worker-equivalent runtime

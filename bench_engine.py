@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Continuous-batching engine throughput at the full 8B int8 geometry.
 
-Not part of the driver bench contract (bench.py) — records the serving
-engine's scaling for ROUND3.md. The engine pays one host dispatch per
+Invoked by the driver bench (bench.py PART_CMDS runs `bench_engine.py 8`
+budget-gated, parsing the LAST stdout line as JSON — keep stray prints out
+of main) and standalone for the ROUND3.md scaling numbers. The engine pays
+one host dispatch per
 token step (that is the price of dynamic batch membership; under the axon
 relay the dispatch floor is ~33 ms), but the weight stream is shared by
 every occupied slot, so AGGREGATE tok/s scales with concurrency while the

@@ -133,13 +133,14 @@ def part_hbm_peak():
     A lax.scan whose every iteration reduces the FULL 2 GiB buffer through
     the carry (acc enters the elementwise op, so iterations are serially
     dependent and XLA can neither hoist the reduction out of the loop nor
-    CSE it across steps). bytes = N * |x|; one jit, so the axon relay's
-    ~33 ms dispatch floor is amortized away like every other part."""
+    CSE it across steps). bytes = N * |x| in ONE jit; 64 iterations put the
+    program at ~200+ ms so the relay's ~33 ms dispatch floor is both
+    amortized AND subtracted (same correction as the sibling parts)."""
     import jax.lax as lax
     gib = float(os.environ.get("RSVLDM_BENCH_HBM_GIB", "2"))
     n_elems = int(gib * 1024**3) // 2     # bf16 buffer (env knob for smoke)
     x = jnp.ones((n_elems,), jnp.bfloat16)
-    n_iters = 8
+    n_iters = 64
 
     @jax.jit
     def stream(x):
@@ -150,7 +151,8 @@ def part_hbm_peak():
         return acc
 
     fc = aot(stream, x)
-    dt = timed(lambda: fc(x), n=3)
+    raw = timed(lambda: fc(x), n=3)
+    dt = max(raw - dispatch_overhead(), raw / 4)
     gbs = n_iters * (n_elems * 2) / dt / 1e9
     return {"hbm_read_gbs_measured": round(gbs, 1),
             "hbm_read_pct_of_peak": round(100.0 * gbs * 1e9 / V5E_PEAK_BW, 1)}

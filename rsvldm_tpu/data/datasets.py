@@ -85,6 +85,13 @@ class LRHRDataset:
         return len(self.names)
 
     def __getitem__(self, idx):
+        return self.getitem_rng(idx, None)
+
+    def getitem_rng(self, idx, rng):
+        """__getitem__ with an explicit augmentation RNG — prefetch.
+        make_loader keys one on (seed, epoch, idx) so the flip decisions
+        are deterministic across any worker-thread count. rng=None keeps
+        the global-random behavior."""
         name = self.names[idx]
         hr = _to_pm1(Image.open(self.hr_dir / name))
         sr = _to_pm1(Image.open(self.sr_dir / name))
@@ -92,7 +99,7 @@ class LRHRDataset:
         if self.need_lr:
             arrays.append(_to_pm1(Image.open(self.lr_dir / name)))
         if self.hflip:
-            arrays = augment(arrays, hflip=True)
+            arrays = augment(arrays, hflip=True, rng=rng)
         return tuple(arrays)
 
     def batches(self, batch_size: int, rng: random.Random | None = None,
@@ -144,6 +151,9 @@ class LmdbLRHRDataset:
         return _to_pm1(Image.open(io.BytesIO(raw)).convert("RGB"))
 
     def __getitem__(self, idx: int):
+        return self.getitem_rng(idx, None)
+
+    def getitem_rng(self, idx: int, rng):
         with self.env.begin() as txn:
             hr = txn.get(f"hr_{self.r_res}_{str(idx).zfill(5)}".encode())
             sr = txn.get(
@@ -156,5 +166,5 @@ class LmdbLRHRDataset:
         if self.need_lr:
             arrays.append(self._decode(lr))
         if self.hflip:
-            arrays = augment(arrays, hflip=True)
+            arrays = augment(arrays, hflip=True, rng=rng)
         return tuple(arrays)

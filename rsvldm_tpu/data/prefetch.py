@@ -97,13 +97,15 @@ class prefetch_to_device:
                     raise _Closed
 
     def _run(self, it: Iterator[Any]) -> None:
-        dev = (lambda x: self._jax.device_put(x, self._sharding)) \
+        # device_put takes the whole pytree (one batched transfer); a single
+        # Sharding applies to every leaf
+        dev = (lambda b: self._jax.device_put(b, self._sharding)) \
             if self._sharding is not None else self._jax.device_put
         try:
             for batch in it:
                 if self._closed.is_set():
                     return
-                self._put(self._jax.tree_util.tree_map(dev, batch))
+                self._put(dev(batch))
         except _Closed:
             return
         except BaseException as e:  # propagated to the consumer
@@ -144,12 +146,30 @@ def make_loader(dataset, batch_size: int, *, num_workers: int = 4,
                 drop_last: bool = True, epochs: int | None = None):
     """Shuffled epoch loader over an indexable dataset: parallel item fetch
     (worker_map) -> host stack -> device prefetch. Yields tuples of stacked
-    device arrays, one per dataset column. epochs=None streams forever
-    (matching LRHRDataset.batches); deterministic in `seed` regardless of
-    num_workers."""
+    device arrays, one per dataset column. epochs=None streams forever.
+
+    Epoch semantics match LRHRDataset.batches: batches never span a
+    reshuffle boundary, and with drop_last each epoch's remainder is
+    dropped (not carried into the next epoch's first batch, which could
+    duplicate a sample within one batch).
+
+    Deterministic in `seed` regardless of num_workers — including
+    augmentation: when the dataset exposes `getitem_rng(idx, rng)` (the
+    LRHR datasets do), each fetch gets a random.Random keyed on
+    (seed, epoch, idx), so flip decisions no longer race on the global
+    `random` module across worker threads."""
     import random
 
     import numpy as np
+
+    seeded = getattr(dataset, "getitem_rng", None)
+
+    def fetch(key):
+        epoch, idx = key
+        if seeded is not None:
+            # str seed: process-stable (tuple seeds are rejected by 3.12)
+            return seeded(idx, random.Random(f"{seed}/{epoch}/{idx}"))
+        return dataset[idx]
 
     def indices():
         rng = random.Random(seed)
@@ -157,18 +177,22 @@ def make_loader(dataset, batch_size: int, *, num_workers: int = 4,
         epoch = 0
         while epochs is None or epoch < epochs:
             rng.shuffle(order)
-            yield from order
+            yield from ((epoch, i) for i in order)
             epoch += 1
+
+    per_epoch = len(dataset)
 
     def batches():
         buf = []
-        for item in worker_map(dataset.__getitem__, indices(),
-                               num_workers=num_workers):
+        for pos, item in enumerate(worker_map(fetch, indices(),
+                                              num_workers=num_workers)):
             buf.append(item)
             if len(buf) == batch_size:
                 yield tuple(np.stack(col) for col in zip(*buf))
                 buf = []
-        if buf and not drop_last:
-            yield tuple(np.stack(col) for col in zip(*buf))
+            if (pos + 1) % per_epoch == 0:  # reshuffle boundary
+                if buf and not drop_last:
+                    yield tuple(np.stack(col) for col in zip(*buf))
+                buf = []
 
     return prefetch_to_device(batches(), size=prefetch, sharding=sharding)

@@ -107,3 +107,41 @@ def test_make_loader_epochs_and_drop_last():
     it = make_loader(ds, 2, num_workers=2, epochs=1, drop_last=False, seed=0)
     sizes = [np.asarray(h).shape[0] for h, _ in it]
     assert sorted(sizes) == [1, 2, 2]
+
+
+def test_make_loader_batches_never_span_epochs():
+    # 5 items / batch 2: each epoch yields 2 full batches and DROPS its
+    # remainder — the leftover must not be carried into the next epoch's
+    # first batch (which could duplicate a sample within one batch)
+    ds = FakeDS(n=5)
+    it = make_loader(ds, 2, num_workers=2, epochs=2, drop_last=True, seed=3)
+    batches = [np.asarray(h)[:, 0, 0, 0].astype(int).tolist() for h, _ in it]
+    assert len(batches) == 4  # 2 per epoch, not 5 spanning the reshuffle
+    for b in batches:
+        assert len(set(b)) == len(b)  # no duplicate sample inside a batch
+
+
+class FakeAugDS:
+    """Dataset whose augmentation draw comes from the loader-provided rng
+    (the getitem_rng protocol LRHRDataset implements for hflip)."""
+
+    def __len__(self):
+        return 9
+
+    def getitem_rng(self, i, rng):
+        return (np.array([i, rng.random()], np.float64),)
+
+
+def test_make_loader_seeded_augmentation_deterministic():
+    def stream(num_workers, seed):
+        it = make_loader(FakeAugDS(), 3, num_workers=num_workers,
+                         epochs=2, seed=seed)
+        return [np.asarray(b[0]).tolist() for b in it]
+
+    assert stream(0, 5) == stream(4, 5)  # worker count invisible
+    assert stream(0, 5) != stream(0, 6)  # seed reaches the aug rng
+    # same index re-drawn in epoch 2 gets a fresh aug decision
+    e1, e2 = np.asarray(stream(0, 5))[:3], np.asarray(stream(0, 5))[3:]
+    i1 = {int(r[0]): r[1] for b in e1 for r in b}
+    i2 = {int(r[0]): r[1] for b in e2 for r in b}
+    assert any(i1[k] != i2[k] for k in i1)
