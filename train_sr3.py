@@ -38,6 +38,8 @@ def main():
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from rsvldm_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     logging.basicConfig(level=logging.INFO)
 
