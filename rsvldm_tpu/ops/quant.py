@@ -34,11 +34,12 @@ class QuantizedLinear(NamedTuple):
     scale: jnp.ndarray   # float32 [out]
 
 
-def quantize_weight(w: jnp.ndarray, axis: int = 0) -> QuantizedLinear:
-    """Symmetric absmax int8 quantization, per channel of the non-`axis`
-    dim. w: [in, out] (contract over `axis`=0)."""
+def quantize_weight(w: jnp.ndarray) -> QuantizedLinear:
+    """Symmetric absmax int8 quantization, per output channel.
+    w: [in, out] (contraction is always over dim 0 — int8_matmul broadcasts
+    scale against the out axis, so no other reduction axis is valid)."""
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return QuantizedLinear(q, scale.reshape(-1))
@@ -219,19 +220,27 @@ def _int4_decode_kernel(xql_ref, xqh_ref, xsl_ref, xsh_ref, packed_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _pick_bin2(in_half: int) -> int:
+def _pick_block(n: int) -> int:
+    """Largest of the supported block sizes dividing n (0 if none) — used
+    for both the contraction block (bin2) and the out block (bout), so no
+    operand ever needs a per-call jnp.pad copy of the full weight."""
     for cand in (1024, 512, 256, 128):
-        if in_half % cand == 0:
+        if n % cand == 0:
             return cand
     return 0
 
 
 def int4_matmul_pallas(x: jnp.ndarray, w: Int4Linear,
-                       out_dtype=jnp.bfloat16, *, bout: int = 1024,
+                       out_dtype=jnp.bfloat16, *, bout: int | None = None,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Decode-path y = x @ dequant(w) via the Pallas kernel. Requires
     group == 128 and in % 256 == 0; rows padded to a multiple of 8 (use for
-    small-R decode steps — prefill takes _int4_matmul_xla)."""
+    small-R decode steps — prefill takes _int4_matmul_xla).
+
+    bout defaults to the largest supported block dividing `out` (e.g. 256
+    for the 128256 lm_head) so the packed weight/scales are never jnp.pad-
+    copied per call — that copy would double the very HBM traffic this
+    kernel exists to halve. Non-multiple-of-128 outs fall back to one pad."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lead = x.shape[:-1]
@@ -240,13 +249,15 @@ def int4_matmul_pallas(x: jnp.ndarray, w: Int4Linear,
     group = inf // gb
     assert group == 128 and inf % 256 == 0, (inf, group)
     in_half = inf // 2
-    bin2 = _pick_bin2(in_half)
+    bin2 = _pick_block(in_half)
     assert bin2, in_half
     r = 1
     for d in lead:
         r *= d
     bp = max(8, -(-r // 8) * 8)
     out = w.packed.shape[1]
+    if bout is None:
+        bout = _pick_block(out) or 1024
     out_p = -(-out // bout) * bout
 
     xq, xs = quantize_acts_grouped(x.reshape(r, inf), 128)  # [R,Gb,128],[R,Gb,1]
@@ -313,8 +324,8 @@ def int4_matmul(x: jnp.ndarray, w: Int4Linear,
     for d in x.shape[:-1]:
         r *= d
     if (jax.default_backend() == "tpu" and r <= 32
-            and inf // gb == 128 and inf % 256 == 0
-            and _pick_bin2(inf // 2)):
+            and inf // gb == 128 and inf % 256 == 0):
+        # inf % 256 == 0 already guarantees a valid contraction block
         return int4_matmul_pallas(x, w, out_dtype=out_dtype)
     return _int4_matmul_xla(x, w, out_dtype=out_dtype)
 

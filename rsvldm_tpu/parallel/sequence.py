@@ -20,8 +20,6 @@ pipelining the decoder stack over a mesh axis:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -50,18 +48,21 @@ def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str,
         s_loc = qb.shape[1]
         kg = jax.lax.all_gather(kb, axis, axis=1, tiled=True)  # [B,S,kvh,D]
         vg = jax.lax.all_gather(vb, axis, axis=1, tiled=True)
-        if rep > 1:
-            kg = jnp.repeat(kg, rep, axis=2)
-            vg = jnp.repeat(vg, rep, axis=2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qb.astype(jnp.float32),
-                            kg.astype(jnp.float32)) * scale
+        # bf16 matmul inputs with fp32 accumulation (repo convention —
+        # astype(f32) copies of the gathered K/V would be ~rep x S x D
+        # transients per layer); GQA folds into the einsum via a grouped
+        # q view instead of jnp.repeat-materializing K/V rep times
+        qg = qb.reshape(qb.shape[0], s_loc, kvh, rep, d)
+        logits = jnp.einsum("bqhrd,bkhd->bhrqk", qg, kg,
+                            preferred_element_type=jnp.float32) * scale
         if causal:
             rows = idx * s_loc + jnp.arange(s_loc)[:, None]    # global rows
             cols = jnp.arange(s)[None, :]
-            logits = jnp.where(cols <= rows, logits, -jnp.inf)
-        w = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum("bhqk,bkhd->bqhd", w, vg.astype(jnp.float32))
-        return o.astype(q.dtype)
+            logits = jnp.where(cols <= rows, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
+        o = jnp.einsum("bhrqk,bkhd->bqhrd", w, vg,
+                       preferred_element_type=jnp.float32)
+        return o.reshape(qb.shape[0], s_loc, h, d).astype(q.dtype)
 
     spec = P(None, axis, None, None)
     return shard_map(f, mesh=mesh, in_specs=(spec, spec, spec),
@@ -101,12 +102,10 @@ def gpipe_apply(stage_fn, stage_params, x_mb, mesh: Mesh, axis: str):
 
         _, outs = jax.lax.scan(tick, jnp.zeros_like(xs[0]),
                                jnp.arange(ticks))
-        # only the last stage produced real outputs; broadcast them to all
-        # devices so the result is replicated
-        outs = jax.lax.psum(
-            jnp.where(sidx == s_stages - 1, outs, jnp.zeros_like(outs)),
-            axis)
-        return outs[s_stages - 1:]                           # [M, ...]
+        # tick already zeroed non-last-stage rows; slice the S-1 warmup
+        # ticks off BEFORE the psum so the all-reduce moves only the M
+        # real microbatches, then sum to replicate the last stage's rows
+        return jax.lax.psum(outs[s_stages - 1:], axis)       # [M, ...]
 
     pspec = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
     fn = shard_map(per_device, mesh=mesh,
