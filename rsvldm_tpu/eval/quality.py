@@ -34,20 +34,26 @@ def _list_images(d: Path) -> list[Path]:
 
 def _strip_suffixes(stem: str) -> str:
     """Map pipeline output names back to source stems
-    (X_final_0.png -> X; sr3_X.png -> X; infer_dir.py:176-181 naming)."""
+    (X_final_<i>.png -> X for ANY sample index — the pipeline writes one
+    file per num_samples; sr3_X.png -> X; infer_dir.py:176-181 naming)."""
     if stem.startswith("sr3_"):
         stem = stem[len("sr3_"):]
-    for suf in ("_final_0", "_final", "_sr3"):
+    import re
+    m = re.fullmatch(r"(.+)_final_\d+", stem)
+    if m:
+        return m.group(1)
+    for suf in ("_final", "_sr3"):
         if stem.endswith(suf):
             return stem[: -len(suf)]
     return stem
 
 
-def build_clip_scorer(ckpt_dir: str | Path, image_size: int = 224,
-                      jit: bool = True):
+def build_clip_scorer(ckpt_dir: str | Path, jit: bool = True):
     """CLIPScorer over the framework's converted CLIP towers, or None when
-    the assets are absent. Images are bicubic-resized to the CLIP input
-    square and CLIP-normalized (the torchmetrics CLIP-IQA protocol)."""
+    any required asset is absent (weights, text tower, tokenizer files).
+    The CLIP input size comes from the checkpoint's position embeddings.
+    Images are bicubic-resized to the CLIP input square and CLIP-normalized
+    (the torchmetrics CLIP-IQA protocol)."""
     import glob
 
     import jax
@@ -69,6 +75,10 @@ def build_clip_scorer(ckpt_dir: str | Path, image_size: int = 224,
             sorted(glob.glob(str(d / "pytorch_model*.bin"))):
         sd.update(load_torch_state_dict(shard))
     if not any(k.startswith("vision_model.") for k in sd):
+        return None
+    if not any(k.startswith("text_model.encoder.layers.") for k in sd):
+        log.warning("CLIP checkpoint under %s has no text tower — "
+                    "CLIP-IQA/SMS need a full CLIPModel export", d)
         return None
 
     # infer geometry from the checkpoint (+config.json for head counts —
@@ -107,8 +117,13 @@ def build_clip_scorer(ckpt_dir: str | Path, image_size: int = 224,
     tparams = convert_hf.convert_hf_clip_text(sd, tcfg)
 
     tok_dir = Path(ckpt_dir) / "clip_vocab"
-    tokenizer = CLIPTokenizer.from_dir(
-        str(tok_dir if tok_dir.is_dir() else d))
+    try:
+        tokenizer = CLIPTokenizer.from_dir(
+            str(tok_dir if tok_dir.is_dir() else d))
+    except FileNotFoundError as e:
+        log.warning("CLIP tokenizer assets absent (%s) — "
+                    "CLIP-IQA/SMS skipped", e)
+        return None
 
     def tower(pixels):
         return vision.apply(vparams, normalize_pixels(pixels))

@@ -42,6 +42,10 @@ def split_tiles(x: jnp.ndarray, tile: int, pad: int) -> tuple[jnp.ndarray, list]
 
     The image is edge-padded by `pad` then each core tile is extracted with
     its halo. All shapes are static (trace-time Python)."""
+    assert x.shape[0] == 1, (
+        "tiled VAE is per-image: the tile axis doubles as the GroupNorm "
+        "statistics pool, so a batch here would mix cross-image stats "
+        f"(got batch {x.shape[0]}; run images separately)")
     _, h, w, _ = x.shape
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
     rows = plan_tiles(h, tile)
@@ -104,6 +108,9 @@ def tiled_encode(apply_encode: Callable, x: jnp.ndarray,
     quant-conv + mode + scale_factor). Default 512-px tiles
     (infer.py encoder_tile_size=512)."""
     assert tile % 8 == 0 and pad % 8 == 0
+    # stitch floor-divides tile starts by 8; a non-multiple extent would
+    # phase-shift the last row/column of tiles off the stride-8 conv grid
+    assert x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0, x.shape
     return tiled_apply(apply_encode, x, tile, pad, (1, 8), axis_name,
                        mesh=mesh)
 

@@ -41,7 +41,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale, causal, block_q, block_k, kv_len):
+                  scale, causal, block_q, block_k, kv_len, q_offset):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -55,8 +55,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     q_start = qi * block_q
     k_start = ki * block_k
     # causal: K blocks strictly above this q block's diagonal contribute
-    # nothing — skip their compute (the DMA is already pipelined)
-    live = (k_start <= q_start + block_q - 1) if causal else True
+    # nothing — skip their compute (the DMA is already pipelined).
+    # q_offset suffix-aligns sq != sk (q row r is global key position
+    # r + q_offset), matching _xla_attention's off = sk - sq convention
+    live = (k_start <= q_start + block_q - 1 + q_offset) if causal else True
 
     @pl.when(live)
     def _update():
@@ -70,8 +72,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                                                    (block_q, block_k), 1)
         valid = k_pos < kv_len
         if causal:
-            q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32,
-                                                       (block_q, block_k), 0)
+            q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
             valid = jnp.logical_and(valid, k_pos <= q_pos)
         s = jnp.where(valid, s, NEG_INF)
         m = m_ref[:]
@@ -100,7 +102,9 @@ def _round_up(x, m):
 def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
                     block_q: int = 512, block_k: int = 1024,
                     interpret: bool | None = None):
-    """q: [B, Sq, H, D]; k/v: [B, Sk, H, D] -> [B, Sq, H, D]."""
+    """q: [B, Sq, H, D]; k/v: [B, Sk, H, D] -> [B, Sq, H, D].
+    causal with sq != sk is SUFFIX-aligned (q row r attends keys
+    <= r + sk - sq), matching _xla_attention and the custom-VJP backward."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
@@ -124,7 +128,7 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
     grid = (b * h, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_len=sk)
+        block_k=block_k, kv_len=sk, q_offset=sk - sq)
 
     out = pl.pallas_call(
         kernel,

@@ -445,6 +445,23 @@ class SuperResolutionPipeline:
         r = self.cfg.refine
         if r.num_samples != 1 or len(items) == 1:
             return [self.run_refinement(p, c) for p, c in items]
+        def _post_resize_min(pil):
+            # arithmetic mirror of pil_to_array's min_size scale + /64
+            # rounding (no host resize just for this check)
+            from .ops.image import round_to_multiple
+            w, h = (float(v) for v in pil.size)
+            if min(w, h) < r.min_size:
+                s = r.min_size / min(w, h)
+                w, h = w * s, h * s
+            return min(round_to_multiple(h, 64), round_to_multiple(w, 64))
+
+        if r.use_tile_vae and not self.debug_tiny and any(
+                _post_resize_min(p) > r.encoder_tile_size for p, _ in items):
+            # tiled VAE pools GroupNorm statistics over the tile axis —
+            # batching images into that axis would mix cross-image stats
+            # (and the tile splitter is per-image); keep the reference's
+            # per-image semantics for tile-sized inputs
+            return [self.run_refinement(p, c) for p, c in items]
 
         xs, metas = [], []
         for pil, _ in items:

@@ -19,6 +19,8 @@ def _rand(shape, key):
     (200, 200, False),   # non-multiple of block
     (128, 128, True),
     (96, 96, True),
+    (64, 192, True),     # causal sq != sk: suffix-aligned like _xla_attention
+    (50, 130, True),     # same, non-multiple of block
 ])
 def test_flash_matches_xla(sq, sk, causal):
     b, h, d = 2, 4, 64

@@ -75,6 +75,15 @@ def test_plan_tiles():
     assert tiled.plan_tiles(192, 64) == [(0, 64), (64, 64), (128, 64)]
 
 
+def test_tiled_rejects_batch():
+    """The tile axis doubles as the GroupNorm stats pool — a batch here
+    would stitch cross-image tiles (regression: pipeline now falls back to
+    per-image refinement when tiling would trigger on a batch)."""
+    x = jnp.zeros((2, 64, 64, 3))
+    with pytest.raises(AssertionError, match="per-image"):
+        tiled.split_tiles(x, 32, 16)
+
+
 def test_tiled_encode_matches_whole(vae):
     """Halo-padded tiled encode ~= whole encode (interior parity)."""
     model, params = vae
