@@ -71,13 +71,18 @@ def _load_hf_geometry(name: str) -> dict:
             f"missing {cfg_path} (no hub egress in this environment)")
     raw = json.loads(cfg_path.read_text())
     raw = raw.get("vision_config", raw)
+    act = raw.get("hidden_act", "quick_gelu")
+    acts = {"gelu": "gelu", "gelu_pytorch_tanh": "gelu_tanh",
+            "quick_gelu": "quick_gelu"}
+    if act not in acts:
+        raise ValueError(f"unsupported vision hidden_act {act!r} in "
+                         f"{cfg_path} (supported: {sorted(acts)})")
     return dict(image_size=raw.get("image_size", 336),
                 patch_size=raw.get("patch_size", 14),
                 width=raw.get("hidden_size", 1024),
                 layers=raw.get("num_hidden_layers", 24),
                 heads=raw.get("num_attention_heads", 16),
-                act="gelu" if raw.get("hidden_act", "quick_gelu")
-                     in ("gelu", "gelu_pytorch_tanh") else "quick_gelu",
+                act=acts[act],
                 ffn_width=raw.get("intermediate_size", 0) or 0)
 
 
@@ -130,5 +135,11 @@ def build_vision_tower(vision_tower: str, select_layer: int = -2,
                          convert_hf.convert_openclip_vision,
                          hidden_base="open_clip")
     if "mlcd-vit-bigG-patch14" in name:
-        return clip_spec(_MLCD_BIGG, convert_hf.convert_mlcd_vision)
+        geom = dict(_MLCD_BIGG)
+        # the published 448 variant differs only in input resolution
+        # (DeepGlint-AI/mlcd-vit-bigG-patch14-448; RoPE has no
+        # size-dependent params, so the same converter serves both)
+        if "448" in name.split("patch14", 1)[1]:
+            geom["image_size"] = 448
+        return clip_spec(geom, convert_hf.convert_mlcd_vision)
     raise ValueError(f"Unknown vision tower: {vision_tower}")

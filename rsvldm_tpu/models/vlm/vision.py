@@ -41,7 +41,7 @@ class CLIPVisionConfig:
     # "slice_m25811_f6_*" (fixed layer set, mlcd_encoder.py:60-62). Empty
     # means derive from keep_cls (the shipped CLIP-L default).
     select_feature: str = ""
-    act: str = "quick_gelu"     # "gelu": MLCD / SigLIP-style hf towers
+    act: str = "quick_gelu"     # "gelu": MLCD; "gelu_tanh": SigLIP-arch hf
     ffn_width: int = 0          # 0 -> width * 4 (MLCD bigG: 8192 vs 1664*4)
     # "learned" absolute table (CLIP) | "rope2d" (MLCD: 2D rotary on the
     # patch grid + a learned class-token angle row, modeling_mlcd.py)
@@ -118,6 +118,8 @@ class ViTBlock(nn.Module):
                      name="mlp_fc")(ln("ln_2")(x))
         if cfg.act == "gelu":
             h = jax.nn.gelu(h, approximate=False)
+        elif cfg.act == "gelu_tanh":   # HF "gelu_pytorch_tanh" (SigLIP-arch)
+            h = jax.nn.gelu(h, approximate=True)
         else:
             h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
         x = x + nn.Dense(w, dtype=cfg.dtype, name="mlp_proj")(h)

@@ -93,6 +93,7 @@ class _Request:
     slot: int = -1
     prompt_len: int = 0
     done: bool = False
+    error: str | None = None
     event: threading.Event = dataclasses.field(
         default_factory=threading.Event)
 
@@ -473,13 +474,21 @@ class DecodeEngine:
             self._record(req, int(tok))
 
     def _record(self, req: _Request, tok: int):
-        req.out_ids.append(tok)
-        if (tok in req.eot_ids
-                or len(req.out_ids) >= req.max_new_tokens
+        # EOT is never appended (an append-then-pop would let a concurrent
+        # streaming reader observe a frame containing the stop token whose
+        # successor frame then SHRINKS)
+        is_eot = tok in req.eot_ids
+        if not is_eot:
+            req.out_ids.append(tok)
+        if (is_eot or len(req.out_ids) >= req.max_new_tokens
                 or req.prompt_len + len(req.out_ids) >= self.max_len):
-            if req.out_ids and req.out_ids[-1] in req.eot_ids:
-                req.out_ids.pop()
             req.done = True
+            # the prompt embeddings (possibly MBs of spliced multimodal
+            # features) and chunk-prefill row are dead weight once decoding
+            # ends — a long-running worker must not retain them per request
+            req.embeds = None
+            req.chunk_emb = None
+            req.row = None
             self._active.pop(req.slot, None)
             self._free.append(req.slot)
             req.event.set()
@@ -558,6 +567,8 @@ class DecodeEngine:
     # -- results -----------------------------------------------------------
     def result(self, uid: int) -> np.ndarray:
         req = self._requests[uid]
+        if req.error is not None:
+            raise RuntimeError(f"request {uid} failed: {req.error}")
         if not req.done:
             raise RuntimeError(f"request {uid} not finished")
         return np.asarray(req.out_ids, np.int32)
@@ -568,6 +579,32 @@ class DecodeEngine:
         if not req.event.wait(timeout):
             raise TimeoutError(f"request {uid}")
         return self.result(uid)
+
+    def release(self, uid: int) -> None:
+        """Forget a finished (or abandoned) request — a long-running worker
+        must call this after consuming the result or the per-request state
+        accumulates forever. Decoding of a still-active uid continues; only
+        the uid->request index entry is dropped."""
+        with self._lock:
+            self._requests.pop(uid, None)
+
+    def fail_all(self, msg: str) -> None:
+        """Fail every in-flight request (driver thread recovery path): wake
+        all waiters with `msg`, free the slots, drop queued work. The KV
+        pool is left as-is — freed slots are fully re-prefilled on reuse."""
+        with self._lock:
+            inflight = (list(self._active.values())
+                        + list(self._prefilling.values())
+                        + list(self._waiting))
+            self._active.clear()
+            self._prefilling.clear()
+            self._waiting.clear()
+            self._free = list(range(self.slots))
+        for req in inflight:
+            req.error = msg
+            req.done = True
+            req.embeds = req.chunk_emb = req.row = None
+            req.event.set()
 
     def run_until_idle(self, max_steps: int = 100_000) -> None:
         """Drive step() until every submitted request has finished."""

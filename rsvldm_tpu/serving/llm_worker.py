@@ -97,8 +97,18 @@ class LLMWorker(Worker):
     # the engine needs one thread calling step(); HTTP handler threads
     # only submit and wait
     def _driver_loop(self):
+        import logging
+        log = logging.getLogger("rsvldm")
         while not self._stop.is_set():
-            if self.engine.step() == 0:
+            try:
+                n = self.engine.step()
+            except Exception as e:  # one bad step must not wedge the worker
+                log.exception("engine.step failed — failing in-flight "
+                              "requests and continuing")
+                self.engine.fail_all(f"{type(e).__name__}: {e}")
+                self._stop.wait(0.1)
+                continue
+            if n == 0:
                 self._stop.wait(0.005)
 
     def _ensure_driver(self):
@@ -108,23 +118,30 @@ class LLMWorker(Worker):
             self._driver_started = True
         threading.Thread(target=self._driver_loop, daemon=True).start()
 
-    def generate_text(self, prompt: str, max_new_tokens: int | None = None,
-                      temperature: float | None = None,
-                      images=None) -> str:
-        self._ensure_driver()
+    def _make_cfg(self, max_new_tokens, temperature) -> GenerateConfig:
         cfg = self.base_cfg
         if max_new_tokens is not None:
             cfg = dataclasses.replace(cfg, max_new_tokens=int(max_new_tokens))
         if temperature is not None:
             cfg = dataclasses.replace(cfg, temperature=float(temperature),
                                       do_sample=float(temperature) > 0)
+        return cfg
+
+    def generate_text(self, prompt: str, max_new_tokens: int | None = None,
+                      temperature: float | None = None,
+                      images=None) -> str:
+        self._ensure_driver()
+        cfg = self._make_cfg(max_new_tokens, temperature)
         with self._state_lock:
             self.queue_length += 1
+        uid = None
         try:
             uid = self._submit(prompt, cfg, images=images)
             ids = self.engine.wait(uid, timeout=600)
             return self.decode_fn(ids.tolist()).lstrip()
         finally:
+            if uid is not None:
+                self.engine.release(uid)
             with self._state_lock:
                 self.queue_length -= 1
 
@@ -136,14 +153,10 @@ class LLMWorker(Worker):
         keeps multi-byte/BPE merges correct (the reference decodes the
         full prefix per frame for the same reason)."""
         self._ensure_driver()
-        cfg = self.base_cfg
-        if max_new_tokens is not None:
-            cfg = dataclasses.replace(cfg, max_new_tokens=int(max_new_tokens))
-        if temperature is not None:
-            cfg = dataclasses.replace(cfg, temperature=float(temperature),
-                                      do_sample=float(temperature) > 0)
+        cfg = self._make_cfg(max_new_tokens, temperature)
         with self._state_lock:
             self.queue_length += 1
+        uid = None
         try:
             uid = self._submit(prompt, cfg, images=images)
             req = self.engine._requests[uid]
@@ -153,8 +166,12 @@ class LLMWorker(Worker):
                 if n > sent:
                     sent = n
                     yield self.decode_fn(list(req.out_ids[:n])).lstrip()
+            if req.error is not None:
+                raise RuntimeError(req.error)
             yield self.decode_fn(list(req.out_ids)).lstrip()
         finally:
+            if uid is not None:
+                self.engine.release(uid)
             with self._state_lock:
                 self.queue_length -= 1
 
@@ -165,6 +182,11 @@ class LLMWorker(Worker):
         worker = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked Transfer-Encoding (the stream endpoint) is an
+            # HTTP/1.1 construct — the 1.0 default would advertise a
+            # version whose clients don't deframe chunked bodies
+            protocol_version = "HTTP/1.1"
+
             def do_POST(self):
                 # any failure (bad payload, engine timeout) must come back
                 # as a JSON error body, not a dropped socket

@@ -355,6 +355,14 @@ class FaceRestoreHelper:
         else:
             upsample_img = _resize_linear(
                 np.asarray(upsample_img, np.float32), w_up, h_up)
+        # grayscale/alpha backgrounds (face_restoration_helper.py handles
+        # both): blend in 3 channels, re-attach alpha afterwards
+        alpha = None
+        if upsample_img.ndim == 2:
+            upsample_img = np.repeat(upsample_img[:, :, None], 3, axis=2)
+        elif upsample_img.shape[2] == 4:
+            alpha = upsample_img[:, :, 3:]
+            upsample_img = upsample_img[:, :, :3]
         assert len(self.restored_faces) == len(self.inverse_affine_matrices)
         for restored, inv in zip(self.restored_faces,
                                  self.inverse_affine_matrices):
@@ -376,6 +384,8 @@ class FaceRestoreHelper:
             soft = gaussian_blur(inv_mask_center, max(1, w_edge * 2 + 1))
             soft = soft[:, :, None]
             upsample_img = soft * pasted_face + (1 - soft) * upsample_img
+        if alpha is not None:
+            upsample_img = np.concatenate([upsample_img, alpha], axis=2)
         return np.clip(upsample_img, 0, 255).astype(np.uint8)
 
     def clean_all(self):

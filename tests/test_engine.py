@@ -525,3 +525,66 @@ def test_engine_tp_matches_single(model_and_params):
     outs2 = eng2.generate_all(prompts, GREEDY)
     for r, o in zip(ref, outs2):
         np.testing.assert_array_equal(r, o)
+
+
+def test_engine_release_and_state_cleanup(model_and_params):
+    """Long-running workers must not accumulate per-request state: done
+    requests drop their device arrays, release() forgets the uid."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5], seed=23)
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    uid = eng.submit(prompts[0], GREEDY)
+    eng.run_until_idle()
+    req = eng._requests[uid]
+    assert req.done
+    assert req.embeds is None and req.chunk_emb is None and req.row is None
+    eng.result(uid)                      # still readable before release
+    eng.release(uid)
+    assert uid not in eng._requests
+    eng.release(uid)                     # idempotent
+
+
+def test_engine_frames_never_contain_eot(model_and_params):
+    """The EOT token must never be observable in out_ids (streaming frames
+    read out_ids concurrently — an append-then-pop would transiently show
+    the stop token and the next frame would shrink)."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [6, 4], seed=29)
+    # every vocab id is an eot EXCEPT the ones the model actually emits is
+    # unknowable up front — instead decode greedily and re-run with the
+    # 3rd emitted token as EOT, asserting the stream stops BEFORE it
+    eng0 = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    full = eng0.generate_all(prompts[:1], GREEDY)[0]
+    assert len(full) >= 4
+    stop = int(full[3])
+    cfg = GenerateConfig(max_new_tokens=12, temperature=0.0, do_sample=False,
+                         eot_ids=(stop,), pad_to=8)
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    uid = eng.submit(prompts[0], cfg)
+    snapshots = []
+    while not eng._requests[uid].done:
+        eng.step()
+        snapshots.append(list(eng._requests[uid].out_ids))
+    for snap in snapshots:
+        assert stop not in snap
+    # prefix of the unrestricted stream, cut at the stop token
+    np.testing.assert_array_equal(eng.result(uid), full[:3])
+
+
+def test_engine_fail_all_wakes_waiters(model_and_params):
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5, 7], seed=31)
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    u0 = eng.submit(prompts[0], GREEDY)
+    u1 = eng.submit(prompts[1], GREEDY)   # queued behind the single slot
+    eng.step()
+    eng.fail_all("injected failure")
+    for uid in (u0, u1):
+        assert eng._requests[uid].event.is_set()
+        with pytest.raises(RuntimeError, match="injected failure"):
+            eng.result(uid)
+    # the engine remains usable for new work after the reset
+    u2 = eng.submit(prompts[0], GREEDY)
+    eng.run_until_idle()
+    ref = _ref(model, params, prompts[:1], GREEDY)[0]
+    np.testing.assert_array_equal(ref, eng.result(u2))

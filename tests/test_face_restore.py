@@ -157,3 +157,30 @@ def test_helper_detector_plumbing():
 def test_use_parse_rejected():
     with pytest.raises(NotImplementedError):
         FaceRestoreHelper(upscale_factor=1, use_parse=True)
+
+
+def test_paste_handles_gray_and_bgra_backgrounds():
+    """face_restoration_helper.py blends grayscale backgrounds per-channel
+    and preserves an alpha plane — paste must accept both layouts."""
+    rng = np.random.default_rng(8)
+    img = rng.uniform(40, 200, size=(560, 600, 3)).astype(np.float32)
+    m = np.array([[0.4, -0.1, 150.0], [0.1, 0.4, 120.0]])
+    lms = _apply(m, FFHQ_TEMPLATE_512)
+
+    helper = FaceRestoreHelper(upscale_factor=1)
+    helper.read_image(img.astype(np.uint8))
+    helper.add_landmarks(lms)
+    helper.align_warp_face()
+    helper.get_inverse_affine()
+    helper.add_restored_face(helper.cropped_faces[0])
+
+    h, w = helper.input_img.shape[:2]
+    gray = np.full((h, w), 90.0, np.float32)
+    out = helper.paste_faces_to_input_image(upsample_img=gray)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+    bgra = np.concatenate([img, np.full((h, w, 1), 255.0, np.float32)],
+                          axis=2)
+    out4 = helper.paste_faces_to_input_image(upsample_img=bgra)
+    assert out4.shape == (h, w, 4)
+    np.testing.assert_array_equal(out4[:, :, 3], 255)
