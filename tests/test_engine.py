@@ -588,3 +588,43 @@ def test_engine_fail_all_wakes_waiters(model_and_params):
     eng.run_until_idle()
     ref = _ref(model, params, prompts[:1], GREEDY)[0]
     np.testing.assert_array_equal(ref, eng.result(u2))
+
+
+def test_llm_worker_driver_survives_step_exception(model_and_params):
+    """One engine.step() exception fails in-flight requests with a JSON-able
+    error and the driver thread keeps serving later requests."""
+    from rsvldm_tpu.serving.llm_worker import LLMWorker
+
+    model, params = model_and_params
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8)
+    boom = {"armed": True}
+    real_step = eng.step
+
+    def flaky_step():
+        # fail exactly once, on a step that actually has work in flight
+        # (the idle driver polls step() before anything is submitted)
+        if boom["armed"] and (eng._active or eng._waiting):
+            boom["armed"] = False
+            raise RuntimeError("transient device error")
+        return real_step()
+
+    eng.step = flaky_step
+
+    def embed_prompt(prompt: str):
+        ids = jnp.asarray([(ord(c) % 96) + 1 for c in prompt], jnp.int32)
+        return model.apply(params, ids, method=model.embed)
+
+    decode_fn = lambda ids: " ".join(str(i) for i in ids)
+    worker = LLMWorker(eng, embed_prompt, decode_fn, worker_name="w2",
+                       base_cfg=GREEDY)
+    # first request hits the injected failure on its first driven step
+    with pytest.raises(RuntimeError, match="transient device error"):
+        worker.generate_text("first request")
+    # the driver thread is still alive: later requests complete
+    out = worker.generate_text("second request")
+    ref = generate(model, params, embed_prompt("second request"), GREEDY,
+                   jax.random.PRNGKey(1))
+    assert out == decode_fn(ref.tolist()).lstrip()
+    assert worker.queue_length == 0
+    assert not eng._requests  # released after both requests
+    worker.stop()
