@@ -171,7 +171,6 @@ class SuperResolutionPipeline:
         if self._stage2_loaded:
             return
         self._load_stage2_weights()
-        self._build_conditioner()
         self._stage2_loaded = True
 
     def _load_stage2_weights(self):
@@ -247,10 +246,6 @@ class SuperResolutionPipeline:
             except Exception as e:  # assets missing/partial
                 log.warning("LLaVA load failed (%s) — captioning disabled", e)
 
-    def _build_conditioner(self):
-        self.conditioner = SDXLConditioner(
-            self.clip_l, self.big_g, self.clip_l_params, self.big_g_params)
-
     # ------------------------------------------------------------- stage 1
     def _stage1_sample_fn(self):
         """ddpm = the reference's full ancestral loop; ddim = few-step
@@ -301,13 +296,24 @@ class SuperResolutionPipeline:
         n_dev = 1
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
+        mesh_params: dict = {}
+
         def run_chunk(idxs, use_mesh):
             batch = jnp.asarray(np.stack([conds[i] for i in idxs]))
+            params = self.sr3_params
             if use_mesh is not None:
-                from .parallel import batch_sharding
+                from .parallel import batch_sharding, replicate
                 batch = jax.device_put(batch, batch_sharding(use_mesh, 4))
+                # params are committed to ONE device by _cast; a jit mixing
+                # them with a mesh-sharded batch raises 'incompatible
+                # devices' — replicate them over this mesh (memoized: one
+                # transfer per mesh per folder run)
+                if id(use_mesh) not in mesh_params:
+                    mesh_params[id(use_mesh)] = jax.device_put(
+                        self.sr3_params, replicate(use_mesh))
+                params = mesh_params[id(use_mesh)]
             self.rng, sub = jax.random.split(self.rng)
-            out = np.asarray(self._jit_cache[key](self.sr3_params, batch, sub))
+            out = np.asarray(self._jit_cache[key](params, batch, sub))
             for j, i in enumerate(idxs):
                 results[i] = to_uint8(out[j])
 
@@ -347,17 +353,68 @@ class SuperResolutionPipeline:
             tl = self.tokenizer(texts, pad_id=None)   # HF pads with EOT
             tg = self.tokenizer(texts, pad_id=0)      # open_clip pads with 0
             return jnp.asarray(tl), jnp.asarray(tg)
-        # fallback: deterministic hash buckets (smoke mode only)
+        # fallback: deterministic hash buckets (smoke mode only) — crc32,
+        # not hash(): Python's hash is PYTHONHASHSEED-salted, which would
+        # make smoke runs non-reproducible across processes
+        import zlib
         vocab = self.clip_l_cfg.vocab_size
         out = np.zeros((len(texts), 77), np.int32)
         for i, t in enumerate(texts):
             words = t.lower().split()[:75]
             out[i, 0] = 1
             for j, w in enumerate(words):
-                out[i, j + 1] = (hash(w) % (vocab - 3)) + 2
+                out[i, j + 1] = (zlib.crc32(w.encode()) % (vocab - 3)) + 2
             out[i, len(words) + 1] = vocab - 1
         arr = jnp.asarray(out)
         return arr, arr
+
+    def _make_sampler_cfg(self) -> RestoreEDMConfig:
+        r = self.cfg.refine
+        return RestoreEDMConfig(
+            num_steps=r.edm_steps, cfg_scale=r.s_cfg,
+            cfg_scale_start=r.spt_linear_cfg, use_linear_cfg=r.linear_cfg,
+            restore_cfg=r.s_stage1, s_churn=r.s_churn, s_noise=r.s_noise,
+            control_scale=r.s_stage2,
+            use_linear_control_scale=r.linear_s_stage2,
+            control_scale_start=r.spt_linear_s_stage2,
+            img_threshold=r.img_threshold, dec_img=1.0)
+
+    def _refine_core(self, x, texts_c):
+        """The shared Stage-2b execution for BOTH the single-image and
+        batched paths: x [N,H,W,3], texts_c one conditioning text per row.
+
+        Split into FOUR jits (VAE prep / text conditioning / sampling scan /
+        final decode) instead of one monolith — smaller XLA programs compile
+        reliably through the remote-compile relay and the text-conditioning
+        program is shared across image sizes. Returns (samples, x_stage1),
+        both padded to x's extent (callers crop/color-fix)."""
+        r = self.cfg.refine
+        sampler_cfg = self._make_sampler_cfg()
+        self.rng, k_enc, k_noise, k_loop = jax.random.split(self.rng, 4)
+        tl_c, tg_c = self._tokenize(texts_c)
+        tl_u, tg_u = self._tokenize([r.n_prompt] * len(texts_c))
+
+        if "refine_prep" not in self._jit_cache:
+            self._jit_cache["refine_prep"] = jax.jit(self._vae_prep_jit)
+            self._jit_cache["refine_cond"] = jax.jit(self._cond_jit)
+            self._jit_cache["refine_decode"] = jax.jit(self._decode_jit)
+        # one jit per sampler config; jax.jit retraces per input shape
+        skey = ("refine_sample", sampler_cfg)
+        if skey not in self._jit_cache:
+            self._jit_cache[skey] = jax.jit(
+                lambda *a: self._sample_jit(sampler_cfg, *a))
+
+        _z, x_stage1, z_stage1 = self._jit_cache["refine_prep"](
+            self.vae_params, x, k_enc)
+        cond, uc = self._jit_cache["refine_cond"](
+            self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
+        z, hits, steps = self._jit_cache[skey](
+            self.unet_params, self.control_params, cond, uc, z_stage1,
+            k_noise, k_loop)
+        log.info("first-block cache (batch %d): %d/%d steps skipped "
+                 "middle+decoder", x.shape[0], int(hits), int(steps))
+        samples = self._jit_cache["refine_decode"](self.vae_params, z)
+        return samples, x_stage1
 
     def run_refinement(self, sr_image, caption: str,
                        use_bucket: bool = True) -> "Any":
@@ -383,44 +440,8 @@ class SuperResolutionPipeline:
         if r.num_samples > 1:  # just_sampling num_samples (SR_model.py:231-235)
             x = jnp.tile(x, (r.num_samples, 1, 1, 1))
 
-        self.rng, k_enc, k_noise, k_loop = jax.random.split(self.rng, 4)
-
-        sampler_cfg = RestoreEDMConfig(
-            num_steps=r.edm_steps, cfg_scale=r.s_cfg,
-            cfg_scale_start=r.spt_linear_cfg, use_linear_cfg=r.linear_cfg,
-            restore_cfg=r.s_stage1, s_churn=r.s_churn, s_noise=r.s_noise,
-            control_scale=r.s_stage2,
-            use_linear_control_scale=r.linear_s_stage2,
-            control_scale_start=r.spt_linear_s_stage2,
-            img_threshold=r.img_threshold, dec_img=1.0)
-
-        # Stage 2b is split into FOUR jits (VAE prep / text conditioning /
-        # sampling scan / final decode) instead of one monolith — smaller
-        # XLA programs compile reliably through the remote-compile relay and
-        # the text-conditioning program is shared across image sizes.
-        tl_c, tg_c = self._tokenize([" ".join([caption, r.a_prompt])]
-                                    * max(r.num_samples, 1))
-        tl_u, tg_u = self._tokenize([r.n_prompt] * max(r.num_samples, 1))
-
-        if "refine_prep" not in self._jit_cache:
-            self._jit_cache["refine_prep"] = jax.jit(self._vae_prep_jit)
-            self._jit_cache["refine_cond"] = jax.jit(self._cond_jit)
-            self._jit_cache["refine_decode"] = jax.jit(self._decode_jit)
-        skey = ("refine_sample", x.shape, sampler_cfg)
-        if skey not in self._jit_cache:
-            self._jit_cache[skey] = jax.jit(
-                lambda *a: self._sample_jit(sampler_cfg, *a))
-
-        _z, x_stage1, z_stage1 = self._jit_cache["refine_prep"](
-            self.vae_params, x, k_enc)
-        cond, uc = self._jit_cache["refine_cond"](
-            self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
-        z, hits, steps = self._jit_cache[skey](
-            self.unet_params, self.control_params, cond, uc, z_stage1,
-            k_noise, k_loop)
-        log.info("first-block cache: %d/%d steps skipped middle+decoder",
-                 int(hits), int(steps))
-        samples = self._jit_cache["refine_decode"](self.vae_params, z)
+        texts = [" ".join([caption, r.a_prompt])] * max(r.num_samples, 1)
+        samples, x_stage1 = self._refine_core(x, texts)
         if samples.shape[1] != h_real or samples.shape[2] != w_real:
             samples = samples[:, :h_real, :w_real]
             x_stage1 = x_stage1[:, :h_real, :w_real]
@@ -445,7 +466,7 @@ class SuperResolutionPipeline:
         r = self.cfg.refine
         if r.num_samples != 1 or len(items) == 1:
             return [self.run_refinement(p, c) for p, c in items]
-        def _post_resize_min(pil):
+        def _post_resize_hw(pil):
             # arithmetic mirror of pil_to_array's min_size scale + /64
             # rounding (no host resize just for this check)
             from .ops.image import round_to_multiple
@@ -453,15 +474,21 @@ class SuperResolutionPipeline:
             if min(w, h) < r.min_size:
                 s = r.min_size / min(w, h)
                 w, h = w * s, h * s
-            return min(round_to_multiple(h, 64), round_to_multiple(w, 64))
+            return round_to_multiple(h, 64), round_to_multiple(w, 64)
 
-        if r.use_tile_vae and not self.debug_tiny and any(
-                _post_resize_min(p) > r.encoder_tile_size for p, _ in items):
-            # tiled VAE pools GroupNorm statistics over the tile axis —
-            # batching images into that axis would mix cross-image stats
-            # (and the tile splitter is per-image); keep the reference's
-            # per-image semantics for tile-sized inputs
-            return [self.run_refinement(p, c) for p, c in items]
+        if r.use_tile_vae and not self.debug_tiny:
+            # _use_tiles sees the BUCKET-padded batch shape — test exactly
+            # the extents the batch will be padded to, not per-image sizes
+            bucket = r.size_bucket or 64
+            hws = [_post_resize_hw(p) for p, _ in items]
+            hb_c = max(-(-h // bucket) * bucket for h, _ in hws)
+            wb_c = max(-(-w // bucket) * bucket for _, w in hws)
+            if self._use_tiles((hb_c, wb_c)):
+                # tiled VAE pools GroupNorm statistics over the tile axis —
+                # batching images into that axis would mix cross-image
+                # stats (and the tile splitter is per-image); keep the
+                # reference's per-image semantics for tile-sized inputs
+                return [self.run_refinement(p, c) for p, c in items]
 
         xs, metas = [], []
         for pil, _ in items:
@@ -483,39 +510,8 @@ class SuperResolutionPipeline:
                      mode="edge") for x in xs]
         x = jnp.asarray(np.stack(xs))
 
-        self.rng, k_enc, k_noise, k_loop = jax.random.split(self.rng, 4)
-        sampler_cfg = RestoreEDMConfig(
-            num_steps=r.edm_steps, cfg_scale=r.s_cfg,
-            cfg_scale_start=r.spt_linear_cfg, use_linear_cfg=r.linear_cfg,
-            restore_cfg=r.s_stage1, s_churn=r.s_churn, s_noise=r.s_noise,
-            control_scale=r.s_stage2,
-            use_linear_control_scale=r.linear_s_stage2,
-            control_scale_start=r.spt_linear_s_stage2,
-            img_threshold=r.img_threshold, dec_img=1.0)
-
-        tl_c, tg_c = self._tokenize(
-            [" ".join([cap, r.a_prompt]) for _, cap in items])
-        tl_u, tg_u = self._tokenize([r.n_prompt] * len(items))
-
-        if "refine_prep" not in self._jit_cache:
-            self._jit_cache["refine_prep"] = jax.jit(self._vae_prep_jit)
-            self._jit_cache["refine_cond"] = jax.jit(self._cond_jit)
-            self._jit_cache["refine_decode"] = jax.jit(self._decode_jit)
-        skey = ("refine_sample", x.shape, sampler_cfg)
-        if skey not in self._jit_cache:
-            self._jit_cache[skey] = jax.jit(
-                lambda *a: self._sample_jit(sampler_cfg, *a))
-
-        _z, x_stage1, z_stage1 = self._jit_cache["refine_prep"](
-            self.vae_params, x, k_enc)
-        cond, uc = self._jit_cache["refine_cond"](
-            self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
-        z, hits, steps = self._jit_cache[skey](
-            self.unet_params, self.control_params, cond, uc, z_stage1,
-            k_noise, k_loop)
-        log.info("first-block cache (batch %d): %d/%d steps skipped",
-                 len(items), int(hits), int(steps))
-        samples = self._jit_cache["refine_decode"](self.vae_params, z)
+        samples, x_stage1 = self._refine_core(
+            x, [" ".join([cap, r.a_prompt]) for _, cap in items])
 
         outs = []
         for i, (h_real, w_real, h0, w0) in enumerate(metas):
@@ -689,9 +685,10 @@ class ImageBatchProcessor:
                         captions.update(zip(todo[i:i + self.caption_batch],
                                             caps))
             except Exception as e:
+                # keep the successfully captioned prefix — the per-image
+                # loop below only recomputes the missing keys
                 log.exception("batched captioning failed (%s); falling back "
-                              "to per-image", e)
-                captions = {}
+                              "to per-image for the remainder", e)
 
         # stage 1 + captions per image; refinement-ready work accumulates
         ready: list = []   # (path, sr_pil, caption)
@@ -721,6 +718,14 @@ class ImageBatchProcessor:
         for p, sr_pil, caption in ready:
             groups.setdefault(self._refine_group_key(sr_pil), []).append(
                 (p, sr_pil, caption))
+        def save_finals(p, final):
+            # run_refinement returns a LIST when refine.num_samples > 1 —
+            # one _final_{i}.png per sample (infer_dir.py naming), like
+            # SuperResolutionPipeline.process
+            finals = final if isinstance(final, list) else [final]
+            for i, f in enumerate(finals):
+                f.save(final_dir / f"{p.stem}_final_{i}.png")
+
         for key, members in groups.items():
             for i in range(0, len(members), self.refine_batch):
                 chunk = members[i:i + self.refine_batch]
@@ -728,15 +733,14 @@ class ImageBatchProcessor:
                     finals = self.pipe.run_refinement_batch(
                         [(s, c) for _, s, c in chunk])
                     for (p, _, _), final in zip(chunk, finals):
-                        final.save(final_dir / f"{p.stem}_final_0.png")
+                        save_finals(p, final)
                         statuses[p] = "ok"
                 except Exception as e:
                     log.exception("batched refinement failed (%s); falling "
                                   "back per-image", e)
                     for p, s, c in chunk:
                         try:
-                            final = self.pipe.run_refinement(s, c)
-                            final.save(final_dir / f"{p.stem}_final_0.png")
+                            save_finals(p, self.pipe.run_refinement(s, c))
                             statuses[p] = "ok"
                         except Exception as e2:
                             log.exception("failed on %s: %s", p, e2)

@@ -138,3 +138,28 @@ def test_full_three_stage_with_tiny_captioner(tmp_path):
     assert out.size == (16, 16)  # debug_tiny stage-1 output size
     assert pipe.llava is not None  # caption stage actually ran
     assert (tmp_path / "o" / "x_final_0.png").exists()
+
+
+def test_batch_processor_saves_all_samples(tmp_path, sample_image,
+                                           monkeypatch):
+    """refine.num_samples > 1: the folder driver must save one
+    _final_{i}.png per sample (run_refinement returns a LIST then)."""
+    cfg = PipelineConfig(image_dir=str(sample_image.parent),
+                         output_dir=str(tmp_path / "ns"),
+                         ckpt_dir=str(tmp_path / "nockpt"), no_llava=True)
+    cfg.stage1 = Stage1Config(steps=2)
+    cfg.refine.edm_steps = 2
+    cfg.refine.min_size = 64
+    cfg.refine.num_samples = 2
+    proc = ImageBatchProcessor(cfg, debug_tiny=True)
+    # surgical: the save path is under test, not the sampler — return two
+    # distinguishable PILs from the refinement
+    pils = [Image.fromarray(np.full((8, 8, 3), v, np.uint8))
+            for v in (10, 200)]
+    monkeypatch.setattr(proc.pipe, "run_refinement",
+                        lambda s, c, **kw: pils)
+    results = proc.run()
+    assert results[0][1] == "ok"
+    final_dir = tmp_path / "ns" / "output"
+    assert (final_dir / "test_final_0.png").exists()
+    assert (final_dir / "test_final_1.png").exists()
