@@ -217,8 +217,16 @@ class LlavaCaptioner:
 
         draft = draft_params = None
         dd = Path(draft_dir) if draft_dir else Path(ckpt_dir) / "llava_draft"
-        if dd.is_dir():
+        if dd.is_dir() and mesh is not None:
+            # don't pay the draft load just to refuse it at decode time
+            # (_generate_fn: the spec KV caches are not TP-sharded)
+            log.warning("draft at %s ignored: speculative decoding and "
+                        "mesh TP are not composed", dd)
+        elif dd.is_dir():
             dsd = _load_sharded(dd)
+            if not dsd and draft_dir:
+                raise FileNotFoundError(
+                    f"--draft_dir {dd} contains no safetensors weights")
             if dsd:
                 dcfg = _llama_config_from_json(dd, llama_cfg)
                 if dcfg.dim != llama_cfg.dim:
@@ -226,6 +234,12 @@ class LlavaCaptioner:
                         f"draft hidden dim {dcfg.dim} != target "
                         f"{llama_cfg.dim} — speculative decoding feeds the "
                         "spliced prompt embeds to both models")
+                if dcfg.vocab_size != llama_cfg.vocab_size:
+                    raise ValueError(
+                        f"draft vocab {dcfg.vocab_size} != target "
+                        f"{llama_cfg.vocab_size} — the acceptance rule "
+                        "compares the two token distributions elementwise "
+                        "(the models must share a tokenizer)")
                 draft = LlamaModel(dataclasses.replace(dcfg, quant=quant)
                                    if quant else dcfg)
                 draft_params = convert_hf.convert_llama(dsd, dcfg)
@@ -236,20 +250,31 @@ class LlavaCaptioner:
                         mode=quant)}
                 log.info("speculative draft loaded from %s (%d layers, "
                          "k=%d)", dd, dcfg.layers, spec_k)
+        elif draft_dir:
+            raise FileNotFoundError(f"--draft_dir {dd} does not exist")
         return cls(llama, llama_params, vision, vision_params, projector,
                    projector_params, newline, tokenizer, mesh=mesh,
                    draft=draft, draft_params=draft_params, spec_k=spec_k)
 
-    def caption(self, image, llava_cfg, rng: jax.Array | None = None) -> str:
-        """Full Stage-2a on one PIL image (get_img_describe parity)."""
-        prompt = llava_cfg.img_prompt.format(DEFAULT_IMAGE_TOKEN="<image>")
+    def _gen_setup(self, llava_cfg):
+        """Shared caption()/caption_batch() plumbing: GenerateConfig +
+        tokenizer/tower/projector closures (one definition so the single
+        and batched paths cannot drift)."""
         cfg = GenerateConfig(max_new_tokens=llava_cfg.max_new_tokens,
                              temperature=llava_cfg.temperature,
                              do_sample=llava_cfg.do_sample)
         encode = lambda s: self.tokenizer.encode(s, add_special_tokens=False)
-        decode = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
+        decode = lambda ids: self.tokenizer.decode(ids,
+                                                   skip_special_tokens=True)
         vision_apply = lambda px: self.vision.apply(self.vision_params, px)
         proj_apply = lambda f: self.projector.apply(self.projector_params, f)
+        return cfg, encode, decode, vision_apply, proj_apply
+
+    def caption(self, image, llava_cfg, rng: jax.Array | None = None) -> str:
+        """Full Stage-2a on one PIL image (get_img_describe parity)."""
+        prompt = llava_cfg.img_prompt.format(DEFAULT_IMAGE_TOKEN="<image>")
+        cfg, encode, decode, vision_apply, proj_apply = \
+            self._gen_setup(llava_cfg)
         return caption_image(self.llama, self.llama_params, vision_apply,
                              proj_apply, image, prompt, encode, decode,
                              self.image_newline, cfg, rng,
@@ -291,13 +316,8 @@ class LlavaCaptioner:
         """Folder-batched Stage-2a: one decode serves every image (the
         per-step weight stream is the single-chip bottleneck)."""
         prompt = llava_cfg.img_prompt.format(DEFAULT_IMAGE_TOKEN="<image>")
-        cfg = GenerateConfig(max_new_tokens=llava_cfg.max_new_tokens,
-                             temperature=llava_cfg.temperature,
-                             do_sample=llava_cfg.do_sample)
-        encode = lambda s: self.tokenizer.encode(s, add_special_tokens=False)
-        decode = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
-        vision_apply = lambda px: self.vision.apply(self.vision_params, px)
-        proj_apply = lambda f: self.projector.apply(self.projector_params, f)
+        cfg, encode, decode, vision_apply, proj_apply = \
+            self._gen_setup(llava_cfg)
         return caption_images(self.llama, self.llama_params, vision_apply,
                               proj_apply, images, prompt, encode, decode,
                               self.image_newline, cfg, rng,

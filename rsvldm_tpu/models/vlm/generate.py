@@ -287,25 +287,14 @@ def caption_images(model, params, vision_apply, projector_apply, images,
     (cheap, variable patch counts), then ONE batched LLM decode — the
     parameter stream that dominates single-chip decode is shared across the
     whole batch (generate_batch)."""
-    from . import anyres
-    from .vision import normalize_pixels
-
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    grid = (anyres.DEFAULT_GRID_PINPOINTS if patch_size == 336
-            else anyres.grid_pinpoints_for(patch_size))
     prompt = llama3_chat_prompt(prompt_text)
     ids = tokenize_with_image(prompt, encode_fn)
     safe_ids = jnp.asarray(np.where(ids == IMAGE_TOKEN_INDEX, 0, ids))
     text_embeds = model.apply(params, safe_ids, method=model.embed)
-    spliced = []
-    for image in images:
-        patches = anyres.process_anyres_image(image, patch_size, grid)
-        pixels = normalize_pixels(jnp.asarray(patches))
-        feats = projector_apply(vision_apply(pixels))
-        tokens = anyres.assemble_spatial_unpad(np.asarray(feats), image.size,
-                                               np.asarray(image_newline),
-                                               grid, patch_size)
-        spliced.append(splice_image_embeds(ids, text_embeds,
-                                           jnp.asarray(tokens)))
+    spliced = [
+        splice_image_embeds(ids, text_embeds, anyres_image_features(
+            vision_apply, projector_apply, image, image_newline, patch_size))
+        for image in images]
     outs = generate_batch(model, params, spliced, cfg, rng, mesh=mesh)
     return [decode_fn(o.tolist()).lstrip() for o in outs]

@@ -98,13 +98,19 @@ def accept_and_correct(d_toks, d_dists, t_dists, key_for, k: int):
     return committed, n_acc + 1
 
 
+@functools.lru_cache(maxsize=8)
 def make_round_fn(target: LlamaModel, draft: LlamaModel, k: int):
     """Builds the jitted speculative round:
     round(tp, dp, cache_t, cache_d, pending, p, j0, temp, rng)
       -> (committed [k+1], n_committed, cache_t, cache_d)
     pending: last committed token (sampled, not yet fed); p: the position
     it will be fed at; j0: its generated index + 1 == the index of the
-    first NEW token this round."""
+    first NEW token this round.
+
+    Memoized on (target, draft, k) — flax Modules are hashable frozen
+    dataclasses — so per-caption callers (speculative_generate via
+    LlavaCaptioner.caption) reuse ONE traced round instead of recompiling
+    the 8B verify program for every image."""
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def spec_round(tp, dp, cache_t: KVCache, cache_d: KVCache,
