@@ -75,10 +75,13 @@ class LlamaConfig:
     moe_ffn_dim: int | None = None     # per-expert FFN width (def: ffn_dim)
     norm_topk_prob: bool = True    # Mixtral: renormalize top-k weights
     shared_expert_dim: int | None = None  # Qwen2-MoE sigmoid-gated shared FFN
+    # Families where head_dim != dim // heads (Gemma-7B: 3072/16 heads but
+    # 256-wide heads); 0 = derive from dim // heads
+    head_dim_cfg: int = 0
 
     @property
     def head_dim(self) -> int:
-        return self.dim // self.heads
+        return self.head_dim_cfg or self.dim // self.heads
 
 
 LLAMA3_8B_CONFIG = LlamaConfig()
@@ -94,7 +97,8 @@ GEMMA_7B_CONFIG = LlamaConfig(vocab_size=256000, dim=3072, layers=28,
                               heads=16, kv_heads=16, ffn_dim=24576,
                               rope_theta=10000.0, rms_eps=1e-6,
                               norm_plus_one=True, scale_embeds=True,
-                              tie_lm_head=True, act="gelu_tanh")
+                              tie_lm_head=True, act="gelu_tanh",
+                              head_dim_cfg=256)  # HF gemma-7b: NOT dim//heads
 MIXTRAL_8X7B_CONFIG = LlamaConfig(vocab_size=32000, dim=4096, layers=32,
                                   heads=32, kv_heads=8, ffn_dim=14336,
                                   rope_theta=1000000.0, rms_eps=1e-5,
@@ -245,6 +249,13 @@ def quantize_llama_params(params, embed_dtype=None, mode: str = "int8",
     def walk(d):
         out = {}
         for k, v in d.items():
+            if k.startswith("experts_") or k == "moe":
+                # stacked MoE expert kernels have no quantized execution
+                # path (MoEFFN ignores cfg.quant) — quantizing around them
+                # would silently leave ~95% of a Mixtral's weights wide
+                raise NotImplementedError(
+                    "weight-only quantization does not cover MoE expert "
+                    "stacks yet — load MoE families unquantized")
             if isinstance(v, dict):
                 if k in _QUANT_MODULES and "kernel" in v:
                     nv = qmod(v["kernel"])
@@ -362,7 +373,11 @@ class LlamaBlock(nn.Module):
                 k_eff = (layer_k * layer_ks[..., None]).astype(q.dtype)
                 v_eff = (layer_v * layer_vs[..., None]).astype(q.dtype)
             else:
-                k_eff, v_eff = layer_k.astype(q.dtype), layer_v
+                # cast BOTH operands to compute dtype: with an fp32 cache
+                # an uncast V would stream 2x the bytes into the PV einsum
+                # on the memory-bound decode path
+                k_eff = layer_k.astype(q.dtype)
+                v_eff = layer_v.astype(q.dtype)
             qg = q.reshape(b, s, cfg.kv_heads, rep, hd)
             logits = jnp.einsum(
                 "bqgrd,bkgd->bgrqk", qg, k_eff,
@@ -454,6 +469,11 @@ class LlamaModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        if cfg.quant and cfg.num_experts > 0:
+            raise NotImplementedError(
+                "cfg.quant does not cover MoE expert stacks (MoEFFN runs "
+                "them full-precision) — quantizing only the attention "
+                "projections would leave ~95% of the weights wide")
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.dim,
                                      param_dtype=jnp.float32, name="embed_tokens")
         # static_argnums keeps start_pos/valid_len as PYTHON ints through
@@ -462,7 +482,11 @@ class LlamaModel(nn.Module):
         # silently falls into the quadratic masked-einsum branch. Remat is
         # a training knob: prefill-from-0 calls pass ints; traced decode
         # positions on a remat model would raise a hashability error.
-        block_cls = (nn.remat(LlamaBlock, static_argnums=(3, 4))
+        # NB nn.remat counts the module itself as arg 0, so __call__'s
+        # (start_pos, valid_len) are positions (4, 5) — (3, 4) would pin
+        # (layer_v, start_pos) and leak valid_len in as a tracer
+        # (verified empirically against flax 0.12).
+        block_cls = (nn.remat(LlamaBlock, static_argnums=(4, 5))
                      if cfg.remat else LlamaBlock)
         self.blocks = [block_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.layers)]

@@ -79,7 +79,8 @@ class CLIPScorer:
         self.text_embed = text_embed
         self.tokenizer = tokenizer
         toks = tokenizer(list(self.GOOD_BAD), pad_id=0)
-        self._anchor = self.text_embed(jnp.asarray(toks))
+        # normalized once — the anchor is constant across scored images
+        self._anchor = self._norm(self.text_embed(jnp.asarray(toks)))
 
     @staticmethod
     def _norm(x):
@@ -88,8 +89,7 @@ class CLIPScorer:
     def clip_iqa(self, images: jnp.ndarray, logit_scale: float = 100.0):
         """softmax(logit_scale * cos(img, [good, bad]))[good]."""
         img = self._norm(self.vision_embed(images))
-        txt = self._norm(self._anchor)
-        logits = logit_scale * img @ txt.T
+        logits = logit_scale * img @ self._anchor.T
         return jax.nn.softmax(logits, axis=-1)[:, 0]
 
     def sms(self, sr: jnp.ndarray, hr: jnp.ndarray):
@@ -104,7 +104,6 @@ def load_lpips(ckpt_dir: str):
     """(LPIPS model, params) when VGG16/lin weights exist under
     <ckpt_dir>/lpips/ (vgg16 torchvision state dict + LPIPS lin heads),
     else None. Conversion is cached as orbax like the other families."""
-    import os
     from pathlib import Path
     from . import checkpoint as ckpt
     from .lpips import LPIPS, convert_lpips
@@ -131,8 +130,12 @@ def calc_metrics(sr: np.ndarray, hr: np.ndarray,
     sr = jnp.asarray(sr)
     hr = jnp.asarray(hr)
     if sr.shape != hr.shape:
-        from ..ops.image import resize_bicubic
-        sr = resize_bicubic(sr, hr.shape[1:3])
+        # TF.resize(sr, hr.shape[-2:], antialias=True) with the DEFAULT
+        # interpolation — antialiased BILINEAR, not bicubic
+        # (models/SR_model.py:158-169)
+        sr = jax.image.resize(sr, (sr.shape[0],) + tuple(hr.shape[1:3])
+                              + (sr.shape[-1],), method="linear",
+                              antialias=True)
     sr01 = (sr + 1) / 2
     hr01 = (hr + 1) / 2
     out = {"PSNR": float(psnr(sr01, hr01)), "SSIM": float(ssim(sr01, hr01))}
