@@ -46,6 +46,12 @@ class ChatSession:
         from ..models.vlm.generate import generate
         import jax.numpy as jnp
         cap = self.captioner
+        if DEFAULT_IMAGE_TOKEN in user_msg:
+            # splice_image_embeds fills ONE sentinel; a user-typed
+            # placeholder would silently embed clamped token-0 garbage
+            raise ValueError(
+                "the CLI attaches the image automatically — remove the "
+                f"{DEFAULT_IMAGE_TOKEN} placeholder from the message")
         if not self.turns:  # first turn carries the image (cli.py:68-73)
             user_msg = DEFAULT_IMAGE_TOKEN + "\n" + user_msg
         self.turns.append(("user", user_msg))
@@ -106,7 +112,10 @@ def main(argv=None):
         if not inp:
             print("exit...")
             break
-        print("assistant:", sess.ask(inp))
+        try:
+            print("assistant:", sess.ask(inp))
+        except ValueError as e:  # e.g. a user-typed <image> placeholder
+            print(f"error: {e}")
 
 
 if __name__ == "__main__":

@@ -74,7 +74,9 @@ class Controller:
             if not cand:
                 return ""
             if self.dispatch_method == "lottery":
-                weights = [w.speed for _, w in cand]
+                # guard all-zero speeds like the shortest-queue branch
+                # (random.choices raises on a zero weight total)
+                weights = [max(w.speed, 1e-6) for _, w in cand]
                 return random.choices([n for n, _ in cand], weights=weights)[0]
             # shortest queue, normalized by speed
             return min(cand, key=lambda nw: nw[1].queue_length
@@ -84,37 +86,39 @@ class Controller:
     def serve(self, host: str = "0.0.0.0", port: int = 10000):
         ctrl = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def _json(self, obj, code=200):
-                body = json.dumps(obj).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+        from .http_util import send_json
 
+        class Handler(BaseHTTPRequestHandler):
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                if self.path == "/register_worker":
-                    ctrl.register_worker(payload["worker_name"],
-                                         payload.get("model_names", []),
-                                         payload.get("speed", 1.0),
-                                         payload.get("queue_length", 0))
-                    self._json({"ok": True})
-                elif self.path == "/receive_heart_beat":
-                    ok = ctrl.receive_heart_beat(payload["worker_name"],
-                                                 payload.get("queue_length", 0))
-                    self._json({"exist": ok})
-                elif self.path == "/list_models":
-                    ctrl.remove_stale_workers()
-                    self._json({"models": ctrl.list_models()})
-                elif self.path == "/get_worker_address":
-                    ctrl.remove_stale_workers()
-                    self._json({"address": ctrl.get_worker_address(
-                        payload.get("model", ""))})
-                else:
-                    self._json({"error": "unknown endpoint"}, 404)
+                # malformed JSON / missing keys come back as a structured
+                # error (the reference FastAPI controller 422s), never a
+                # dropped socket + stderr traceback
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/register_worker":
+                        ctrl.register_worker(payload["worker_name"],
+                                             payload.get("model_names", []),
+                                             payload.get("speed", 1.0),
+                                             payload.get("queue_length", 0))
+                        send_json(self, {"ok": True})
+                    elif self.path == "/receive_heart_beat":
+                        ok = ctrl.receive_heart_beat(
+                            payload["worker_name"],
+                            payload.get("queue_length", 0))
+                        send_json(self, {"exist": ok})
+                    elif self.path == "/list_models":
+                        ctrl.remove_stale_workers()
+                        send_json(self, {"models": ctrl.list_models()})
+                    elif self.path == "/get_worker_address":
+                        ctrl.remove_stale_workers()
+                        send_json(self, {"address": ctrl.get_worker_address(
+                            payload.get("model", ""))})
+                    else:
+                        send_json(self, {"error": "unknown endpoint"}, 404)
+                except Exception as e:
+                    send_json(self, {"error": f"{type(e).__name__}: {e}"},
+                              400)
 
             def log_message(self, *a):
                 pass

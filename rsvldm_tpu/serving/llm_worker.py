@@ -233,12 +233,8 @@ class LLMWorker(Worker):
                         out = {"error": "unknown endpoint"}
                 except Exception as e:
                     out = {"error": f"{type(e).__name__}: {e}"}
-                body = json.dumps(out).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                from .http_util import send_json
+                send_json(self, out)
 
             def log_message(self, *a):
                 pass

@@ -104,13 +104,28 @@ class WebServer:
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     payload = json.loads(self.rfile.read(n))
-                    result = outer.dispatch(payload)
+                    result = outer.dispatch(outer._render_prompt(payload))
                     self._send(200, json.dumps(result).encode())
                 except Exception as e:  # surface worker errors to the UI
                     self._send(500, json.dumps({"error": str(e)}).encode())
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
+
+    @staticmethod
+    def _render_prompt(payload: dict) -> dict:
+        """Render the llama-3 chat template around a raw textarea prompt —
+        the reference gradio server posts conv.get_prompt(), never the raw
+        text (an un-templated prompt has no BOS/headers, so the model never
+        positions itself as assistant and rarely emits <|eot_id|>).
+        Already-rendered prompts (multi-turn clients) and non-LLM payloads
+        pass through; raw_prompt=true opts out."""
+        p = payload.get("prompt")
+        if (p is None or payload.get("raw_prompt")
+                or p.startswith("<|begin_of_text|>")):
+            return payload
+        from ..models.vlm.generate import llama3_chat_prompt
+        return {**payload, "prompt": llama3_chat_prompt(p)}
 
     def _post_json(self, url: str, payload: dict) -> dict:
         req = urllib.request.Request(

@@ -12,9 +12,9 @@ import base64
 import io
 import json
 import threading
-import time
-import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .http_util import post_json, send_json
 
 HEARTBEAT_INTERVAL = 15  # model_worker.py:38-43
 
@@ -29,14 +29,13 @@ class Worker:
         self.model_names = list(model_names)
         self.queue_length = 0
         self._stop = threading.Event()
+        # ThreadingHTTPServer handles requests concurrently — the counter
+        # the controller load-balances on must not lose updates
+        self._queue_lock = threading.Lock()
 
     # ---- controller protocol ----
     def _post(self, path: str, payload: dict) -> dict:
-        req = urllib.request.Request(
-            self.controller_url + path, json.dumps(payload).encode(),
-            {"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=10) as r:
-            return json.loads(r.read())
+        return post_json(self.controller_url + path, payload)
 
     def register(self):
         if self.controller_url:
@@ -46,6 +45,8 @@ class Worker:
                             queue_length=self.queue_length))
 
     def heartbeat_loop(self):
+        if not self.controller_url:  # standalone worker: nothing to beat
+            return
         while not self._stop.is_set():
             try:
                 out = self._post("/receive_heart_beat",
@@ -59,15 +60,16 @@ class Worker:
 
     # ---- job execution ----
     def generate(self, image_b64: str) -> dict:
+        import os
+        import tempfile
+
         from PIL import Image
-        self.queue_length += 1
+        with self._queue_lock:
+            self.queue_length += 1
         try:
             img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
-            tmp = io.BytesIO()
-            img.save(tmp, format="PNG")
-            import tempfile, os
             with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-                f.write(tmp.getvalue())
+                img.save(f, format="PNG")
                 path = f.name
             try:
                 out = self.pipeline.process(path)
@@ -77,7 +79,8 @@ class Worker:
             out.save(buf, format="PNG")
             return {"image": base64.b64encode(buf.getvalue()).decode()}
         finally:
-            self.queue_length -= 1
+            with self._queue_lock:
+                self.queue_length -= 1
 
     def serve(self, host: str = "0.0.0.0", port: int = 40000):
         self.register()
@@ -86,21 +89,21 @@ class Worker:
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                if self.path == "/worker_generate":
-                    out = worker.generate(payload["image"])
-                elif self.path == "/worker_get_status":
-                    out = dict(model_names=worker.model_names,
-                               queue_length=worker.queue_length)
-                else:
-                    out = {"error": "unknown endpoint"}
-                body = json.dumps(out).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                # any failure (bad payload, PIL decode, pipeline error) must
+                # come back as a JSON error body, not a dropped socket
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/worker_generate":
+                        out = worker.generate(payload["image"])
+                    elif self.path == "/worker_get_status":
+                        out = dict(model_names=worker.model_names,
+                                   queue_length=worker.queue_length)
+                    else:
+                        out = {"error": "unknown endpoint"}
+                except Exception as e:
+                    out = {"error": f"{type(e).__name__}: {e}"}
+                send_json(self, out)
 
             def log_message(self, *a):
                 pass

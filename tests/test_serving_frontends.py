@@ -131,8 +131,9 @@ def test_web_server_controller_topology():
 
 def test_web_server_chat_page_and_images_payload():
     """/chat serves the multimodal page (gradio_web_server +
-    gradio_multi_image parity) and /generate forwards prompt + base64
-    images untouched."""
+    gradio_multi_image parity); /generate renders the llama-3 chat
+    template around the raw textarea prompt (the reference posts
+    conv.get_prompt(), never raw text) and forwards the base64 images."""
     seen = []
 
     def fake_dispatch(payload):
@@ -152,5 +153,13 @@ def test_web_server_chat_page_and_images_payload():
                      "model": "rsvldm-llm"})
         assert out == {"text": "2 imgs"}
         assert seen[0]["images"] == ["aa", "bb"]
+        # chat template rendered around the raw prompt, placeholders intact
+        assert seen[0]["prompt"].startswith("<|begin_of_text|>")
+        assert "<|start_header_id|>assistant" in seen[0]["prompt"]
+        # an already-rendered prompt passes through untouched
+        out2 = _post(base + "/generate",
+                     {"prompt": seen[0]["prompt"], "images": ["aa", "bb"],
+                      "model": "rsvldm-llm"})
+        assert seen[1]["prompt"] == seen[0]["prompt"]
     finally:
         srv.shutdown()
