@@ -169,8 +169,13 @@ def preprocess_v1(source: Sequence[Dict], encode, bos: int = 1,
     reference's separate (prompt, answer) chunk tokenization with -2/-1
     length fudges (train.py:777-786).
 
-    boundary_compat=True reproduces the reference's chunked tokenization
-    bug-for-bug (for exact-id parity against reference-produced data)."""
+    boundary_compat=True APPROXIMATES the reference's chunked tokenization
+    (prompt and answer encoded separately, so seam-crossing BPE merges are
+    split like the reference splits them). It is NOT exact-id parity: the
+    reference builds input_ids from the WHOLE conversation and only its
+    label mask uses the chunked lengths (with -2/-1 sentencepiece fudges,
+    train.py:777-786) — matching that bug-for-bug is tokenizer-specific.
+    Prefer the default path, whose ids equal inference tokenization."""
     msgs = list(source)
     if msgs and _norm_msg(msgs[0])[0] != "user":
         msgs = msgs[1:]
@@ -197,26 +202,58 @@ def preprocess_v1(source: Sequence[Dict], encode, bos: int = 1,
             ids += round_ids + [sep2_id]
             labels += [IGNORE_INDEX] * prompt_len \
                 + round_ids[prompt_len:] + [sep2_id]
+    if len(msgs) % 2 == 1:
+        # trailing unpaired human turn: the reference renders the full
+        # conversation, so the prompt tokens are IN input_ids (masked) —
+        # dropping them would diverge the stream (conversation.py
+        # SeparatorStyle.TWO renders 'USER: q ' with no assistant header)
+        _, q = _norm_msg(msgs[-1])
+        tail = _encode_with_image(f"USER: {q} ", encode)
+        ids += tail
+        labels += [IGNORE_INDEX] * len(tail)
     ids_np = np.asarray(ids, np.int32)
     labels_np = np.asarray(labels, np.int32)
     labels_np[ids_np == IMAGE_TOKEN_INDEX] = IGNORE_INDEX
     return ids_np, labels_np
 
 
-def preprocess_plain(source: Sequence[Dict], encode, sep: str = "\n"
+def preprocess_plain(source: Sequence[Dict], encode, sep: str = "\n",
+                     bos: Optional[int] = None
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Pretraining alignment format (preprocess_plain, train.py:885-904):
-    input = <image> + answer + sep; only the answer span supervises."""
+    input = [bos] + <image> + answer + sep; only the answer span
+    supervises. The reference tokenizes via tokenizer_image_token whose
+    first chunk carries the tokenizer's BOS — pass the model's bos id for
+    parity (train_vlm wires tokenizer.bos_token_id)."""
     assert len(source) == 2
     _, first = _norm_msg(source[0])
     assert DEFAULT_IMAGE_TOKEN in first
     _, answer = _norm_msg(source[1])
-    prompt_ids = _encode_with_image(DEFAULT_IMAGE_TOKEN, encode)
+    prompt_ids = ([] if bos is None else [bos]) \
+        + _encode_with_image(DEFAULT_IMAGE_TOKEN, encode)
     ids = prompt_ids + encode(answer + sep)
     labels = [IGNORE_INDEX] * len(prompt_ids) + ids[len(prompt_ids):]
     ids_np = np.asarray(ids, np.int32)
     labels_np = np.asarray(labels, np.int32)
     return ids_np, labels_np
+
+
+def normalize_multimodal(source: Sequence[Dict]) -> List[Dict]:
+    """preprocess_multimodal (train.py:381-406): every message containing
+    <image> has the token(s) moved to the front as '<image>\\n' — raw SFT
+    data often carries a mid-text placeholder, and training must see the
+    same leading-image layout inference produces."""
+    out = []
+    for msg in source:
+        role_key = "value" if "value" in msg else "content"
+        content = msg.get(role_key, "")
+        if DEFAULT_IMAGE_TOKEN in content:
+            n = content.count(DEFAULT_IMAGE_TOKEN)
+            content = content.replace(DEFAULT_IMAGE_TOKEN, "").strip()
+            content = ((DEFAULT_IMAGE_TOKEN + "\n") * n + content).strip()
+            msg = {**msg, role_key: content}
+        out.append(msg)
+    return out
 
 
 PREPROCESSORS = {
@@ -322,17 +359,27 @@ class LazyConversationDataset:
             out.append(n if ("image" in rec or "video" in rec) else -n)
         return out
 
+    def _load_images(self, rec: Dict):
+        """'image' may be a path or a LIST of paths (multi-image records,
+        train.py:1144-1152); returns the processed image(s) in kind."""
+        path = rec["image"]
+        paths = path if isinstance(path, list) else [path]
+        imgs = [self.process_image(
+            str(self.image_folder / p) if self.image_folder else p)
+            for p in paths]
+        return imgs if isinstance(path, list) else imgs[0]
+
     def __getitem__(self, i: int) -> Dict[str, Any]:
         rec = self.records[i]
-        ids, labels = preprocess(rec["conversations"], self.encode,
+        conv = rec["conversations"]
+        if "image" in rec or "video" in rec:
+            conv = normalize_multimodal(conv)   # train.py:1153
+        ids, labels = preprocess(conv, self.encode,
                                  self.template, **self.preprocess_kw)
         item: Dict[str, Any] = {"input_ids": ids, "labels": labels,
                                 "id": rec.get("id", i)}
         if "image" in rec and self.process_image is not None:
-            path = rec["image"]
-            if self.image_folder is not None:
-                path = str(self.image_folder / path)
-            item["image"] = self.process_image(path)
+            item["image"] = self._load_images(rec)
         return item
 
 
@@ -375,10 +422,7 @@ class LazyPreferenceDataset(LazyConversationDataset):
             item[f"{side}_input_ids"] = ids
             item[f"{side}_labels"] = labels
         if "image" in rec and self.process_image is not None:
-            path = rec["image"]
-            if self.image_folder is not None:
-                path = str(self.image_folder / path)
-            item["image"] = self.process_image(path)
+            item["image"] = self._load_images(rec)
         return item
 
 
@@ -396,6 +440,10 @@ def collate(instances: Sequence[Dict], pad_id: int = 0,
     width = max(len(x) for x in ids)
     if pad_to_multiple:
         width = -(-width // pad_to_multiple) * pad_to_multiple
+    if max_length:
+        # bucket rounding must not pad past the caller's stated cap (rows
+        # are already truncated to it, so the extra columns were pure pad)
+        width = min(width, max_length)
     b = len(ids)
     out_ids = np.full((b, width), pad_id, np.int32)
     out_labels = np.full((b, width), IGNORE_INDEX, np.int32)
@@ -411,8 +459,12 @@ def collate(instances: Sequence[Dict], pad_id: int = 0,
             mask[j, :len(x)] = True
     batch = {"input_ids": out_ids, "labels": out_labels,
              "attention_mask": mask}
-    if instances and "image" in instances[0]:
-        batch["images"] = [x["image"] for x in instances]
+    if any("image" in x for x in instances):
+        # modality-grouped ordering merges its trailing partial megabatches
+        # across modalities, so mixed batches are NORMAL — text-only rows
+        # carry None (the reference pads with a dummy zero image instead,
+        # train.py:1232-1238; None keeps the no-vision-forward invariant)
+        batch["images"] = [x.get("image") for x in instances]
     return batch
 
 
@@ -457,8 +509,11 @@ def get_modality_length_grouped_indices(lengths: Sequence[int],
     (len<0) separately, interleave megabatches, trailing partials merged."""
     assert all(l != 0 for l in lengths), "zero-length sample"
     if all(l > 0 for l in lengths) or all(l < 0 for l in lengths):
-        return get_length_grouped_indices([abs(l) for l in lengths],
-                                          batch_size, world_size, seed)
+        # SIGNED lengths pass through (llava_trainer.py:109-111): an
+        # all-text-only corpus therefore sorts shortest-absolute first,
+        # exactly like the reference — abs() here would flip the order
+        return get_length_grouped_indices(lengths, batch_size, world_size,
+                                          seed)
     mm = [(i, l) for i, l in enumerate(lengths) if l > 0]
     lang = [(i, -l) for i, l in enumerate(lengths) if l < 0]
     # order each modality by its own length-grouped permutation

@@ -231,7 +231,6 @@ def _convert_moe_layer(sd: Dict[str, Any], lp: str, cfg) -> Dict:
     .experts.{e}.{w1=gate, w3=up, w2=down}.weight.
     Qwen2-MoE naming (modeling_qwen2_moe): {lp}.mlp.gate.weight +
     .experts.{e}.{gate,up,down}_proj.weight + shared_expert(+gate)."""
-    import numpy as np
     if f"{lp}.block_sparse_moe.gate.weight" in sd:  # Mixtral
         mp = f"{lp}.block_sparse_moe"
         names = {"gate": "w1", "up": "w3", "down": "w2"}
@@ -405,3 +404,9 @@ def convert_perceiver(sd: Dict[str, Any], cfg) -> Dict:
             p[f"ff_{i}_fc"] = {"kernel": lin_w(sd[f"{fp}.1.weight"])}
             p[f"ff_{i}_out"] = {"kernel": lin_w(sd[f"{fp}.3.weight"])}
     return {"params": p}
+
+
+# SigLIP's converter lives next to its model (models/vlm/siglip.py) but the
+# tower registry dereferences every converter off this module — keep the
+# re-export or build_vision_tower('...siglip...') dies with AttributeError
+from ..models.vlm.siglip import convert_hf_siglip_vision  # noqa: E402,F401

@@ -251,3 +251,74 @@ def test_end_to_end_json_to_train_step(tmp_path):
                          method=model.embed)
     loss = trainer.train_step(embeds, jnp.asarray(batch["labels"]), cache)
     assert np.isfinite(loss) and loss > 0
+
+
+def test_normalize_multimodal_moves_image_to_front():
+    from rsvldm_tpu.training.vlm_data import normalize_multimodal
+    conv = [{"from": "human", "value": "What is shown here?\n<image>"},
+            {"from": "gpt", "value": "a bridge"}]
+    out = normalize_multimodal(conv)
+    assert out[0]["value"] == "<image>\nWhat is shown here?"
+    assert out[1]["value"] == "a bridge"
+    # already-leading placeholder is a fixpoint
+    assert normalize_multimodal(out)[0]["value"] == out[0]["value"]
+    # multi-image: every placeholder moves, count preserved
+    two = normalize_multimodal(
+        [{"from": "human", "value": "a <image> b <image> c"}])
+    assert two[0]["value"].count("<image>") == 2
+    assert two[0]["value"].startswith("<image>\n<image>\n")
+
+
+def test_preprocess_plain_bos():
+    ids, labels = preprocess(
+        [{"from": "human", "value": "<image>"},
+         {"from": "gpt", "value": "caption words"}],
+        encode, "plain", bos=777)
+    assert ids[0] == 777 and labels[0] == IGNORE_INDEX
+    assert ids[1] == IMAGE_TOKEN_INDEX
+
+
+def test_preprocess_v1_trailing_human_turn_included_masked():
+    paired = [{"from": "human", "value": "q one"},
+              {"from": "gpt", "value": "a one"}]
+    trailing = paired + [{"from": "human", "value": "q two"}]
+    ids_p, _ = preprocess(paired, encode, "v1")
+    ids_t, labels_t = preprocess(trailing, encode, "v1")
+    assert len(ids_t) > len(ids_p)          # tail tokens ARE in the stream
+    tail = labels_t[len(ids_p):]
+    assert (tail == IGNORE_INDEX).all()     # ...and fully masked
+
+
+def test_collate_mixed_modalities_and_width_cap():
+    inst = [{"input_ids": np.arange(5), "labels": np.arange(5),
+             "image": np.ones((2, 2, 3))},
+            {"input_ids": np.arange(9), "labels": np.arange(9)}]
+    b = collate(inst, pad_id=0, pad_to_multiple=8)
+    assert b["images"][0] is not None and b["images"][1] is None
+    # bucket rounding never pads past max_length
+    c = collate(inst, pad_id=0, max_length=6, pad_to_multiple=8)
+    assert c["input_ids"].shape[1] == 6
+
+
+def test_modality_fallback_signed_lengths():
+    from rsvldm_tpu.training.vlm_data import (
+        get_length_grouped_indices, get_modality_length_grouped_indices)
+    lengths = [-5, -9, -2, -7, -4, -1, -8, -3]
+    ours = get_modality_length_grouped_indices(lengths, 2, 1, seed=3)
+    ref = get_length_grouped_indices(lengths, 2, 1, seed=3)  # SIGNED passthru
+    assert ours == ref
+
+
+def test_dataset_multi_image_record(tmp_path):
+    import json as _json
+    recs = [{"id": "m", "image": ["a.png", "b.png"],
+             "conversations": [
+                 {"from": "human", "value": "<image> and <image>"},
+                 {"from": "gpt", "value": "two views"}]}]
+    p = tmp_path / "d.json"
+    p.write_text(_json.dumps(recs))
+    from rsvldm_tpu.training.vlm_data import LazyConversationDataset
+    ds = LazyConversationDataset(str(p), encode, template="v1",
+                                 process_image=lambda path: f"img:{path}")
+    item = ds[0]
+    assert item["image"] == ["img:a.png", "img:b.png"]

@@ -222,6 +222,10 @@ def main(argv=None):
         params = cap.llama_params
         encode = lambda s: cap.tokenizer.encode(s, add_special_tokens=False)
         pre_kw = {}
+        if args.template == "plain":
+            # reference preprocess_plain leads with the tokenizer's BOS
+            # (None = no BOS for tokenizers that don't define one)
+            pre_kw["bos"] = getattr(cap.tokenizer, "bos_token_id", None)
         size = cap.vision.cfg.image_size
         bg = tuple(int(255 * m) for m in CLIP_MEAN)
 
