@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """One-time checkpoint conversion CLI: reference torch weights -> orbax.
 
-Converts every model family the pipeline needs and caches them under
-<ckpt_dir>/jax/ (the pipeline also does this lazily on first run; this tool
-does it explicitly, with per-model selection and verification).
+Converts the diffusion-stack families (sr3 vae unet control clip_l big_g)
+and caches them under <ckpt_dir>/jax/ — the same conversions the pipeline
+runs lazily on first use, done explicitly up front. The LLaVA stack
+(vision tower / 8B decoder / projector) converts on captioner load
+(utils/convert_hf.py) and is not covered here. Sanity signal is the
+logged per-model parameter count; numerical parity lives in the
+tests/test_parity_* oracle suite.
 """
 
 import argparse
@@ -15,9 +19,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
     ap.add_argument("--models", nargs="*",
-                    default=["sr3", "vae", "unet", "control", "clip_l", "big_g"],
-                    help="subset of: sr3 vae unet control clip_l big_g")
+                    choices=["sr3", "vae", "unet", "control", "clip_l",
+                             "big_g"],
+                    default=["sr3", "vae", "unet", "control", "clip_l",
+                             "big_g"],
+                    help="subset of the diffusion-stack families")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
+    from rsvldm_tpu.utils.compile_cache import cli_setup
+    cli_setup(args.platform)
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("convert")
 

@@ -44,11 +44,8 @@ def main():
                          "projector (pretrain artifact)")
     args = ap.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
-    from rsvldm_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
+    from rsvldm_tpu.utils.compile_cache import cli_setup
+    cli_setup(args.platform)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")

@@ -10,7 +10,7 @@ def main():
     ap.add_argument("--image_dir", type=str, required=True)
     ap.add_argument("--save_dir", type=str, default="./results")
     ap.add_argument("--upscale", type=int, default=8)
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seed", type=int, default=1234)  # infer_dir.py:216
     ap.add_argument("--num_steps", type=int, default=50)
     ap.add_argument("--img_threshold", type=float, default=0.3)
     ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
@@ -25,11 +25,8 @@ def main():
                          "over this many devices (0 = all when >1 device)")
     args = ap.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
-    from rsvldm_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
+    from rsvldm_tpu.utils.compile_cache import cli_setup
+    cli_setup(args.platform)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")

@@ -20,6 +20,14 @@ import jax
 import numpy as np
 
 
+def strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """Re-export of convert.strip_prefix — the pipeline's lazy conversion
+    plans and convert_ckpt.py call it as ckpt.strip_prefix (a bare import
+    here avoids a convert<->checkpoint cycle at module load)."""
+    from .convert import strip_prefix as _sp
+    return _sp(sd, prefix)
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     """Load a .pth/.ckpt (torch.load) or .safetensors state dict."""
     path = str(path)

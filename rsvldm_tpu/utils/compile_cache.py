@@ -42,3 +42,14 @@ def enable_compilation_cache(directory: str | None = None) -> str | None:
         log.warning("compilation cache unavailable: %s", e)
         return None
     return directory
+
+
+def cli_setup(platform: str | None = None) -> None:
+    """Shared entry-point preamble for every CLI: force a jax platform
+    BEFORE the first backend touch (the axon sitecustomize wins over the
+    JAX_PLATFORMS env var, so this must go through jax.config) and point
+    the persistent compilation cache at disk."""
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+    enable_compilation_cache()

@@ -35,11 +35,8 @@ def main():
                          "site-injected TPU relay selection")
     args = ap.parse_args()
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
-    from rsvldm_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
+    from rsvldm_tpu.utils.compile_cache import cli_setup
+    cli_setup(args.platform)
 
     logging.basicConfig(level=logging.INFO)
 

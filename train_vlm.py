@@ -163,11 +163,8 @@ def splice_training_sample(ids, labels, embed_fn, feats, ignore_index):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
-    from rsvldm_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
+    from rsvldm_tpu.utils.compile_cache import cli_setup
+    cli_setup(args.platform)
     import jax
     import jax.numpy as jnp
 
