@@ -66,3 +66,15 @@ def test_run_logger(tmp_path):
     assert recs[0]["loss"] == 0.5
     assert recs[1]["note"] == "ok"
     assert recs[1]["run"] == "test"
+
+
+def test_strip_prefix_reexport():
+    """pipeline._load_stage2_weights and convert_ckpt.py call
+    ckpt.strip_prefix — it must exist on utils.checkpoint (regression:
+    it lived only in utils.convert and every real conversion crashed)."""
+    from rsvldm_tpu.utils import checkpoint as ckpt
+    from rsvldm_tpu.utils.convert import strip_prefix as src
+    sd = {"model.diffusion_model.w": 1, "model.diffusion_model.b": 2,
+          "first_stage_model.k": 3}
+    out = ckpt.strip_prefix(sd, "model.diffusion_model")
+    assert out == src(sd, "model.diffusion_model") == {"w": 1, "b": 2}
