@@ -27,6 +27,9 @@ def round_to_multiple(x: float, m: int = 64) -> int:
     return int(np.round(x / float(m))) * m
 
 
+_WARNED_PIL_FALLBACK = False
+
+
 def pil_to_array(img, upscale: float = 1, min_size: int = 1024,
                  fix_resize: int | None = None, unit: int = 64):
     """PIL.Image -> (np.float32 [H,W,3] in [-1,1], h0, w0).
@@ -52,14 +55,25 @@ def pil_to_array(img, upscale: float = 1, min_size: int = 1024,
     w = round_to_multiple(w, unit)
     h = round_to_multiple(h, unit)
     src = np.asarray(img.convert("RGB"))
+    reason = "native.available() returned False"
     try:  # native fused resize+normalize (exact PIL-float bicubic)
         from .. import native
         if native.available():
             x = native.resize_bicubic_u8(src, h, w, normalize="none")
             x = x.round().clip(0, 255) / 255.0 * 2.0 - 1.0
             return x.astype(np.float32), h0, w0
-    except Exception:
-        pass
+    except Exception as e:
+        reason = str(e)
+    # make the path visible ONCE: native (float-exact) and PIL (8bpc
+    # fixed-point) quantize ~1% of pixels one level apart, so a silent
+    # fallback would hide a cross-host numerics difference
+    global _WARNED_PIL_FALLBACK
+    if not _WARNED_PIL_FALLBACK:
+        _WARNED_PIL_FALLBACK = True
+        import logging
+        logging.getLogger("rsvldm").warning(
+            "native resampler unavailable (%s) — PIL fallback (fixed-point "
+            "bicubic; +-1 uint8 level vs native on ~1%% of pixels)", reason)
     x = img.convert("RGB").resize((w, h), Image.BICUBIC)
     x = np.asarray(x).round().clip(0, 255).astype(np.uint8)
     x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
@@ -132,8 +146,10 @@ def resize_bicubic_torch(x, size: tuple[int, int]) -> np.ndarray:
         return x
     wh = _torch_cubic_matrix(h_in, h_out)
     ww = _torch_cubic_matrix(w_in, w_out)
-    y = np.einsum("oh,nhwc->nowc", wh, x)
-    return np.einsum("pw,nowc->nopc", ww, y)
+    # optimize=True routes through BLAS (~10x at 1k px; default einsum
+    # loops in C without dgemm)
+    y = np.einsum("oh,nhwc->nowc", wh, x, optimize=True)
+    return np.einsum("pw,nowc->nopc", ww, y, optimize=True)
 
 
 def degrade_image(img, down_factor: float = 1.5):
@@ -154,15 +170,16 @@ def load_lr_conditioning(path: str, upscale: int):
     img = Image.open(path).convert("RGB")
     w, h = img.size
     target = max(w, h) * upscale
-    # torchvision Resize(int) scales the SHORT side to `target`; then center
-    # crop to (target, target).
+    # torchvision Resize(int) scales the SHORT side to `target` and
+    # TRUNCATES the long side (int(size * long / short), no rounding);
+    # center_crop offsets use int(round(diff / 2.0))
     if w < h:
-        nw, nh = target, int(round(h * target / w))
+        nw, nh = target, int(h * target / w)
     else:
-        nh, nw = target, int(round(w * target / h))
+        nh, nw = target, int(w * target / h)
     img = img.resize((nw, nh), Image.BICUBIC)
-    left = (nw - target) // 2
-    top = (nh - target) // 2
+    left = int(round((nw - target) / 2.0))
+    top = int(round((nh - target) / 2.0))
     img = img.crop((left, top, left + target, top + target))
     x = np.asarray(img).astype(np.float32) / 255.0
     return (x - 0.5) / 0.5

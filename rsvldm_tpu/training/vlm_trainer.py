@@ -3,7 +3,8 @@
 Parity target: /root/reference llava/train/train.py — per-template
 preprocessing that masks everything except assistant responses with
 IGNORE_INDEX=-100 (:409-957), LoRA wrap + tunable-parts selection
-(:1502-1668: lora on the LM attention projections, mm_projector trainable),
+(:1502-1668: lora on every LM linear via find_all_linear_names,
+mm_projector trainable),
 LLaVATrainer custom param groups (llava_trainer.py:361-438) — rebuilt as a
 functional JAX loop instead of HF Trainer + DeepSpeed: the dp-sharded train
 step optimizes ONLY the LoRA/projector params (the frozen base never enters
@@ -36,7 +37,11 @@ IGNORE_INDEX = -100  # llava/constants.py
 class LoraConfig:
     r: int = 16
     alpha: int = 16
-    targets: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj")
+    # the reference adapts EVERY LM linear except lm_head
+    # (find_all_linear_names + lora_target_modules, train.py:1524) — the
+    # attention projections alone would train far less capacity
+    targets: Sequence[str] = ("q_proj", "k_proj", "v_proj", "o_proj",
+                              "gate_proj", "up_proj", "down_proj")
 
     @property
     def scale(self) -> float:
@@ -44,7 +49,9 @@ class LoraConfig:
 
 
 def init_lora(params: Dict, cfg: LoraConfig, rng: jax.Array) -> Dict:
-    """A/B pairs for every target kernel. A ~ N(0, 1/r), B = 0 (PEFT init)."""
+    """A/B pairs for every target kernel. A ~ kaiming-uniform
+    U(-1/sqrt(in), 1/sqrt(in)) — PEFT's lora_A init (kaiming_uniform with
+    a=sqrt(5) on a Linear reduces to exactly that bound) — and B = 0."""
     lora: Dict = {}
 
     def walk(tree, path, out):
@@ -65,9 +72,10 @@ def init_lora(params: Dict, cfg: LoraConfig, rng: jax.Array) -> Dict:
                 # crc32: stable across processes (hash() is salted)
                 rng_k = jax.random.fold_in(
                     rng, zlib.crc32("/".join(path + [k]).encode()) % (2**31))
+                bound = 1.0 / float(in_f) ** 0.5
                 out[k] = {
-                    "a": jax.random.normal(rng_k, (in_f, cfg.r),
-                                           jnp.float32) / cfg.r,
+                    "a": jax.random.uniform(rng_k, (in_f, cfg.r),
+                                            jnp.float32, -bound, bound),
                     "b": jnp.zeros((cfg.r, out_f), jnp.float32),
                 }
             elif isinstance(v, dict):
@@ -285,7 +293,7 @@ class VLMTrainer:
         self.mesh = mesh
         rng = jax.random.PRNGKey(0) if rng is None else rng
         self.lora = init_lora(base_params, lora_cfg, rng)
-        self.tx = optax.adamw(lr)
+        self.tx = optax.adamw(lr, weight_decay=0.0)  # HF default wd=0
         self.opt_state = self.tx.init(self.lora)
         self.step = 0
 
@@ -330,7 +338,7 @@ class DPOTrainer:
         self.mesh = mesh
         rng = jax.random.PRNGKey(0) if rng is None else rng
         self.lora = init_lora(base_params, lora_cfg, rng)
-        self.tx = optax.adamw(lr)
+        self.tx = optax.adamw(lr, weight_decay=0.0)  # HF default wd=0
         self.opt_state = self.tx.init(self.lora)
         self.step = 0
 
@@ -396,8 +404,8 @@ class MMTrainer:
         self._frozen_proj = None if "projector" in tune else proj_params
         self.trainable = trainable
         self.tx = optax.multi_transform(
-            {"lora": optax.adamw(lr),
-             "proj": optax.adamw(mm_projector_lr
+            {"lora": optax.adamw(lr, weight_decay=0.0),
+             "proj": optax.adamw(weight_decay=0.0, learning_rate=mm_projector_lr
                                  if mm_projector_lr is not None else lr)},
             {k: jax.tree_util.tree_map(lambda _, kk=k: kk, v)
              for k, v in trainable.items()})
@@ -433,10 +441,12 @@ class MMTrainer:
         labels [B,S] (IGNORE over prompt + image spans)."""
         if self.mesh is not None:
             from ..parallel import batch_sharding
-            vis_feats = jax.device_put(
-                vis_feats, batch_sharding(self.mesh, vis_feats.ndim))
-            text_embeds = jax.device_put(
-                text_embeds, batch_sharding(self.mesh, text_embeds.ndim))
+            put = lambda x: jax.device_put(
+                jnp.asarray(x), batch_sharding(self.mesh, jnp.ndim(x)))
+            # shard EVERY batch-major operand (an uncommitted labels array
+            # next to committed embeds forces a reshard inside the jit)
+            vis_feats, text_embeds = put(vis_feats), put(text_embeds)
+            labels, img_pos = put(labels), put(img_pos)
         self.trainable, self.opt_state, loss = self._train_step(
             self.trainable, self.opt_state, vis_feats, text_embeds,
             jnp.asarray(img_pos), labels, cache)

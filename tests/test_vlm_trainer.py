@@ -24,14 +24,21 @@ def _model_and_params():
     return model, params
 
 
-def test_init_lora_targets_only_attention():
+def test_init_lora_targets_all_lm_linears():
+    """Default targets match the reference recipe (find_all_linear_names:
+    every LM linear incl. the MLP projections, lm_head excluded)."""
     _, params = _model_and_params()
     lora = init_lora(params, LoraConfig(r=2), jax.random.PRNGKey(1))
     l0 = lora["layer_0"]
-    assert set(l0) == {"q_proj", "k_proj", "v_proj", "o_proj"}
+    assert set(l0) == {"q_proj", "k_proj", "v_proj", "o_proj",
+                       "gate_proj", "up_proj", "down_proj"}
+    assert "lm_head" not in lora
     assert l0["q_proj"]["a"].shape == (16, 2)
     assert float(jnp.abs(l0["q_proj"]["b"]).max()) == 0.0  # B zero-init
-    assert "gate_proj" not in l0
+    # A ~ kaiming-uniform U(-1/sqrt(in), 1/sqrt(in)) (PEFT lora_A init)
+    bound = 1.0 / 16 ** 0.5
+    a = np.asarray(l0["q_proj"]["a"])
+    assert np.abs(a).max() <= bound and np.abs(a).max() > 0.5 * bound
 
 
 def test_apply_lora_identity_at_init():

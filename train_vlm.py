@@ -315,6 +315,16 @@ def main(argv=None):
                     sides[side] = [(e[:args.max_length],
                                     l[:args.max_length])
                                    for e, l in sides[side]]
+                    for it, (_, lt) in zip(items, sides[side]):
+                        # a fully-truncated side makes its logprob exactly
+                        # 0 (probability 1), silently zeroing the pair's
+                        # DPO margin — refuse like the SFT branch
+                        if not (np.asarray(lt) != IGNORE_INDEX).any():
+                            raise SystemExit(
+                                f"record {it.get('id')}: truncation to "
+                                f"--max_length {args.max_length} removed "
+                                f"every supervised {side} token; raise "
+                                "--max_length")
                 width = max(e.shape[0] for ps in sides.values()
                             for e, _ in ps)
                 width = -(-width // args.pad_to) * args.pad_to
@@ -371,8 +381,14 @@ def main(argv=None):
                                 f"{p + img_tokens} > --max_length "
                                 f"{args.max_length}; raise the cap (the "
                                 "span cannot be truncated mid-image)")
-                        rows.append((e[:args.max_length],
-                                     l[:args.max_length], p,
+                        lt = l[:args.max_length]
+                        if not (np.asarray(lt) != IGNORE_INDEX).any():
+                            raise SystemExit(
+                                f"record {it.get('id')}: truncation to "
+                                f"--max_length {args.max_length} removed "
+                                "every supervised caption token; raise "
+                                "--max_length")
+                        rows.append((e[:args.max_length], lt, p,
                                      feats_raw_fn(it["image"])))
                 width = max(e.shape[0] for e, _, _, _ in rows)
                 width = -(-width // args.pad_to) * args.pad_to
