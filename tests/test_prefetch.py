@@ -145,3 +145,20 @@ def test_make_loader_seeded_augmentation_deterministic():
     i1 = {int(r[0]): r[1] for b in e1 for r in b}
     i2 = {int(r[0]): r[1] for b in e2 for r in b}
     assert any(i1[k] != i2[k] for k in i1)
+
+
+def test_make_loader_mesh_sharding():
+    """sharding= places batches over the mesh ahead of the step (the
+    pin_memory + distributed-sampler pairing)."""
+    import jax
+    from rsvldm_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(tile=1)
+    ds = FakeDS(n=16)
+    it = make_loader(ds, 8, num_workers=2, prefetch=2,
+                     sharding=batch_sharding(mesh, 4), seed=1, epochs=1)
+    batches = list(it)
+    assert len(batches) == 2
+    hr = batches[0][0]
+    assert hr.shape == (8, 4, 4, 3)
+    assert hr.sharding.is_equivalent_to(batch_sharding(mesh, 4), hr.ndim)
