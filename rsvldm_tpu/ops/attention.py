@@ -38,22 +38,38 @@ def _xla_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_diff(q, k, v, causal, scale):
-    """Flash forward with an XLA-recompute backward: pallas_call has no
-    autodiff rule, so training paths that reach the flash kernel get exact
-    gradients by differentiating the einsum formulation instead (one extra
-    forward of recompute — the usual flash-attention trade)."""
+    """Flash forward with a FUSED Pallas backward (flash_attention_bwd):
+    p is rebuilt per block from the stashed logsumexp, so the backward is
+    O(S) memory like the forward. RSVLDM_FLASH_BWD=xla falls back to the
+    chunked einsum-VJP recompute path (kept for A/B and as a safety
+    hatch)."""
     from .flash_attention import flash_attention
     return flash_attention(q, k, v, causal=causal, scale=scale)
 
 
 def _flash_diff_fwd(q, k, v, causal, scale):
-    return _flash_diff(q, k, v, causal, scale), (q, k, v)
+    from .flash_attention import flash_attention
+    out, lse = flash_attention(q, k, v, causal=causal, scale=scale,
+                               return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 _BWD_CHUNK_Q = 1024
 
 
 def _flash_diff_bwd(causal, scale, res, g):
+    """Fused Pallas backward by default; RSVLDM_FLASH_BWD=xla selects the
+    chunked einsum-VJP recompute (peak [B,H,chunk,S] fp32 per chunk)."""
+    import os
+    q, k, v, out, lse = res
+    if os.environ.get("RSVLDM_FLASH_BWD", "pallas") != "xla":
+        from .flash_attention import flash_attention_bwd
+        return flash_attention_bwd(q, k, v, out, lse, g, causal=causal,
+                                   scale=scale)
+    return _flash_bwd_xla(causal, scale, (q, k, v), g)
+
+
+def _flash_bwd_xla(causal, scale, res, g):
     """Chunked recompute backward: the einsum VJP is taken per Q-chunk so
     peak memory is [B,H,chunk,S] fp32 instead of [B,H,S,S] — long sequences
     whose FORWARD needed the flash kernel would otherwise OOM here. Rows of

@@ -25,6 +25,14 @@ cycles/elem) against d=64 MXU contractions — a hardware balance, not a
 scheduling artifact; longer sequences amortize per-call/launch overhead
 toward the ~60 TF exp-bound ceiling. Head-packing negative result from v1
 still holds (equal-FLOPs d=64 vs d=128 within 2%).
+
+Backward: FlashAttention-2-style fused kernels (flash_attention_bwd) —
+p rebuilt per block from the forward's logsumexp, dK/dV and dQ in two
+pallas_calls with fp32 VMEM accumulators; O(S) memory like the forward.
+Gradients verified exactly against the einsum VJP (test_attention), incl.
+suffix-aligned causal sq != sk and padded-row zero contributions. Wired as
+the DEFAULT backward of attention()'s flash path (RSVLDM_FLASH_BWD=xla
+keeps the chunked-recompute fallback).
 """
 
 from __future__ import annotations
@@ -40,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale, causal, block_q, block_k, kv_len, q_offset):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                  acc_ref, *, scale, causal, block_q, block_k, kv_len,
+                  q_offset):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -91,6 +100,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     def _finish():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
                     ).astype(o_ref.dtype)
+        # logsumexp per q row — the softmax statistic the fused backward
+        # rebuilds p from (p = exp(s - lse))
+        lse_ref[0] = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))[:, 0]
 
 
 def _round_up(x, m):
@@ -98,13 +110,16 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret",
+                                             "return_lse"))
 def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
                     block_q: int = 512, block_k: int = 1024,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, return_lse: bool = False):
     """q: [B, Sq, H, D]; k/v: [B, Sk, H, D] -> [B, Sq, H, D].
     causal with sq != sk is SUFFIX-aligned (q row r attends keys
-    <= r + sk - sq), matching _xla_attention and the custom-VJP backward."""
+    <= r + sk - sq), matching _xla_attention and the custom-VJP backward.
+    return_lse: additionally return the per-row logsumexp [B, H, Sq]
+    (fp32) — the residual the fused Pallas backward consumes."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
@@ -130,7 +145,7 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
         _flash_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=sk, q_offset=sk - sq)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -141,9 +156,16 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),    # running max
             pltpu.VMEM((block_q, 1), jnp.float32),    # normalizer
@@ -153,4 +175,212 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
     )(qt, kt, vt)
 
     out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    if return_lse:
+        return out, lse[:, :sq].reshape(b, h, sq)
     return out
+
+
+# ---------------------------------------------------------------- backward
+# FlashAttention-2-style fused backward: p is REBUILT per block from the
+# forward's logsumexp (p = exp(q k^T * scale - lse)), so nothing O(S^2) is
+# ever materialized. Two kernels:
+#   dK/dV — grid (B*H, kv-blocks, q-blocks), q innermost: each kv block
+#           accumulates ds^T q and p^T dO over the streaming q blocks.
+#   dQ    — grid (B*H, q-blocks, kv-blocks), kv innermost: each q block
+#           accumulates ds k over the streaming kv blocks.
+# delta = rowsum(dO * O) is a cheap XLA reduction outside the kernels.
+# Causal masking mirrors the forward's suffix alignment (q_offset = sk-sq).
+
+
+def _bwd_p_ds(q, kk, vv, do, lse_row, delta_row, *, scale, causal,
+              q_start, k_start, block_q, block_k, kv_len, q_offset):
+    """Shared block math: rebuild p, return (p, ds) both fp32 [bq, bk]."""
+    s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32,
+                                               (block_q, block_k), 1)
+    valid = k_pos < kv_len
+    if causal:
+        q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        valid = jnp.logical_and(valid, k_pos <= q_pos)
+    p = jnp.where(valid, jnp.exp(s - lse_row[:, None]), 0.0)
+    dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_row[:, None]) * scale
+    return p, ds
+
+
+def _flash_bwd_kv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
+                         block_q, block_k, kv_len, q_offset):
+    qi = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = qi * block_q
+    k_start = pl.program_id(1) * block_k
+    # causal: q blocks entirely above this kv block's diagonal contribute
+    # nothing — skip their compute
+    live = (q_start + block_q - 1 + q_offset >= k_start) if causal else True
+
+    @pl.when(live)
+    def _update():
+        q = q_ref[0]
+        kk = k_ref[0]
+        vv = v_ref[0]
+        do = do_ref[0]
+        p, ds = _bwd_p_ds(q, kk, vv, do, lse_ref[0], delta_ref[0],
+                          scale=scale, causal=causal, q_start=q_start,
+                          k_start=k_start, block_q=block_q, block_k=block_k,
+                          kv_len=kv_len, q_offset=q_offset)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_qb - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_q_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dq_ref, dq_acc, *, scale, causal, block_q, block_k,
+                        kv_len, q_offset):
+    ki = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q_start = pl.program_id(1) * block_q
+    k_start = ki * block_k
+    live = (k_start <= q_start + block_q - 1 + q_offset) if causal else True
+
+    @pl.when(live)
+    def _update():
+        q = q_ref[0]
+        kk = k_ref[0]
+        _, ds = _bwd_p_ds(q, kk, v_ref[0], do_ref[0], lse_ref[0],
+                          delta_ref[0], scale=scale, causal=causal,
+                          q_start=q_start, k_start=k_start, block_q=block_q,
+                          block_k=block_k, kv_len=kv_len, q_offset=q_offset)
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kb - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention_bwd(q, k, v, out, lse, do, *, causal: bool = False,
+                        scale: float | None = None, block_q: int = 512,
+                        block_k: int = 1024, interpret: bool | None = None):
+    """Fused backward: (q, k, v, out, lse [B,H,Sq], dO) -> (dq, dk, dv).
+    lse comes from flash_attention(..., return_lse=True); padded rows of
+    dO contribute nothing (delta and dO are zero there)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, 8))
+
+    bh = b * h
+    qt = q.transpose(0, 2, 1, 3).reshape(bh, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(bh, sk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(bh, sk, d)
+    dot = do.transpose(0, 2, 1, 3).reshape(bh, sq, d)
+    ot = out.transpose(0, 2, 1, 3).reshape(bh, sq, d)
+    # delta_i = sum_d dO_i * O_i (one fused XLA pass; O(S*D))
+    delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32),
+                    axis=-1)
+    lse2 = lse.reshape(bh, sq)
+
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    qt = jnp.pad(qt, ((0, 0), (0, sq_p - sq), (0, 0)))
+    dot = jnp.pad(dot, ((0, 0), (0, sq_p - sq), (0, 0)))
+    kt = jnp.pad(kt, ((0, 0), (0, sk_p - sk), (0, 0)))
+    vt = jnp.pad(vt, ((0, 0), (0, sk_p - sk), (0, 0)))
+    delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
+    lse2 = jnp.pad(lse2, ((0, 0), (0, sq_p - sq)))
+
+    q_off = sk - sq
+    common = dict(scale=scale, causal=causal, block_q=block_q,
+                  block_k=block_k, kv_len=sk, q_offset=q_off)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kv_kernel, **common),
+        grid=(bh, sk_p // block_k, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, kk, qq: (i, qq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, kk, qq: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, kk, qq: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, kk, qq: (i, qq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, kk, qq: (i, qq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, kk, qq: (i, qq),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, kk, qq: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, kk, qq: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, kt, vt, dot, lse2, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_q_kernel, **common),
+        grid=(bh, sq_p // block_q, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, qq, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, qq, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, qq, kk: (i, qq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, qq, kk: (i, qq),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qt, kt, vt, dot, lse2, delta)
+
+    dq = dq[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    dk = dk[:, :sk].reshape(b, h, sk, d).transpose(0, 2, 1, 3)
+    dv = dv[:, :sk].reshape(b, h, sk, d).transpose(0, 2, 1, 3)
+    return dq, dk, dv

@@ -70,10 +70,11 @@ def test_flash_dispatch_gradient_matches_xla():
                                    rtol=1e-3)
 
 
-def test_flash_bwd_chunked_matches_full():
-    """Long-sequence backward runs Q-chunked; gradients must equal the
-    unchunked einsum VJP (incl. the per-chunk causal mask offset)."""
+def test_flash_bwd_chunked_matches_full(monkeypatch):
+    """The RSVLDM_FLASH_BWD=xla fallback runs Q-chunked; gradients must
+    equal the unchunked einsum VJP (incl. the per-chunk causal offset)."""
     import rsvldm_tpu.ops.attention as A
+    monkeypatch.setenv("RSVLDM_FLASH_BWD", "xla")
     b, s, h, d = 1, 96, 2, 8
     q = _rand((b, s, h, d), 11)
     k = _rand((b, s, h, d), 12)
@@ -96,3 +97,49 @@ def test_flash_bwd_chunked_matches_full():
         for a, b_ in zip(g_f, g_ref):
             np.testing.assert_allclose(np.array(a), np.array(b_),
                                        atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("sq,sk,causal", [
+    (96, 96, False),
+    (96, 96, True),
+    (64, 160, True),     # suffix-aligned causal, sq != sk
+    (90, 150, False),    # non-multiples of the block
+    (90, 150, True),
+])
+def test_flash_fused_bwd_matches_xla_grads(sq, sk, causal):
+    """The fused Pallas backward (default path of _flash_diff's custom_vjp)
+    must reproduce the einsum formulation's gradients, incl. padded rows
+    and the suffix-aligned causal mask."""
+    from rsvldm_tpu.ops.attention import _flash_diff
+    b, h, d = 2, 2, 16
+    q = _rand((b, sq, h, d), 21)
+    k = _rand((b, sk, h, d), 22)
+    v = _rand((b, sk, h, d), 23)
+    g = _rand((b, sq, h, d), 24)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, causal=causal) * g)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash_diff(q, k, v, causal, None) * g)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_ref):
+        np.testing.assert_allclose(np.array(a), np.array(b_),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_flash_lse_matches_softmax():
+    from rsvldm_tpu.ops.flash_attention import flash_attention
+    b, s, h, d = 1, 70, 2, 16
+    q, k, v = _rand((b, s, h, d), 31), _rand((b, s, h, d), 32), \
+        _rand((b, s, h, d), 33)
+    out, lse = flash_attention(q, k, v, causal=True, block_q=32, block_k=32,
+                               interpret=True, return_lse=True)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (d ** 0.5)
+    mask = jnp.tril(jnp.ones((s, s), bool))
+    logits = jnp.where(mask, logits, -1e30)
+    ref = jax.scipy.special.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.array(lse), np.array(ref), atol=1e-4,
+                               rtol=1e-4)
