@@ -198,39 +198,65 @@ def linear_multistep_sample(denoise_fn, noise, sigmas, order: int = 4):
 
 
 def substep_sigmas(n_sample_steps: int = 4, num_timesteps: int = 1000):
-    """SubstepSampler's fixed subset {0,100,200,300,1000} of the full table
-    (sampling.py:370-418)."""
-    full = legacy_ddpm_sigmas(num_timesteps, do_append_zero=False, flip=True)
-    idx = [1000, 300, 200, 100, 0][-(n_sample_steps + 1):]
-    vals = [float(full[min(i, num_timesteps - 1)]) if i > 0 else 0.0
-            for i in idx]
-    return jnp.asarray(vals, jnp.float32)
+    """SubstepSampler's sigma subset (sampling.py:370-387): indices
+    steps_subset[:n] + steps_subset[-1:] into the DESCENDING 1001-entry
+    table (index 0 = sigma_max ~14.61, index 1000 = the appended 0), i.e.
+    [14.61, sigma(t=899), sigma(t=799), sigma(t=699), 0] at the default
+    n=4 — truncation keeps the HIGH-sigma end + the terminal 0."""
+    full = legacy_ddpm_sigmas(num_timesteps)  # descending + appended 0
+    subset = [0, 100, 200, 300, 1000]
+    idx = subset[:n_sample_steps] + subset[-1:]
+    return jnp.asarray([float(full[i]) for i in idx], jnp.float32)
 
 
-def restore_dpmpp2m_sample(denoise_fn, noise, sigmas, x_center,
-                           restore_cfg: float = 4.0,
-                           restore_cfg_s_tmin: float = 0.05,
-                           sigma_max: float = 14.6146):
-    """RestoreDPMPP2MSampler (sampling.py:421-514): DPMPP2M with the
-    restore-CFG drift correction toward x_center."""
+def restore_dpmpp2m_sample(denoise_fn, noise, sigmas, rng=None,
+                           eta: float = 1.0, s_noise: float = 1.0,
+                           eps_override=None):
+    """RestoreDPMPP2MSampler (sampling.py:421-514): STOCHASTIC DPM++(2M).
+
+    Reference semantics (eta=1 default): the class RE-DERIVES its schedule
+    as a Karras ramp over [sigmas[-2], sigmas[0]] of the prepared table;
+    eta folds into the update (mult1 = sigma_next/sigma * exp(-eta*h),
+    mult2 = expm1(-h - eta*h)) and fresh gaussian noise scaled by
+    next_sigma * sqrt(-expm1(-2*eta*h)) * s_noise is injected on every
+    non-first step with next_sigma > 0. Its restore_cfg/x_center __init__
+    params are never used in sampler_step — not reproduced here.
+
+    Noise source: the reference draws from a BrownianTreeNoiseSampler;
+    over a fixed non-adaptive step sequence the increments on disjoint
+    [sigma_i, sigma_{i+1}] intervals are independent gaussians, so
+    per-step fold_in normals are statistically identical (bit-parity with
+    torchsde is out of scope). eps_override [n_steps, *x.shape] injects an
+    explicit noise sequence (the oracle-parity hook)."""
+    n = sigmas.shape[0] - 1
+    sigmas = karras_sigmas(n, float(sigmas[-2]), float(sigmas[0]))
+    rng = jax.random.PRNGKey(0) if rng is None else rng
     x = init_noise_scaling(noise, sigmas[0])
 
     def body(carry, i):
         x, old_denoised = carry
         sigma, nxt = sigmas[i], sigmas[i + 1]
         denoised = denoise_fn(x, sigma)
-        if restore_cfg > 0:
-            w = (sigma / sigma_max) ** restore_cfg
-            corrected = denoised - (denoised - x_center) * w
-            denoised = jnp.where(nxt > restore_cfg_s_tmin, corrected, denoised)
         t, t_next = t_of(sigma), t_of(nxt)
         h = t_next - t
-        x_std = sigma_of(t_next) / sigma_of(t) * x - jnp.expm1(-h) * denoised
+        eta_h = eta * h
+        mult1 = sigma_of(t_next) / sigma_of(t) * jnp.exp(-eta_h)
+        mult2 = jnp.expm1(-h - eta_h)
+        x_std = mult1 * x - mult2 * denoised
         prev_sigma = sigmas[jnp.maximum(i - 1, 0)]
         r = (t - t_of(prev_sigma)) / h
         denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
-        x_adv = sigma_of(t_next) / sigma_of(t) * x - jnp.expm1(-h) * denoised_d
-        x_new = jnp.where((i > 0) & (nxt > 1e-14), x_adv, x_std)
+        x_adv = mult1 * x - mult2 * denoised_d
+        use_adv = (i > 0) & (nxt > 1e-14)
+        x_new = jnp.where(use_adv, x_adv, x_std)
+        if eta > 0:
+            if eps_override is not None:
+                eps = eps_override[i]
+            else:
+                eps = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
+                                        x.dtype)
+            inj = eps * nxt * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
+            x_new = jnp.where(use_adv, x_new + inj, x_new)
         return (x_new, denoised), 0.0
 
     (x_final, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)),
@@ -294,6 +320,11 @@ def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
                                 for hi, he, wi, we in wins], axis=0)
     xc_tiles = jnp.concatenate([x_center[:, hi:he, wi:we, :]
                                 for hi, he, wi, we in wins], axis=0)
+    # weight-normalization canvas is step-invariant — build it ONCE instead
+    # of re-running len(wins) scatter-adds inside every scan iteration
+    cnt = jnp.zeros_like(x)
+    for hi, he, wi, we in wins:
+        cnt = cnt.at[:, hi:he, wi:we, :].add(weights)
 
     def body(x, i):
         sigma, nxt = sigmas[i], sigmas[i + 1]
@@ -314,11 +345,9 @@ def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
         stepped = tiles + d * (nxt - sigma_hat)
 
         acc = jnp.zeros_like(x)
-        cnt = jnp.zeros_like(x)
         for t_idx, (hi, he, wi, we) in enumerate(wins):
             st = stepped[t_idx * b:(t_idx + 1) * b]
             acc = acc.at[:, hi:he, wi:we, :].add(st * weights)
-            cnt = cnt.at[:, hi:he, wi:we, :].add(weights)
         return acc / cnt, 0.0
 
     return _scan(body, x, n - 1)

@@ -235,3 +235,92 @@ def test_loop_parity_linear_control_scale():
 def test_loop_parity_vanilla_cfg():
     ref, ours = _drive(use_linear_cfg=False, cfg_scale=4.0, threshold=0.3)
     np.testing.assert_allclose(ours, ref, rtol=0, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# RestoreDPMPP2MSampler loop parity: the stochastic DPM++(2M) variant
+# (sampling.py:421-514). The reference's BrownianTreeNoiseSampler /
+# get_sigmas_karras come from the stubbed k_diffusion — both are
+# monkeypatched with real equivalents (a shared injected-noise queue and
+# the Karras ramp), so the two loops see IDENTICAL noise.
+
+
+def _run_reference_dpmpp2m(num_steps, noise, eps_seq, eta):
+    import torch
+    import sgm.modules.diffusionmodules.sampling as SMP
+
+    def karras_t(n, smin, smax, device=None):
+        ramp = torch.linspace(0, 1, n, dtype=torch.float64)
+        mn, mx = float(smin) ** (1 / 7.0), float(smax) ** (1 / 7.0)
+        s = (mx + ramp * (mn - mx)) ** 7.0
+        return torch.cat([s.to(torch.float32), torch.zeros(1)])
+
+    class QueueNS:
+        def __init__(self, x, smin, smax):
+            self.it = iter([torch.tensor(e) for e in eps_seq])
+
+        def __call__(self, s, s_next):
+            return next(self.it)
+
+    disc = {"target": "sgm.modules.diffusionmodules.discretizer."
+                      "LegacyDDPMDiscretization"}
+    guider = {"target": "sgm.modules.diffusionmodules.guiders.IdentityGuider"}
+    old_k, old_ns = SMP.get_sigmas_karras, SMP.BrownianTreeNoiseSampler
+    SMP.get_sigmas_karras = karras_t
+    SMP.BrownianTreeNoiseSampler = QueueNS
+    try:
+        sampler = SMP.RestoreDPMPP2MSampler(
+            eta=eta, s_noise=1.0, discretization_config=disc,
+            guider_config=guider, num_steps=num_steps, device="cpu",
+            verbose=False)
+        den = TorchFakeDenoiser()
+        cond_ca, _ = _conds()
+        c = {"crossattn": torch.tensor(cond_ca)}
+        x = sampler(den, torch.tensor(noise), c, uc=c, num_steps=num_steps)
+        return x.numpy()
+    finally:
+        SMP.get_sigmas_karras = old_k
+        SMP.BrownianTreeNoiseSampler = old_ns
+
+
+# eta=1.0 only: the reference class NaNs at eta=0 (its final step computes
+# eta*h = 0*inf = nan inside get_mult before the early-return branch reads
+# x_standard), so the default eta is the only parity-checkable setting —
+# our t_of clamp keeps eta=0 finite, deliberately better than bug-for-bug.
+@pytest.mark.parametrize("eta", [1.0])
+def test_restore_dpmpp2m_loop_parity(eta):
+    import jax.numpy as jnp
+    from rsvldm_tpu.diffusion.samplers_extra import restore_dpmpp2m_sample
+    from rsvldm_tpu.diffusion.schedules import legacy_ddpm_sigmas
+
+    num_steps = 6
+    rng = np.random.default_rng(23)
+    noise = rng.normal(size=(N, C, H, W)).astype(np.float32)
+    # the torch loop consumes one eps per step with i>0 and next_sigma>0,
+    # i.e. steps 1..num_steps-2; ours indexes eps_override[i] at the same
+    # steps — align by placing eps for step i at queue position i-1
+    eps_mid = [rng.normal(size=(N, C, H, W)).astype(np.float32)
+               for _ in range(num_steps - 2)]
+    ref = _run_reference_dpmpp2m(num_steps, noise, eps_mid, eta)
+
+    eps_override = np.zeros((num_steps, N, C, H, W), np.float32)
+    for j, e in enumerate(eps_mid):
+        eps_override[j + 1] = e
+    cond_ca, _ = _conds()
+    bias = cond_ca.mean(axis=(1, 2)).reshape(-1, 1, 1, 1)
+
+    def denoise_fn(x, sigma):
+        # JaxFakeDenoiser math inline (NHWC), control_scale=1, no CFG
+        w_a = jnp.asarray(W_A).reshape(1, 1, 1, C)
+        w_b = jnp.asarray(W_B).reshape(1, 1, 1, C)
+        h = jnp.tanh(x * w_a) + 0.05 * sigma
+        return (0.7 * jnp.tanh(h * w_b) + 0.2 * x
+                + 0.1 * jnp.asarray(bias).transpose(0, 2, 3, 1))
+
+    sigmas = legacy_ddpm_sigmas(num_steps)
+    ours = restore_dpmpp2m_sample(
+        denoise_fn, jnp.asarray(noise).transpose(0, 2, 3, 1), sigmas,
+        eta=eta, s_noise=1.0,
+        eps_override=jnp.asarray(eps_override).transpose(0, 1, 3, 4, 2))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               atol=2e-4, rtol=2e-4)

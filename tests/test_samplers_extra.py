@@ -73,26 +73,32 @@ def test_heun_more_accurate_than_euler():
 
 
 def test_substep_sigmas():
-    s = S.substep_sigmas(4)
+    s = np.asarray(S.substep_sigmas(4))
     assert s.shape == (5,)
-    assert float(s[-1]) == 0.0
-    assert np.all(np.diff(np.asarray(s)) < 0)
+    # golden values: indices [0,100,200,300,1000] into the reference's
+    # DESCENDING 1001-entry LegacyDDPM table (sampling.py:375-381)
+    np.testing.assert_allclose(
+        s, [14.6146, 8.3028, 5.0878, 3.3211, 0.0], atol=2e-3)
+    # truncation keeps the HIGH-sigma end + terminal zero
+    s2 = np.asarray(S.substep_sigmas(2))
+    np.testing.assert_allclose(s2, [14.6146, 8.3028, 0.0], atol=2e-3)
 
 
-def test_restore_dpmpp2m_drift():
-    # NOTE: with a state-INDEPENDENT denoiser the final sigma->0 step wipes
-    # trajectory history (x <- denoised), so the drift must be observed with
-    # the state-dependent gaussian denoiser.
+def test_restore_dpmpp2m():
+    # eta folds into the update and injects per-step noise (sampling.py:
+    # 421-485, default eta=1); eta=0 reduces to the deterministic DPM++(2M)
+    # update on the class's Karras-re-ramped schedule
     sigmas = legacy_ddpm_sigmas(10)
-    xc = jnp.ones_like(NOISE) * 2.0
-    a = S.restore_dpmpp2m_sample(gauss_denoiser, NOISE, sigmas, xc,
-                                 restore_cfg=4.0)
-    b = S.restore_dpmpp2m_sample(gauss_denoiser, NOISE, sigmas, xc,
-                                 restore_cfg=-1.0)
-    assert not np.allclose(np.asarray(a), np.asarray(b))
-    # delta-data convergence still exact without drift
-    d = S.restore_dpmpp2m_sample(delta_denoiser, NOISE, sigmas, xc,
-                                 restore_cfg=-1.0)
+    rng = jax.random.PRNGKey(3)
+    a = S.restore_dpmpp2m_sample(gauss_denoiser, NOISE, sigmas, rng)
+    b = S.restore_dpmpp2m_sample(gauss_denoiser, NOISE, sigmas, rng,
+                                 eta=0.0)
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # eta matters
+    # deterministic in rng
+    a2 = S.restore_dpmpp2m_sample(gauss_denoiser, NOISE, sigmas, rng)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    # delta-data convergence (final sigma->0 step lands on the denoiser)
+    d = S.restore_dpmpp2m_sample(delta_denoiser, NOISE, sigmas, rng)
     assert float(jnp.abs(d - TARGET).mean()) < 1e-3
 
 
