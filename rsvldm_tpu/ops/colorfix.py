@@ -12,12 +12,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # 3x3 binomial kernel used by the wavelet pyramid (colorfix.py:79-83).
-_KERNEL = jnp.array(
+# Kept as a HOST numpy constant: a module-level jnp.array would initialize
+# the device backend at import time — before any CLI's --platform override
+# runs — and hang every entry point whenever the TPU relay is unreachable.
+_KERNEL = np.array(
     [[0.0625, 0.125, 0.0625],
      [0.125, 0.25, 0.125],
-     [0.0625, 0.125, 0.0625]], dtype=jnp.float32)
+     [0.0625, 0.125, 0.0625]], dtype=np.float32)
 
 
 def wavelet_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:

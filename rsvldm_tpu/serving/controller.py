@@ -126,3 +126,31 @@ class Controller:
         server = ThreadingHTTPServer((host, port), Handler)
         threading.Thread(target=server.serve_forever, daemon=True).start()
         return server
+
+
+def main(argv=None, block: bool = True):
+    """`python -m rsvldm_tpu.serving.controller` — the reference's
+    `python -m llava.serve.controller` launch command (controller.py:
+    argparse tail), same flags. block=False returns the live server
+    (tests)."""
+    import argparse
+    ap = argparse.ArgumentParser(description="rsvldm serving controller")
+    ap.add_argument("--host", type=str, default="localhost")
+    ap.add_argument("--port", type=int, default=21001)
+    ap.add_argument("--dispatch-method", type=str, default="shortest_queue",
+                    choices=["lottery", "shortest_queue"])
+    args = ap.parse_args(argv)
+    ctrl = Controller(dispatch_method=args.dispatch_method)
+    server = ctrl.serve(args.host, args.port)
+    print(f"controller listening on http://{args.host}:"
+          f"{server.server_address[1]}", flush=True)
+    if not block:
+        return server
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -242,3 +242,102 @@ class LLMWorker(Worker):
         server = ThreadingHTTPServer((host, port), Handler)
         threading.Thread(target=server.serve_forever, daemon=True).start()
         return server
+
+
+def main(argv=None, block: bool = True):
+    """`python -m rsvldm_tpu.serving.llm_worker` — the reference's
+    `python -m llava.serve.sglang_worker` launch: a worker whose generate
+    path is the continuous-batching engine. --slots is the
+    --limit-model-concurrency equivalent (but decode here BATCHES the
+    concurrent requests over one weight stream instead of gating them)."""
+    import argparse
+    import threading as _t
+    ap = argparse.ArgumentParser(
+        description="rsvldm continuous-batching LLM worker")
+    ap.add_argument("--host", type=str, default="localhost")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--worker-address", type=str, default=None)
+    ap.add_argument("--controller-address", type=str,
+                    default="http://localhost:21001")
+    ap.add_argument("--no-register", action="store_true")
+    ap.add_argument("--model-name", type=str, default="rsvldm-llm")
+    ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
+    ap.add_argument("--load-8bit", action="store_true", default=True,
+                    help="int8 weight-only decoder (default on — 8B bf16 "
+                         "does not fit one 16 GB chip)")
+    ap.add_argument("--no-load-8bit", dest="load_8bit", action="store_false")
+    ap.add_argument("--load-4bit", action="store_true")
+    ap.add_argument("--kv-8bit", action="store_true",
+                    help="int8 KV cache: half the cache bytes -> double "
+                         "the slots/context per chip")
+    ap.add_argument("--slots", type=int, default=8,
+                    help="concurrent decode rows (continuous batching)")
+    ap.add_argument("--max-len", type=int, default=4096)
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunk long-prompt admission (tokens per step; "
+                         "0 = whole-prompt prefill)")
+    ap.add_argument("--draft_dir", type=str, default="",
+                    help="Llama-family draft checkpoint for engine-composed "
+                         "speculative decoding")
+    ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--prefix-file", type=str, default="",
+                    help="file holding a shared prompt scaffold; its KV "
+                         "block is prefilled once (prefix caching). Must "
+                         "end on a token boundary")
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    from ..utils.compile_cache import cli_setup
+    cli_setup(args.platform)
+
+    import dataclasses as _dc
+
+    from ..models.vlm.captioner import LLAMA3_8B_CONFIG, LlavaCaptioner
+    quant = "int4" if args.load_4bit else ("int8" if args.load_8bit else None)
+    llama_cfg = (_dc.replace(LLAMA3_8B_CONFIG, kv_quant=True)
+                 if args.kv_8bit else LLAMA3_8B_CONFIG)
+    cap = LlavaCaptioner.load(args.ckpt_dir, llama_cfg=llama_cfg,
+                              quant=quant,
+                              draft_dir=args.draft_dir or None,
+                              spec_k=args.spec_k)
+    if cap is None:
+        raise SystemExit(f"no llava assets under {args.ckpt_dir}")
+
+    engine = DecodeEngine(cap.llama, cap.llama_params, slots=args.slots,
+                          max_len=args.max_len,
+                          prefill_chunk=args.prefill_chunk or None,
+                          draft=cap.draft, draft_params=cap.draft_params,
+                          spec_k=args.spec_k)
+    decode_fn = lambda ids: cap.tokenizer.decode(ids,
+                                                 skip_special_tokens=True)
+    prefix_text = None
+    if args.prefix_file:
+        with open(args.prefix_file, encoding="utf-8") as f:
+            prefix_text = f.read()
+    name = args.worker_address or f"http://{args.host}:{args.port}"
+    worker = LLMWorker(
+        engine, embed_prompt=lambda p: cap.embed_mm(p, []),
+        decode_fn=decode_fn, worker_name=name,
+        controller_url=(None if args.no_register
+                        else args.controller_address),
+        model_names=(args.model_name,),
+        base_cfg=GenerateConfig(max_new_tokens=args.max_new_tokens,
+                                temperature=args.temperature,
+                                do_sample=args.temperature > 0),
+        prefix_text=prefix_text, embed_mm=cap.embed_mm)
+    server = worker.serve(args.host, args.port)
+    print(f"llm worker {name} serving model '{args.model_name}' "
+          f"({args.slots} slots, quant={quant or 'bf16'})", flush=True)
+    if not block:
+        return worker, server
+    try:
+        _t.Event().wait()
+    except KeyboardInterrupt:
+        worker.stop()
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

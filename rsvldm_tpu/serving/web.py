@@ -150,3 +150,33 @@ class WebServer:
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+
+
+def main(argv=None, block: bool = True):
+    """`python -m rsvldm_tpu.serving.web` — the reference's
+    `python -m llava.serve.gradio_web_server` launch: a browser frontend
+    that routes jobs through the controller. block=False returns the live
+    WebServer (tests)."""
+    import argparse
+    import threading
+    ap = argparse.ArgumentParser(description="rsvldm web frontend")
+    ap.add_argument("--host", type=str, default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--controller-url", type=str,
+                    default="http://localhost:21001")
+    args = ap.parse_args(argv)
+    srv = WebServer(controller_url=args.controller_url, host=args.host,
+                    port=args.port)
+    print(f"web UI on http://{args.host}:{srv.port} "
+          f"(controller {args.controller_url})", flush=True)
+    if not block:
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -114,3 +114,60 @@ class Worker:
 
     def stop(self):
         self._stop.set()
+
+
+def main(argv=None, block: bool = True):
+    """`python -m rsvldm_tpu.serving.worker` — the reference's
+    `python -m llava.serve.model_worker` launch for the SR pipeline:
+    registers with the controller and serves /worker_generate on a
+    base64-encoded image (model_worker.py argparse tail; pipeline knobs
+    replace --model-path)."""
+    import argparse
+    ap = argparse.ArgumentParser(description="rsvldm SR model worker")
+    ap.add_argument("--host", type=str, default="localhost")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--worker-address", type=str, default=None,
+                    help="advertised URL (default http://<host>:<port>)")
+    ap.add_argument("--controller-address", type=str,
+                    default="http://localhost:21001")
+    ap.add_argument("--no-register", action="store_true",
+                    help="standalone worker (no controller handshake)")
+    ap.add_argument("--model-name", type=str, default="rsvldm-sr")
+    ap.add_argument("--ckpt_dir", type=str, default="./CKPT_PTH")
+    ap.add_argument("--upscale", type=int, default=8)
+    ap.add_argument("--num_steps", type=int, default=50)
+    ap.add_argument("--img_threshold", type=float, default=0.3)
+    ap.add_argument("--no_llava", action="store_true")
+    ap.add_argument("--debug_tiny", action="store_true")
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    from ..utils.compile_cache import cli_setup
+    cli_setup(args.platform)
+
+    from ..config import PipelineConfig
+    from ..pipeline import SuperResolutionPipeline
+    cfg = PipelineConfig(upscale=args.upscale, ckpt_dir=args.ckpt_dir,
+                         no_llava=args.no_llava)
+    cfg.refine.img_threshold = args.img_threshold
+    cfg.refine.edm_steps = args.num_steps
+    pipeline = SuperResolutionPipeline(cfg, debug_tiny=args.debug_tiny)
+
+    name = args.worker_address or f"http://{args.host}:{args.port}"
+    w = Worker(pipeline, worker_name=name,
+               controller_url=(None if args.no_register
+                               else args.controller_address),
+               model_names=(args.model_name,))
+    server = w.serve(args.host, args.port)
+    print(f"worker {name} serving model '{args.model_name}'", flush=True)
+    if not block:
+        return w, server
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        w.stop()
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""`python -m rsvldm_tpu.serving.*` launchers (the reference's
+`python -m llava.serve.controller / model_worker / sglang_worker /
+gradio_web_server` launch commands).
+
+Each main() is driven with block=False so the test gets the live server
+back; model construction is monkeypatched where a real checkpoint would be
+needed (the HTTP surface itself is what these tests pin down — the model
+paths have their own suites).
+"""
+
+import base64
+import io
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsvldm_tpu.models.vlm.llama import KVCache, LlamaConfig, LlamaModel
+
+CFG = LlamaConfig(vocab_size=128, dim=32, layers=2, heads=4, kv_heads=2,
+                  ffn_dim=64, dtype=jnp.float32)
+
+
+def _post(url, payload, timeout=30):
+    req = urllib.request.Request(url, json.dumps(payload).encode(),
+                                 {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_controller_main_serves():
+    from rsvldm_tpu.serving.controller import main
+    server = main(["--host", "127.0.0.1", "--port", "0",
+                   "--dispatch-method", "lottery"], block=False)
+    try:
+        port = server.server_address[1]
+        out = _post(f"http://127.0.0.1:{port}/list_models", {})
+        assert out == {"models": []}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_web_main_routes_through_controller():
+    from rsvldm_tpu.serving.controller import main as ctrl_main
+    from rsvldm_tpu.serving.web import main as web_main
+    ctrl = ctrl_main(["--host", "127.0.0.1", "--port", "0"], block=False)
+    cport = ctrl.server_address[1]
+    web = web_main(["--host", "127.0.0.1", "--port", "0",
+                    "--controller-url", f"http://127.0.0.1:{cport}"],
+                   block=False)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{web.port}/", timeout=30) as r:
+            assert b"rsvldm" in r.read()
+        # no worker registered -> structured error, not a dropped socket
+        out = _post(f"http://127.0.0.1:{web.port}/generate",
+                    {"image": "", "model": "rsvldm-sr"})
+        assert out == {"error": "no available worker"}
+    finally:
+        web.shutdown()
+        ctrl.shutdown()
+        ctrl.server_close()
+
+
+def test_worker_main_end_to_end(monkeypatch, tmp_path):
+    """model_worker launch: fake pipeline, real HTTP round-trip of a
+    base64 PNG through /worker_generate."""
+    from PIL import Image
+
+    import rsvldm_tpu.pipeline as pl
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    class FakePipeline:
+        def __init__(self, cfg, debug_tiny=False, **kw):
+            assert cfg.refine.edm_steps == 7      # --num_steps reached it
+            assert cfg.refine.img_threshold == 0.25
+
+        def process(self, image_path=None):
+            return Image.open(image_path).resize((16, 16))
+
+    monkeypatch.setattr(pl, "SuperResolutionPipeline", FakePipeline)
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+
+    from rsvldm_tpu.serving.worker import main
+    w, server = main(["--host", "127.0.0.1", "--port", "0", "--no-register",
+                      "--num_steps", "7", "--img_threshold", "0.25",
+                      "--ckpt_dir", str(tmp_path)], block=False)
+    try:
+        port = server.server_address[1]
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (10, 200, 30)).save(buf, format="PNG")
+        out = _post(f"http://127.0.0.1:{port}/worker_generate",
+                    {"image": base64.b64encode(buf.getvalue()).decode()})
+        img = Image.open(io.BytesIO(base64.b64decode(out["image"])))
+        assert img.size == (16, 16)
+        status = _post(f"http://127.0.0.1:{port}/worker_get_status", {})
+        assert status["model_names"] == ["rsvldm-sr"]
+    finally:
+        w.stop()
+        server.shutdown()
+        server.server_close()
+
+
+class _FakeTokenizer:
+    def encode(self, s, add_special_tokens=False):
+        return [(ord(c) % 96) + 1 for c in s]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(i) for i in ids)
+
+
+class _FakeCaptioner:
+    load_kwargs = None
+
+    def __init__(self):
+        self.llama = LlamaModel(CFG)
+        cache = KVCache.init(CFG, 1, 8, jnp.float32)
+        self.llama_params = self.llama.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32), cache, 0,
+            method=self.llama.from_tokens)
+        self.tokenizer = _FakeTokenizer()
+        self.draft = None
+        self.draft_params = None
+
+    def embed_mm(self, prompt, images):
+        assert images == []
+        ids = jnp.asarray(self.tokenizer.encode(prompt), jnp.int32)
+        return self.llama.apply(self.llama_params, ids,
+                                method=self.llama.embed)
+
+
+def test_llm_worker_main_end_to_end(monkeypatch, tmp_path):
+    """sglang_worker launch: fake captioner load, real engine + HTTP
+    generate; --load-4bit must reach LlavaCaptioner.load as quant='int4'."""
+    import rsvldm_tpu.models.vlm.captioner as capmod
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    def fake_load(ckpt_dir, **kw):
+        _FakeCaptioner.load_kwargs = dict(kw, ckpt_dir=ckpt_dir)
+        return _FakeCaptioner()
+
+    monkeypatch.setattr(capmod.LlavaCaptioner, "load",
+                        staticmethod(fake_load))
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+
+    from rsvldm_tpu.serving.llm_worker import main
+    worker, server = main(
+        ["--host", "127.0.0.1", "--port", "0", "--no-register",
+         "--load-4bit", "--slots", "2", "--max-len", "256",
+         "--max-new-tokens", "5", "--ckpt_dir", str(tmp_path)],
+        block=False)
+    try:
+        assert _FakeCaptioner.load_kwargs["quant"] == "int4"
+        port = server.server_address[1]
+        out = _post(f"http://127.0.0.1:{port}/worker_generate",
+                    {"prompt": "hello engine"})
+        assert isinstance(out["text"], str) and out["text"]
+        assert len(out["text"].split()) == 5  # max_new_tokens, no eot hit
+    finally:
+        worker.stop()
+        server.shutdown()
+        server.server_close()
+
+
+def test_llm_worker_main_missing_ckpt(monkeypatch, tmp_path):
+    import rsvldm_tpu.utils.compile_cache as cc
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+    from rsvldm_tpu.serving.llm_worker import main
+    with pytest.raises(SystemExit):
+        main(["--ckpt_dir", str(tmp_path / "nope"), "--no-register"],
+             block=False)
