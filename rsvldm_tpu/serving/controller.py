@@ -35,11 +35,43 @@ class Controller:
         self.lock = threading.Lock()
 
     # ---- registry ----
-    def register_worker(self, name: str, model_names: list,
-                        speed: float = 1.0, queue_length: int = 0):
+    def get_worker_status(self, name: str) -> dict | None:
+        """Probe a worker's /worker_get_status (controller.py:84-95).
+        None on any transport/JSON failure — the caller drops the worker."""
+        from .http_util import post_json
+        try:
+            out = post_json(name + "/worker_get_status", {}, timeout=5)
+        except Exception:
+            return None
+        return None if "error" in out else out
+
+    def register_worker(self, name: str, model_names: list | None = None,
+                        speed: float = 1.0, queue_length: int = 0) -> bool:
+        """model_names=None is the reference's `worker_status: None` path
+        (register_worker.py:20-25): the controller probes the worker for
+        its own status and refuses to register an unreachable one."""
+        if model_names is None:
+            status = self.get_worker_status(name)
+            if not status:
+                return False
+            model_names = status.get("model_names", [])
+            speed = status.get("speed", 1.0)
+            queue_length = status.get("queue_length", 0)
         with self.lock:
             self.workers[name] = WorkerInfo(model_names, speed, queue_length,
                                             time.time())
+        return True
+
+    def refresh_all_workers(self) -> list:
+        """Re-probe every registered worker; drop the unreachable ones
+        (controller.py:100-106). Returns the removed names."""
+        with self.lock:
+            names = list(self.workers)
+        removed = [n for n in names if not self.register_worker(n)]
+        with self.lock:
+            for n in removed:
+                self.workers.pop(n, None)
+        return removed
 
     def receive_heart_beat(self, name: str, queue_length: int) -> bool:
         with self.lock:
@@ -97,11 +129,18 @@ class Controller:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/register_worker":
-                        ctrl.register_worker(payload["worker_name"],
-                                             payload.get("model_names", []),
-                                             payload.get("speed", 1.0),
-                                             payload.get("queue_length", 0))
-                        send_json(self, {"ok": True})
+                        # model_names omitted == the reference's
+                        # `worker_status: None` (controller probes the
+                        # worker itself; register_worker.py CLI)
+                        ok = ctrl.register_worker(
+                            payload["worker_name"],
+                            payload.get("model_names"),
+                            payload.get("speed", 1.0),
+                            payload.get("queue_length", 0))
+                        send_json(self, {"ok": ok})
+                    elif self.path == "/refresh_all_workers":
+                        send_json(self, {"removed":
+                                         ctrl.refresh_all_workers()})
                     elif self.path == "/receive_heart_beat":
                         ok = ctrl.receive_heart_beat(
                             payload["worker_name"],

@@ -176,8 +176,6 @@ class LLMWorker(Worker):
                 self.queue_length -= 1
 
     def serve(self, host: str = "0.0.0.0", port: int = 40001):
-        self.register()
-        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
         self._ensure_driver()
         worker = self
 
@@ -228,6 +226,7 @@ class LLMWorker(Worker):
                             images=payload.get("images"))}
                     elif self.path == "/worker_get_status":
                         out = dict(model_names=worker.model_names,
+                                   speed=worker.speed,
                                    queue_length=worker.queue_length)
                     else:
                         out = {"error": "unknown endpoint"}
@@ -240,7 +239,12 @@ class LLMWorker(Worker):
                 pass
 
         server = ThreadingHTTPServer((host, port), Handler)
+        # bind first: registration advertises the real port, and the
+        # controller's status probe can already be answered
         threading.Thread(target=server.serve_forever, daemon=True).start()
+        self._advertise_bound_port(server)
+        self.register()
+        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
         return server
 
 
@@ -328,7 +332,8 @@ def main(argv=None, block: bool = True):
                                 do_sample=args.temperature > 0),
         prefix_text=prefix_text, embed_mm=cap.embed_mm)
     server = worker.serve(args.host, args.port)
-    print(f"llm worker {name} serving model '{args.model_name}' "
+    print(f"llm worker {worker.worker_name} serving model "
+          f"'{args.model_name}' "
           f"({args.slots} slots, quant={quant or 'bf16'})", flush=True)
     if not block:
         return worker, server

@@ -22,11 +22,12 @@ HEARTBEAT_INTERVAL = 15  # model_worker.py:38-43
 class Worker:
     def __init__(self, pipeline, worker_name: str,
                  controller_url: str | None = None,
-                 model_names: tuple = ("rsvldm-sr",)):
+                 model_names: tuple = ("rsvldm-sr",), speed: float = 1.0):
         self.pipeline = pipeline
         self.worker_name = worker_name
         self.controller_url = controller_url
         self.model_names = list(model_names)
+        self.speed = speed  # lottery-dispatch weight (model_worker parity)
         self.queue_length = 0
         self._stop = threading.Event()
         # ThreadingHTTPServer handles requests concurrently — the counter
@@ -42,6 +43,7 @@ class Worker:
             self._post("/register_worker",
                        dict(worker_name=self.worker_name,
                             model_names=self.model_names,
+                            speed=self.speed,
                             queue_length=self.queue_length))
 
     def heartbeat_loop(self):
@@ -82,9 +84,15 @@ class Worker:
             with self._queue_lock:
                 self.queue_length -= 1
 
+    def _advertise_bound_port(self, server) -> None:
+        """An advertised name ending in :0 (OS-assigned port) must be
+        rewritten to the port the server actually bound BEFORE the
+        controller hears it — the controller probes that URL."""
+        if self.worker_name.endswith(":0"):
+            self.worker_name = (self.worker_name.rsplit(":", 1)[0]
+                                + f":{server.server_address[1]}")
+
     def serve(self, host: str = "0.0.0.0", port: int = 40000):
-        self.register()
-        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
         worker = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -98,6 +106,7 @@ class Worker:
                         out = worker.generate(payload["image"])
                     elif self.path == "/worker_get_status":
                         out = dict(model_names=worker.model_names,
+                                   speed=worker.speed,
                                    queue_length=worker.queue_length)
                     else:
                         out = {"error": "unknown endpoint"}
@@ -109,7 +118,12 @@ class Worker:
                 pass
 
         server = ThreadingHTTPServer((host, port), Handler)
+        # bind first: registration advertises the real port, and the
+        # controller's status probe can already be answered
         threading.Thread(target=server.serve_forever, daemon=True).start()
+        self._advertise_bound_port(server)
+        self.register()
+        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
         return server
 
     def stop(self):
@@ -159,7 +173,8 @@ def main(argv=None, block: bool = True):
                                else args.controller_address),
                model_names=(args.model_name,))
     server = w.serve(args.host, args.port)
-    print(f"worker {name} serving model '{args.model_name}'", flush=True)
+    print(f"worker {w.worker_name} serving model '{args.model_name}'",
+          flush=True)
     if not block:
         return w, server
     try:

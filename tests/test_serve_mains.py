@@ -165,6 +165,97 @@ def test_llm_worker_main_end_to_end(monkeypatch, tmp_path):
         server.server_close()
 
 
+def test_register_worker_cli_and_refresh(monkeypatch, tmp_path):
+    """register_worker CLI: controller probes the worker's own status
+    (worker_status: None semantics); refresh_all_workers drops it once it
+    stops answering."""
+    from PIL import Image
+
+    import rsvldm_tpu.pipeline as pl
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    class FakePipeline:
+        def __init__(self, *a, **k):
+            pass
+
+        def process(self, image_path=None):
+            return Image.open(image_path)
+
+    monkeypatch.setattr(pl, "SuperResolutionPipeline", FakePipeline)
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+
+    from rsvldm_tpu.serving.controller import main as ctrl_main
+    from rsvldm_tpu.serving.register_worker import main as reg_main
+    from rsvldm_tpu.serving.worker import main as worker_main
+
+    ctrl = ctrl_main(["--host", "127.0.0.1", "--port", "0"], block=False)
+    cport = ctrl.server_address[1]
+    w, server = worker_main(["--host", "127.0.0.1", "--port", "0",
+                             "--no-register", "--ckpt_dir", str(tmp_path)],
+                            block=False)
+    wport = server.server_address[1]
+    try:
+        assert reg_main(["--controller-address", f"http://127.0.0.1:{cport}",
+                         "--worker-name", f"http://127.0.0.1:{wport}"])
+        out = _post(f"http://127.0.0.1:{cport}/list_models", {})
+        assert out == {"models": ["rsvldm-sr"]}
+        # registering an unreachable worker is refused, not recorded
+        assert not reg_main(
+            ["--controller-address", f"http://127.0.0.1:{cport}",
+             "--worker-name", "http://127.0.0.1:1"])
+        # worker dies -> refresh_all_workers prunes it
+        server.shutdown()
+        server.server_close()
+        out = _post(f"http://127.0.0.1:{cport}/refresh_all_workers", {})
+        assert out == {"removed": [f"http://127.0.0.1:{wport}"]}
+        assert _post(f"http://127.0.0.1:{cport}/list_models",
+                     {}) == {"models": []}
+    finally:
+        w.stop()
+        ctrl.shutdown()
+        ctrl.server_close()
+
+
+def test_test_message_cli_streams_through_controller(monkeypatch, tmp_path,
+                                                     capsys):
+    """test_message CLI: controller resolution (refresh + list_models +
+    get_worker_address) then a streamed templated generate."""
+    import rsvldm_tpu.models.vlm.captioner as capmod
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    monkeypatch.setattr(capmod.LlavaCaptioner, "load",
+                        staticmethod(lambda ckpt_dir, **kw: _FakeCaptioner()))
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+
+    from rsvldm_tpu.serving.controller import main as ctrl_main
+    from rsvldm_tpu.serving.llm_worker import main as llm_main
+    from rsvldm_tpu.serving.test_message import main as msg_main
+
+    ctrl = ctrl_main(["--host", "127.0.0.1", "--port", "0"], block=False)
+    cport = ctrl.server_address[1]
+    worker, server = llm_main(
+        ["--host", "127.0.0.1", "--port", "0",
+         "--controller-address", f"http://127.0.0.1:{cport}",
+         "--slots", "2", "--max-len", "512",
+         "--ckpt_dir", str(tmp_path)], block=False)
+    try:
+        text = msg_main(["--controller-address", f"http://127.0.0.1:{cport}",
+                         "--model-name", "rsvldm-llm",
+                         "--max-new-tokens", "4", "--temperature", "0",
+                         "--message", "hi there"])
+        assert text and len(text.split()) == 4
+        outlines = capsys.readouterr().out
+        assert "Models: ['rsvldm-llm']" in outlines
+        assert f"worker_addr: http://127.0.0.1:{server.server_address[1]}" \
+            in outlines
+    finally:
+        worker.stop()
+        server.shutdown()
+        server.server_close()
+        ctrl.shutdown()
+        ctrl.server_close()
+
+
 def test_llm_worker_main_missing_ckpt(monkeypatch, tmp_path):
     import rsvldm_tpu.utils.compile_cache as cc
     monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
