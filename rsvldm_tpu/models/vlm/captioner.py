@@ -124,7 +124,7 @@ class LlavaCaptioner:
              vision_cfg=CLIP_VIT_L_336_CONFIG,
              tokenizer=None, mesh=None,
              quant: str | None = None,
-             draft_dir: str | Path | None = None,
+             draft_dir: str | Path | None | bool = None,
              spec_k: int = 4,
              lora_npz: str | Path | None = None,
              projector_npz: str | Path | None = None
@@ -145,7 +145,10 @@ class LlavaCaptioner:
 
         draft_dir: optional Llama-family draft checkpoint (safetensors +
         config.json) for speculative decoding — defaults to
-        <ckpt_dir>/llava_draft/ when that directory exists. The draft must
+        <ckpt_dir>/llava_draft/ when that directory exists; pass False to
+        disable speculative decoding entirely (skip the auto-discovery —
+        the engine's prefix-cache/chunked-prefill modes do not compose
+        with a draft). The draft must
         share the target's hidden dim and tokenizer (depth-pruned /
         distilled drafts); it is quantized with the same `quant` mode.
         spec_k: draft tokens proposed per verify round.
@@ -216,7 +219,12 @@ class LlavaCaptioner:
                                                       local_files_only=True)
 
         draft = draft_params = None
-        dd = Path(draft_dir) if draft_dir else Path(ckpt_dir) / "llava_draft"
+        if draft_dir is False:
+            dd = Path("/nonexistent-draft-disabled")  # skip auto-discovery
+            draft_dir = None
+        else:
+            dd = (Path(draft_dir) if draft_dir
+                  else Path(ckpt_dir) / "llava_draft")
         if dd.is_dir() and mesh is not None:
             # don't pay the draft load just to refuse it at decode time
             # (_generate_fn: the spec KV caches are not TP-sharded)

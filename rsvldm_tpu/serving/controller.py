@@ -64,10 +64,24 @@ class Controller:
 
     def refresh_all_workers(self) -> list:
         """Re-probe every registered worker; drop the unreachable ones
-        (controller.py:100-106). Returns the removed names."""
+        (controller.py:100-106). Probes run in parallel so a fleet with
+        several dead hosts resolves in one probe timeout (~5 s), not a
+        serial sum that outlives the client's own timeout. Returns the
+        removed names."""
         with self.lock:
             names = list(self.workers)
-        removed = [n for n in names if not self.register_worker(n)]
+        alive: dict[str, bool] = {}
+
+        def probe(n):
+            alive[n] = self.register_worker(n)
+
+        threads = [threading.Thread(target=probe, args=(n,), daemon=True)
+                   for n in names]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        removed = [n for n in names if not alive[n]]
         with self.lock:
             for n in removed:
                 self.workers.pop(n, None)

@@ -204,6 +204,10 @@ class LLMWorker(Worker):
                                 f"{len(frame):x}\r\n".encode() + frame
                                 + b"\r\n")
                             self.wfile.flush()
+                        # once headers are out NOTHING may escape this
+                        # branch: a leaked exception would reach the outer
+                        # handler, which writes a SECOND response into the
+                        # unterminated chunked body
                         try:
                             last = ""
                             for text in worker.generate_stream(
@@ -214,9 +218,18 @@ class LLMWorker(Worker):
                                 last = text
                                 chunk({"text": text})
                             chunk({"text": last, "finished": True})
+                            self.wfile.write(b"0\r\n\r\n")
+                        except ConnectionError:
+                            # client hung up mid-stream — routine; the
+                            # chunked body is unterminated so the
+                            # connection must not be reused
+                            self.close_connection = True
                         except Exception as e:
-                            chunk({"error": f"{type(e).__name__}: {e}"})
-                        self.wfile.write(b"0\r\n\r\n")
+                            try:
+                                chunk({"error": f"{type(e).__name__}: {e}"})
+                                self.wfile.write(b"0\r\n\r\n")
+                            except OSError:
+                                self.close_connection = True
                         return
                     if self.path == "/worker_generate":
                         out = {"text": worker.generate_text(
@@ -239,13 +252,7 @@ class LLMWorker(Worker):
                 pass
 
         server = ThreadingHTTPServer((host, port), Handler)
-        # bind first: registration advertises the real port, and the
-        # controller's status probe can already be answered
-        threading.Thread(target=server.serve_forever, daemon=True).start()
-        self._advertise_bound_port(server)
-        self.register()
-        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
-        return server
+        return self._finish_serve(server)
 
 
 def main(argv=None, block: bool = True):
@@ -255,7 +262,6 @@ def main(argv=None, block: bool = True):
     --limit-model-concurrency equivalent (but decode here BATCHES the
     concurrent requests over one weight stream instead of gating them)."""
     import argparse
-    import threading as _t
     ap = argparse.ArgumentParser(
         description="rsvldm continuous-batching LLM worker")
     ap.add_argument("--host", type=str, default="localhost")
@@ -283,6 +289,9 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--draft_dir", type=str, default="",
                     help="Llama-family draft checkpoint for engine-composed "
                          "speculative decoding")
+    ap.add_argument("--no-draft", action="store_true",
+                    help="ignore an auto-discovered <ckpt_dir>/llava_draft/ "
+                         "(disable speculative decoding)")
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--prefix-file", type=str, default="",
                     help="file holding a shared prompt scaffold; its KV "
@@ -302,9 +311,27 @@ def main(argv=None, block: bool = True):
     quant = "int4" if args.load_4bit else ("int8" if args.load_8bit else None)
     llama_cfg = (_dc.replace(LLAMA3_8B_CONFIG, kv_quant=True)
                  if args.kv_8bit else LLAMA3_8B_CONFIG)
+
+    # speculative decoding does not compose with prefix caching or chunked
+    # prefill (engine.submit/DecodeEngine refuse) — fail or opt out at
+    # LAUNCH, not per request after the worker registered healthy
+    wants_prefix_or_chunk = bool(args.prefix_file) or bool(args.prefill_chunk)
+    if args.draft_dir and wants_prefix_or_chunk:
+        raise SystemExit(
+            "--draft_dir (speculative decoding) does not compose with "
+            "--prefix-file/--prefill-chunk — drop one of them")
+    draft_dir = (False if (args.no_draft or wants_prefix_or_chunk)
+                 else (args.draft_dir or None))
+    if draft_dir is False and not args.no_draft:
+        from pathlib import Path
+        if (Path(args.ckpt_dir) / "llava_draft").is_dir():
+            print("note: auto-discovered llava_draft/ ignored — "
+                  "--prefix-file/--prefill-chunk do not compose with "
+                  "speculative decoding", flush=True)
+
     cap = LlavaCaptioner.load(args.ckpt_dir, llama_cfg=llama_cfg,
                               quant=quant,
-                              draft_dir=args.draft_dir or None,
+                              draft_dir=draft_dir,
                               spec_k=args.spec_k)
     if cap is None:
         raise SystemExit(f"no llava assets under {args.ckpt_dir}")
@@ -338,7 +365,7 @@ def main(argv=None, block: bool = True):
     if not block:
         return worker, server
     try:
-        _t.Event().wait()
+        threading.Event().wait()
     except KeyboardInterrupt:
         worker.stop()
         server.shutdown()

@@ -57,7 +57,10 @@ def main(argv=None) -> str:
     if args.worker_address:
         worker_addr = args.worker_address
     else:
-        post_json(args.controller_address + "/refresh_all_workers", {})
+        # refresh probes every worker (5 s timeout each, in parallel) —
+        # give the round-trip headroom beyond one probe timeout
+        post_json(args.controller_address + "/refresh_all_workers", {},
+                  timeout=30)
         models = post_json(args.controller_address + "/list_models",
                            {})["models"]
         print(f"Models: {sorted(models)}", flush=True)

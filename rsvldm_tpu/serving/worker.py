@@ -11,10 +11,13 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .http_util import post_json, send_json
+
+log = logging.getLogger("rsvldm")
 
 HEARTBEAT_INTERVAL = 15  # model_worker.py:38-43
 
@@ -92,6 +95,23 @@ class Worker:
             self.worker_name = (self.worker_name.rsplit(":", 1)[0]
                                 + f":{server.server_address[1]}")
 
+    def _finish_serve(self, server):
+        """Shared serve() tail: start serving, advertise the BOUND port,
+        register, start heartbeats. Binding first means the controller's
+        registration probe can already be answered. Initial registration
+        tolerates an absent/restarting controller — a model load takes
+        minutes and must not be thrown away over a refused connect; the
+        heartbeat loop re-registers within HEARTBEAT_INTERVAL."""
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        self._advertise_bound_port(server)
+        try:
+            self.register()
+        except Exception as e:
+            log.warning("initial register with %s failed (%s) — the "
+                        "heartbeat loop will retry", self.controller_url, e)
+        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
+        return server
+
     def serve(self, host: str = "0.0.0.0", port: int = 40000):
         worker = self
 
@@ -118,13 +138,7 @@ class Worker:
                 pass
 
         server = ThreadingHTTPServer((host, port), Handler)
-        # bind first: registration advertises the real port, and the
-        # controller's status probe can already be answered
-        threading.Thread(target=server.serve_forever, daemon=True).start()
-        self._advertise_bound_port(server)
-        self.register()
-        threading.Thread(target=self.heartbeat_loop, daemon=True).start()
-        return server
+        return self._finish_serve(server)
 
     def stop(self):
         self._stop.set()

@@ -263,3 +263,116 @@ def test_llm_worker_main_missing_ckpt(monkeypatch, tmp_path):
     with pytest.raises(SystemExit):
         main(["--ckpt_dir", str(tmp_path / "nope"), "--no-register"],
              block=False)
+
+
+def test_llm_worker_main_draft_conflicts(monkeypatch, tmp_path):
+    """speculative decoding x prefix-cache/chunked-prefill conflicts must
+    resolve at LAUNCH: explicit --draft_dir errors, an auto-discovered
+    draft is suppressed (draft_dir=False reaches load), --no-draft opts
+    out unconditionally."""
+    import rsvldm_tpu.models.vlm.captioner as capmod
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    def fake_load(ckpt_dir, **kw):
+        _FakeCaptioner.load_kwargs = dict(kw, ckpt_dir=ckpt_dir)
+        return _FakeCaptioner()
+
+    monkeypatch.setattr(capmod.LlavaCaptioner, "load",
+                        staticmethod(fake_load))
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+    from rsvldm_tpu.serving.llm_worker import main
+
+    with pytest.raises(SystemExit, match="does not compose"):
+        main(["--no-register", "--draft_dir", str(tmp_path),
+              "--prefill-chunk", "128", "--ckpt_dir", str(tmp_path)],
+             block=False)
+
+    (tmp_path / "llava_draft").mkdir()
+    worker, server = main(["--host", "127.0.0.1", "--port", "0",
+                           "--no-register", "--prefill-chunk", "128",
+                           "--ckpt_dir", str(tmp_path)], block=False)
+    try:
+        assert _FakeCaptioner.load_kwargs["draft_dir"] is False
+    finally:
+        worker.stop()
+        server.shutdown()
+        server.server_close()
+
+    worker, server = main(["--host", "127.0.0.1", "--port", "0",
+                           "--no-register", "--no-draft",
+                           "--ckpt_dir", str(tmp_path)], block=False)
+    try:
+        assert _FakeCaptioner.load_kwargs["draft_dir"] is False
+    finally:
+        worker.stop()
+        server.shutdown()
+        server.server_close()
+
+
+def test_worker_survives_absent_controller(monkeypatch, tmp_path):
+    """A worker started before its controller must come up and serve —
+    the model load is minutes long and the heartbeat loop re-registers."""
+    from PIL import Image
+
+    import rsvldm_tpu.pipeline as pl
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    class FakePipeline:
+        def __init__(self, *a, **k):
+            pass
+
+        def process(self, image_path=None):
+            return Image.open(image_path)
+
+    monkeypatch.setattr(pl, "SuperResolutionPipeline", FakePipeline)
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+    from rsvldm_tpu.serving.worker import main
+    w, server = main(["--host", "127.0.0.1", "--port", "0",
+                      "--controller-address", "http://127.0.0.1:1",
+                      "--ckpt_dir", str(tmp_path)], block=False)
+    try:
+        port = server.server_address[1]
+        status = _post(f"http://127.0.0.1:{port}/worker_get_status", {})
+        assert status["model_names"] == ["rsvldm-sr"]
+    finally:
+        w.stop()
+        server.shutdown()
+        server.server_close()
+
+
+def test_llm_stream_client_disconnect_keeps_worker_alive(monkeypatch,
+                                                         tmp_path):
+    """A client hanging up mid-/worker_generate_stream must not corrupt
+    the handler (second response into the aborted chunk stream) — the
+    next request on a fresh connection serves normally."""
+    import socket
+
+    import rsvldm_tpu.models.vlm.captioner as capmod
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    monkeypatch.setattr(capmod.LlavaCaptioner, "load",
+                        staticmethod(lambda ckpt_dir, **kw: _FakeCaptioner()))
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+    from rsvldm_tpu.serving.llm_worker import main
+    worker, server = main(["--host", "127.0.0.1", "--port", "0",
+                           "--no-register", "--max-new-tokens", "200",
+                           "--max-len", "512", "--ckpt_dir", str(tmp_path)],
+                          block=False)
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": "stream then vanish",
+                           "max_new_tokens": 200}).encode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(b"POST /worker_generate_stream HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        s.recv(256)  # headers + first frames arrived
+        s.close()    # hang up mid-stream
+        out = _post(f"http://127.0.0.1:{port}/worker_generate",
+                    {"prompt": "after the disconnect",
+                     "max_new_tokens": 3})
+        assert len(out["text"].split()) == 3
+    finally:
+        worker.stop()
+        server.shutdown()
+        server.server_close()
