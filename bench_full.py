@@ -470,8 +470,56 @@ def part_qlora_train():
             **roofline(fc, dt, prefix="qlora_")}
 
 
+def part_flash_bwd():
+    """Fused Pallas flash backward vs the XLA chunked-recompute fallback
+    (ROUND3 item 28): a train-shaped grad of the flash attention path at
+    8k causal, d=64 (H=8) and d=128 (H=4). 8 serially-dependent grad
+    iterations inside ONE jit (carry feeds q) so the relay dispatch floor
+    is amortized, same discipline as every other part. TFLOP/s uses the
+    FlashAttention convention: fwd = 4*B*H*S^2*D (halved causal),
+    fwd+bwd = 3.5x fwd. Informational."""
+    import jax.lax as lax
+
+    from rsvldm_tpu.ops.attention import attention
+
+    res = {}
+    for d, h, tag in ((64, 8, "d64"), (128, 4, "d128")):
+        s = int(os.environ.get("RSVLDM_BENCH_FLASH_SEQ", "8192"))
+        shape = (1, s, h, d)
+        q = jnp.ones(shape, jnp.bfloat16)
+        k = jnp.ones(shape, jnp.bfloat16)
+        v = jnp.ones(shape, jnp.bfloat16)
+        fwd_flops = 4.0 * h * s * s * d * 0.5
+        iters = 8
+
+        def loss(q_, k_, v_):
+            return attention(q_, k_, v_, causal=True,
+                             impl="flash").astype(jnp.float32).sum()
+
+        def grad_loop(q, k, v):
+            def body(acc, _):
+                g = jax.grad(loss)(q + acc, k, v)
+                return acc + (1e-6 * g).astype(acc.dtype), None
+            acc, _ = lax.scan(body, jnp.zeros_like(q), None, length=iters)
+            return acc
+
+        for mode in ("pallas", "xla"):
+            os.environ["RSVLDM_FLASH_BWD"] = mode
+            # fresh function object per mode: the env var is read at TRACE
+            # time, so a shared jit cache entry would alias the two modes
+            fc = aot(jax.jit(lambda q, k, v: grad_loop(q, k, v)), q, k, v)
+            raw = timed(lambda: fc(q, k, v), n=3)
+            dt = max(raw - dispatch_overhead(), raw / 4)
+            tfs = 3.5 * fwd_flops * iters / dt / 1e12
+            key = (f"flash_bwd_8k_{tag}_tfs" if mode == "pallas"
+                   else f"flash_bwd_xla_8k_{tag}_tfs")
+            res[key] = round(tfs, 1)
+        os.environ.pop("RSVLDM_FLASH_BWD", None)
+    return res
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
-         "hbm_peak": part_hbm_peak,
+         "hbm_peak": part_hbm_peak, "flash_bwd": part_flash_bwd,
          "sr3_train": part_sr3_train, "qlora_train": part_qlora_train,
          "llama": part_llama, "llama_int8": part_llama_int8,
          "llama_int4": part_llama_int4,
