@@ -305,6 +305,31 @@ class LlavaCaptioner:
                                  self.draft_params, spliced, cfg, rng,
                                  k=self.spec_k)
 
+    def video_features(self, frames, stride: int = 2,
+                       pool_mode: str = "bilinear",
+                       newline_position: str = "grid") -> jnp.ndarray:
+        """List of PIL frames -> the flat spliceable video token stream
+        [T', D] (llava_arch.py:289-352 video branch; defaults are the
+        reference train defaults, train.py:93-114). Frames are square-
+        resized to the tower size — video frames are NOT anyres-tiled;
+        every frame runs the tower+projector in ONE batched call, then
+        video.py::video_feature_stream pools and places newline tokens."""
+        from PIL import Image
+
+        from .video import video_feature_stream
+        from .vision import normalize_pixels
+        s = self.vision.cfg.image_size
+        px = np.stack([
+            np.asarray(f.convert("RGB").resize((s, s), Image.BICUBIC),
+                       np.float32) / 255.0 for f in frames])
+        feats = self.projector.apply(
+            self.projector_params,
+            self.vision.apply(self.vision_params,
+                              normalize_pixels(jnp.asarray(px))))
+        return video_feature_stream(feats, jnp.asarray(self.image_newline),
+                                    stride=stride, pool_mode=pool_mode,
+                                    newline_position=newline_position)
+
     def embed_mm(self, prompt: str, images):
         """Multimodal prompt embedder for the serving engine
         (LLMWorker(embed_mm=cap.embed_mm)): one anyres feature stream per

@@ -286,11 +286,26 @@ class LazyConversationDataset:
 
     def __init__(self, data_path: str, encode, template: str = "llama_3",
                  image_folder: str = "", process_image: Optional[Callable] = None,
-                 seed: int = 0, preprocess_kw: Optional[Dict] = None):
+                 seed: int = 0, preprocess_kw: Optional[Dict] = None,
+                 video_folder: str = "", video_fps: int = 1,
+                 frames_upbound: int = 0, force_sample: bool = False,
+                 add_time_instruction: bool = False,
+                 process_frame: Optional[Callable] = None):
+        """Video knobs mirror the reference DataArguments (train.py:
+        134-137): records with a "video" key load frame folders
+        ("shareVideoGPTV" paths) or container files (mp4/avi via
+        models/vlm/video.py::process_video); process_frame(pil) -> array
+        preprocesses each sampled frame (defaults to raw PIL frames)."""
         self.encode = encode
         self.template = template
         self.image_folder = Path(image_folder) if image_folder else None
         self.process_image = process_image
+        self.video_folder = Path(video_folder) if video_folder else None
+        self.video_fps = video_fps
+        self.frames_upbound = frames_upbound
+        self.force_sample = force_sample
+        self.add_time_instruction = add_time_instruction
+        self.process_frame = process_frame
         self.preprocess_kw = preprocess_kw or {}
         self.records: List[Dict] = self._load(str(data_path), seed)
 
@@ -369,9 +384,43 @@ class LazyConversationDataset:
             for p in paths]
         return imgs if isinstance(path, list) else imgs[0]
 
+    def _load_video(self, rec: Dict, conv):
+        """train.py:1155-1205 video branch: "shareVideoGPTV" frame folders
+        sample 10 uniform frames at an assumed 2 fps; container files
+        decode through process_video (the decord path on OpenCV). The
+        optional time instruction is prepended to the first turn with the
+        <image> token re-placed in front, verbatim (train.py:1199-1201)."""
+        import copy as _copy
+
+        from PIL import Image
+
+        from ..models.vlm.video import (process_video, sample_video_frames,
+                                        time_instruction)
+        path = rec["video"]
+        vf = str(self.video_folder / path) if self.video_folder else path
+        if "shareVideoGPTV" in vf:
+            n = self.frames_upbound if self.force_sample else 10
+            frames, video_time, frame_time = sample_video_frames(vf, n)
+            num = len(frames)
+        else:
+            arr, video_time, frame_time, num = process_video(
+                vf, self.video_fps, self.frames_upbound, self.force_sample)
+            frames = [Image.fromarray(a) for a in arr]
+        if self.add_time_instruction:
+            instr = time_instruction(video_time, num, frame_time)
+            conv = _copy.deepcopy(list(conv))
+            first = conv[0].get("value", conv[0].get("content", ""))
+            key = "value" if "value" in conv[0] else "content"
+            conv[0][key] = (f"{DEFAULT_IMAGE_TOKEN}\n{instr}\n"
+                            f"{first.replace(DEFAULT_IMAGE_TOKEN, '')}")
+        return conv, frames
+
     def __getitem__(self, i: int) -> Dict[str, Any]:
         rec = self.records[i]
         conv = rec["conversations"]
+        frames = None
+        if "video" in rec:
+            conv, frames = self._load_video(rec, conv)
         if "image" in rec or "video" in rec:
             conv = normalize_multimodal(conv)   # train.py:1153
         ids, labels = preprocess(conv, self.encode,
@@ -380,6 +429,9 @@ class LazyConversationDataset:
                                 "id": rec.get("id", i)}
         if "image" in rec and self.process_image is not None:
             item["image"] = self._load_images(rec)
+        elif frames is not None:
+            item["video"] = ([self.process_frame(f) for f in frames]
+                             if self.process_frame else frames)
         return item
 
 
@@ -465,6 +517,8 @@ def collate(instances: Sequence[Dict], pad_id: int = 0,
         # carry None (the reference pads with a dummy zero image instead,
         # train.py:1232-1238; None keeps the no-vision-forward invariant)
         batch["images"] = [x.get("image") for x in instances]
+    if any("video" in x for x in instances):
+        batch["videos"] = [x.get("video") for x in instances]
     return batch
 
 

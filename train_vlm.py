@@ -62,6 +62,19 @@ def parse_args(argv=None):
                         "llava-next multi-tile finetune recipe (LoRA "
                         "tuning only — the projector path needs a fixed "
                         "per-image token count)")
+    p.add_argument("--video_folder", default=None,
+                   help="root for records with a 'video' key: frame "
+                        "folders (shareVideoGPTV paths) or container "
+                        "files (mp4/avi via OpenCV)")
+    p.add_argument("--video_fps", type=int, default=1)
+    p.add_argument("--frames_upbound", type=int, default=0)
+    p.add_argument("--force_sample", action="store_true")
+    p.add_argument("--add_time_instruction", action="store_true")
+    p.add_argument("--mm_spatial_pool_stride", type=int, default=2)
+    p.add_argument("--mm_spatial_pool_mode", default="bilinear",
+                   choices=["average", "max", "bilinear"])
+    p.add_argument("--mm_newline_position", default="grid",
+                   choices=["grid", "frame", "one_token", "no_token"])
     p.add_argument("--dpo", action="store_true",
                    help="preference optimization over {prompt, chosen, "
                         "rejected} records (train_dpo.py); LoRA-only, the "
@@ -185,6 +198,7 @@ def main(argv=None):
                  "the reference policy) — use --tune lora")
     feats_fn = None          # projected features  (lora-only path)
     feats_raw_fn = None      # pre-projector tower features (MMTrainer)
+    video_feats_fn = None    # PIL frames -> flat video stream (lora path)
     projector = proj_params = None
     img_tokens = 0
     process_image = None
@@ -257,6 +271,12 @@ def main(argv=None):
             px = normalize_pixels(jnp.asarray(pixels)[None])
             return cap.vision.apply(cap.vision_params, px)[0]
 
+        def video_feats_fn(frames):  # PIL frames -> flat video stream
+            return cap.video_features(
+                frames, stride=args.mm_spatial_pool_stride,
+                pool_mode=args.mm_spatial_pool_mode,
+                newline_position=args.mm_newline_position)
+
         if "projector" in tune:
             projector = cap.projector
             proj_params = cap.projector_params
@@ -265,7 +285,12 @@ def main(argv=None):
     ds_cls = LazyPreferenceDataset if args.dpo else LazyConversationDataset
     ds = ds_cls(args.data_path, encode, template=args.template,
                 image_folder=args.image_folder,
-                process_image=process_image, preprocess_kw=pre_kw)
+                process_image=process_image, preprocess_kw=pre_kw,
+                video_folder=args.video_folder or "",
+                video_fps=args.video_fps,
+                frames_upbound=args.frames_upbound,
+                force_sample=args.force_sample,
+                add_time_instruction=args.add_time_instruction)
     lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
     if args.dpo:
         from rsvldm_tpu.training.vlm_trainer import DPOTrainer
@@ -344,8 +369,11 @@ def main(argv=None):
                 if tune == ("lora",):
                     rows = []
                     for it in items:
-                        feats = (feats_fn(it["image"])
-                                 if "image" in it and feats_fn else None)
+                        if "video" in it and video_feats_fn:
+                            feats = video_feats_fn(it["video"])
+                        else:
+                            feats = (feats_fn(it["image"])
+                                     if "image" in it and feats_fn else None)
                         e, l = splice_training_sample(
                             it["input_ids"], it["labels"], embed_fn, feats,
                             IGNORE_INDEX)
