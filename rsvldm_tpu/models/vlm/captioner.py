@@ -310,18 +310,16 @@ class LlavaCaptioner:
                        newline_position: str = "grid") -> jnp.ndarray:
         """List of PIL frames -> the flat spliceable video token stream
         [T', D] (llava_arch.py:289-352 video branch; defaults are the
-        reference train defaults, train.py:93-114). Frames are square-
-        resized to the tower size — video frames are NOT anyres-tiled;
-        every frame runs the tower+projector in ONE batched call, then
+        reference train defaults, train.py:93-114). Frames go through the
+        CLIP processor transform — shortest-edge resize + center crop
+        (train.py:1197 processor.preprocess(video)), NOT anyres tiling and
+        NOT an aspect-distorting square resize; every frame runs the
+        tower+projector in ONE batched call, then
         video.py::video_feature_stream pools and places newline tokens."""
-        from PIL import Image
-
-        from .video import video_feature_stream
+        from .video import clip_preprocess_frame, video_feature_stream
         from .vision import normalize_pixels
         s = self.vision.cfg.image_size
-        px = np.stack([
-            np.asarray(f.convert("RGB").resize((s, s), Image.BICUBIC),
-                       np.float32) / 255.0 for f in frames])
+        px = np.stack([clip_preprocess_frame(f, s) for f in frames])
         feats = self.projector.apply(
             self.projector_params,
             self.vision.apply(self.vision_params,

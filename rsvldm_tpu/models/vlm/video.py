@@ -79,15 +79,30 @@ def process_video(video_file: str, video_fps: int = 1,
             frame_time = [i / fps for i in frame_idx]
         wanted = set(frame_idx)
         frames = {}
-        pos = 0
-        while pos <= frame_idx[-1]:
-            if not cap.grab():
-                break
-            if pos in wanted:
-                ok, bgr = cap.retrieve()
+        # sparse sampling (e.g. frames_upbound=32 of an hour-long video)
+        # must not sequentially decode the whole container — seek per
+        # index instead; dense sampling decodes sequentially (seeking to
+        # every other frame would re-decode from each keyframe)
+        if total > 8 * len(frame_idx):
+            for i in frame_idx:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+                ok, bgr = cap.read()
                 if ok:
-                    frames[pos] = bgr[..., ::-1]  # BGR -> RGB
-            pos += 1
+                    frames[i] = bgr[..., ::-1]
+        if len(frames) < len(wanted):
+            if frames:  # seek produced partial results — restart clean
+                cap.release()
+                cap = cv2.VideoCapture(str(video_file))
+                frames = {}
+            pos = 0
+            while pos <= frame_idx[-1]:
+                if not cap.grab():
+                    break
+                if pos in wanted:
+                    ok, bgr = cap.retrieve()
+                    if ok:
+                        frames[pos] = bgr[..., ::-1]  # BGR -> RGB
+                pos += 1
         missing = [i for i in frame_idx if i not in frames]
         if missing:
             raise ValueError(
@@ -108,6 +123,23 @@ def time_instruction(video_time: float, num_frames: int,
             f"{num_frames} frames are uniformly sampled from it. These "
             f"frames are located at {frame_time}.Please answer the "
             f"following questions related to this video.")
+
+
+def clip_preprocess_frame(frame, size: int) -> np.ndarray:
+    """CLIPImageProcessor transform for a video frame (train.py:1197
+    processor.preprocess(video)): BICUBIC resize so the SHORTEST edge hits
+    `size` (aspect preserved), then center crop size x size. Returns
+    float32 [size, size, 3] in [0,1] (CLIP normalization happens on
+    device, vision.normalize_pixels)."""
+    from PIL import Image
+    img = frame.convert("RGB")
+    w, h = img.size
+    scale = size / min(w, h)
+    nw, nh = round(w * scale), round(h * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.float32) / 255.0
 
 
 # ------------------------------------------------- video feature stream

@@ -400,6 +400,10 @@ class LazyConversationDataset:
         vf = str(self.video_folder / path) if self.video_folder else path
         if "shareVideoGPTV" in vf:
             n = self.frames_upbound if self.force_sample else 10
+            if n <= 0:
+                raise ValueError(
+                    "force_sample requires frames_upbound > 0 (it samples "
+                    "exactly frames_upbound frames, train.py:1169-1172)")
             frames, video_time, frame_time = sample_video_frames(vf, n)
             num = len(frames)
         else:
@@ -419,7 +423,10 @@ class LazyConversationDataset:
         rec = self.records[i]
         conv = rec["conversations"]
         frames = None
-        if "video" in rec:
+        # 'image' takes precedence over 'video' like the reference's
+        # if/elif (train.py:1103/1155) — never decode a video the image
+        # branch will win over anyway
+        if "video" in rec and "image" not in rec:
             conv, frames = self._load_video(rec, conv)
         if "image" in rec or "video" in rec:
             conv = normalize_multimodal(conv)   # train.py:1153

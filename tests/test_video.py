@@ -34,7 +34,7 @@ def _write_video(path, n_frames=24, fps=6, size=32):
         assert w.isOpened()
     for i in range(n_frames):
         frame = np.zeros((size, size, 3), np.uint8)
-        frame[..., 2] = i * 10  # BGR: red plane
+        frame[..., 2] = min(i * 10, 255)  # BGR: red plane
         w.write(frame)
     w.release()
     return path
@@ -70,6 +70,34 @@ def test_process_video_upbound_resample(tmp_path):
 def test_process_video_missing_file(tmp_path):
     with pytest.raises((FileNotFoundError, ValueError)):
         process_video(str(tmp_path / "nope.mp4"))
+
+
+def test_process_video_sparse_seek_path(tmp_path):
+    """Sparse sampling (total >> wanted) goes through per-index seeks, not
+    a full sequential decode — content must still match the indices."""
+    p = _write_video(tmp_path / "long.mp4", n_frames=200, fps=10, size=24)
+    video, _, _, num = process_video(str(p), video_fps=10,
+                                     frames_upbound=5, force_sample=True)
+    idx = np.linspace(0, 199, 5, dtype=int)
+    assert num == 5
+    reds = video[:, 12, 12, 0].astype(int)
+    assert np.allclose(reds, np.minimum(idx * 10, 255), atol=14), (reds, idx)
+
+
+def test_clip_preprocess_frame_shortest_edge_center_crop():
+    """CLIP processor transform (not a square squash): 40x30 at size 28 ->
+    resize shortest edge (37x28), center crop 28x28."""
+    from PIL import Image
+
+    from rsvldm_tpu.models.vlm.video import clip_preprocess_frame
+    img = Image.new("RGB", (40, 30))
+    arr = np.zeros((30, 40, 3), np.uint8)
+    arr[:, :, 0] = np.arange(40)[None, :] * 6  # horizontal ramp
+    img = Image.fromarray(arr)
+    out = clip_preprocess_frame(img, 28)
+    assert out.shape == (28, 28, 3) and out.dtype == np.float32
+    ref = img.resize((37, 28), Image.BICUBIC).crop((4, 0, 32, 28))
+    np.testing.assert_allclose(out, np.asarray(ref, np.float32) / 255.0)
 
 
 # ---------------------------------------------------------------- features
@@ -196,6 +224,59 @@ def test_dataset_video_branch(tmp_path):
     batch = collate([item, {"input_ids": [1, 2], "labels": [1, 2]}],
                     pad_id=0)
     assert batch["videos"][0] is not None and batch["videos"][1] is None
+
+
+def test_dataset_image_precedence_and_force_sample_guard(tmp_path):
+    """'image' wins over 'video' (train.py if/elif) — a bogus video next
+    to a real image must never be decoded; force_sample without
+    frames_upbound fails loudly."""
+    from PIL import Image
+
+    from rsvldm_tpu.training.vlm_data import (LazyConversationDataset,
+                                              Llama3Special)
+    img = tmp_path / "a.png"
+    Image.new("RGB", (8, 8), (1, 2, 3)).save(img)
+    rec = [{"id": "b0", "image": "a.png", "video": "does-not-exist.mp4",
+            "conversations": [
+                {"from": "human", "value": "<image>\nWhat?"},
+                {"from": "gpt", "value": "A square."}]}]
+    data = tmp_path / "d.json"
+    data.write_text(json.dumps(rec))
+    sp = Llama3Special(bos=501, start_header=502, end_header=503, eot=504,
+                       nl=505)
+    enc = lambda s: [(ord(c) % 96) + 2 for c in s]
+    ds = LazyConversationDataset(
+        str(data), enc, template="llama_3", image_folder=str(tmp_path),
+        video_folder=str(tmp_path),
+        process_image=lambda p: np.asarray(Image.open(p)),
+        preprocess_kw={"sp": sp})
+    item = ds[0]  # must NOT try to decode the bogus video
+    assert "image" in item and "video" not in item
+
+    # frame-folder force_sample with frames_upbound=0 -> loud error
+    fdir = tmp_path / "shareVideoGPTV_x"
+    fdir.mkdir()
+    Image.new("RGB", (8, 8)).save(fdir / "0001.png")
+    rec2 = [{"id": "v1", "video": fdir.name,
+             "conversations": [
+                 {"from": "human", "value": "<image>\nWhat?"},
+                 {"from": "gpt", "value": "x"}]}]
+    data2 = tmp_path / "d2.json"
+    data2.write_text(json.dumps(rec2))
+    ds2 = LazyConversationDataset(
+        str(data2), enc, template="llama_3", video_folder=str(tmp_path),
+        force_sample=True, frames_upbound=0, preprocess_kw={"sp": sp})
+    with pytest.raises(ValueError, match="frames_upbound"):
+        ds2[0]
+
+
+def test_to_unit_pixels_scale():
+    """normalize_pixels expects [0,1]; the train CLI's pixel prep must
+    scale uint8 down (regression: raw 0-255 went straight in)."""
+    import train_vlm
+    out = np.asarray(train_vlm.to_unit_pixels(
+        np.full((2, 2, 3), 255, np.uint8)))
+    assert out.max() == pytest.approx(1.0) and out.dtype == np.float32
 
 
 def test_captioner_video_features_tiny():

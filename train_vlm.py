@@ -105,6 +105,14 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def to_unit_pixels(pixels):
+    """uint8 [0,255] image array -> float [0,1] for normalize_pixels
+    (which CLIP-normalizes UNIT-range input — feeding it raw uint8 values
+    silently produced wildly out-of-distribution tower inputs)."""
+    import jax.numpy as jnp
+    return jnp.asarray(pixels, jnp.float32) / 255.0
+
+
 def _hash_encode(text: str):
     """Deterministic whitespace tokenizer for --smoke (crc32, not hash():
     stable across processes)."""
@@ -190,6 +198,9 @@ def main(argv=None):
     from rsvldm_tpu.training.vlm_trainer import (IGNORE_INDEX, LoraConfig,
                                                  VLMTrainer, save_lora_npz)
 
+    if args.force_sample and args.frames_upbound <= 0:
+        sys.exit("--force_sample samples exactly --frames_upbound frames; "
+                 "pass --frames_upbound N (> 0)")
     quant = {16: None, 8: "int8", 4: "int4"}[args.bits]
     tune = tuple(t.strip() for t in args.tune.split(",") if t.strip())
     assert set(tune) <= {"lora", "projector"} and tune, args.tune
@@ -210,6 +221,12 @@ def main(argv=None):
                                                       mode=quant)}
             model = LlamaModel(dataclasses.replace(cfg, quant=quant))
         cfg = model.cfg
+
+        def video_feats_fn(frames, _dim=cfg.dim):
+            # smoke: deterministic fake features so the video SPLICE path
+            # runs (not just the dataset decode)
+            return jax.random.normal(jax.random.PRNGKey(13),
+                                     (len(frames) * 4, _dim))
         if "projector" in tune:
             from rsvldm_tpu.models.vlm.projector import MLPProjector
             img_tokens, dv = 4, 8
@@ -262,13 +279,13 @@ def main(argv=None):
                 return np.asarray(img.resize((size, size), Image.BICUBIC))
 
             def feats_fn(pixels):  # [336,336,3] uint8 -> [576, D]
-                px = normalize_pixels(jnp.asarray(pixels)[None])
+                px = normalize_pixels(to_unit_pixels(pixels)[None])
                 return cap.projector.apply(
                     cap.projector_params,
                     cap.vision.apply(cap.vision_params, px))[0]
 
         def feats_raw_fn(pixels):  # pre-projector tower features
-            px = normalize_pixels(jnp.asarray(pixels)[None])
+            px = normalize_pixels(to_unit_pixels(pixels)[None])
             return cap.vision.apply(cap.vision_params, px)[0]
 
         def video_feats_fn(frames):  # PIL frames -> flat video stream
