@@ -54,12 +54,26 @@ async function go() {
   const imgs = await Promise.all(files.map(f => new Promise(r => {
     const fr = new FileReader();
     fr.onload = () => r(fr.result.split(',')[1]); fr.readAsDataURL(f); })));
-  const resp = await fetch('/generate', {method: 'POST',
+  const resp = await fetch('/generate_stream', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
     body: JSON.stringify({prompt: document.getElementById('p').value,
                           images: imgs, model: 'rsvldm-llm'})});
-  const j = await resp.json();
-  document.getElementById('out').textContent = j.text || JSON.stringify(j);
+  const reader = resp.body.getReader();
+  const dec = new TextDecoder();
+  let buf = '';
+  const out = document.getElementById('out');
+  while (true) {
+    const {done, value} = await reader.read();
+    if (done) break;
+    buf += dec.decode(value, {stream: true});
+    let i;
+    while ((i = buf.indexOf('\\n')) >= 0) {
+      const line = buf.slice(0, i); buf = buf.slice(i + 1);
+      if (!line.trim()) continue;
+      const j = JSON.parse(line);
+      out.textContent = j.text !== undefined ? j.text : (j.error || '');
+    }
+  }
 }
 </script>"""
 
@@ -97,7 +111,13 @@ class WebServer:
                 else:
                     self._send(404, b"{}")
 
+            # /generate_stream relays a chunked ndjson body — HTTP/1.1
+            protocol_version = "HTTP/1.1"
+
             def do_POST(self):
+                if self.path == "/generate_stream":
+                    self._stream()
+                    return
                 if self.path != "/generate":
                     self._send(404, b"{}")
                     return
@@ -108,6 +128,42 @@ class WebServer:
                     self._send(200, json.dumps(result).encode())
                 except Exception as e:  # surface worker errors to the UI
                     self._send(500, json.dumps({"error": str(e)}).encode())
+
+            def _stream(self):
+                """Relay the worker's /worker_generate_stream frames to
+                the browser (gradio_web_server.http_bot streams the
+                worker's growing-prefix frames the same way)."""
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(n))
+                    frames = outer._stream_dispatch(
+                        outer._render_prompt(payload))
+                except Exception as e:
+                    self._send(500, json.dumps({"error": str(e)}).encode())
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                # headers are out — nothing may escape (a leaked exception
+                # would write a second response into the chunked body)
+                try:
+                    for frame in frames:
+                        body = json.dumps(frame).encode() + b"\n"
+                        self.wfile.write(f"{len(body):x}\r\n".encode()
+                                         + body + b"\r\n")
+                        self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+                except ConnectionError:
+                    self.close_connection = True
+                except Exception as e:
+                    try:
+                        body = (json.dumps({"error": str(e)}).encode()
+                                + b"\n")
+                        self.wfile.write(f"{len(body):x}\r\n".encode()
+                                         + body + b"\r\n0\r\n\r\n")
+                    except OSError:
+                        self.close_connection = True
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
@@ -143,6 +199,28 @@ class WebServer:
         if not worker:
             return {"error": "no available worker"}
         return self._post_json(worker + "/worker_generate", payload)
+
+    def _stream_dispatch(self, payload: dict):
+        """Generator of worker /worker_generate_stream frames, resolved
+        via the controller — the browser sees tokens as they decode
+        (gradio_web_server.http_bot consumes the same worker stream)."""
+        if self.controller_url is None:
+            yield {"error": "streaming requires a controller"}
+            return
+        addr = self._post_json(self.controller_url + "/get_worker_address",
+                               {"model": payload.get("model", "rsvldm-llm")})
+        worker = addr.get("address")
+        if not worker:
+            yield {"error": "no available worker"}
+            return
+        req = urllib.request.Request(
+            worker + "/worker_generate_stream",
+            json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            for line in r:
+                if line.strip():
+                    yield json.loads(line)
 
     def serve_forever(self):
         self.httpd.serve_forever()

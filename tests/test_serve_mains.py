@@ -256,6 +256,63 @@ def test_test_message_cli_streams_through_controller(monkeypatch, tmp_path,
         ctrl.server_close()
 
 
+def test_web_generate_stream_relays_frames(monkeypatch, tmp_path):
+    """/generate_stream relays the worker's growing-prefix ndjson frames
+    through the controller topology (gradio streaming parity)."""
+    import rsvldm_tpu.models.vlm.captioner as capmod
+    import rsvldm_tpu.utils.compile_cache as cc
+
+    monkeypatch.setattr(capmod.LlavaCaptioner, "load",
+                        staticmethod(lambda ckpt_dir, **kw: _FakeCaptioner()))
+    monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
+
+    from rsvldm_tpu.serving.controller import main as ctrl_main
+    from rsvldm_tpu.serving.llm_worker import main as llm_main
+    from rsvldm_tpu.serving.web import main as web_main
+
+    ctrl = ctrl_main(["--host", "127.0.0.1", "--port", "0"], block=False)
+    cport = ctrl.server_address[1]
+    worker, server = llm_main(
+        ["--host", "127.0.0.1", "--port", "0",
+         "--controller-address", f"http://127.0.0.1:{cport}",
+         "--slots", "2", "--max-len", "512",
+         "--ckpt_dir", str(tmp_path)], block=False)
+    web = web_main(["--host", "127.0.0.1", "--port", "0",
+                    "--controller-url", f"http://127.0.0.1:{cport}"],
+                   block=False)
+    try:
+        body = json.dumps({"prompt": "stream me", "model": "rsvldm-llm",
+                           "max_new_tokens": 6, "raw_prompt": True})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{web.port}/generate_stream", body.encode(),
+            {"Content-Type": "application/json"})
+        frames = []
+        with urllib.request.urlopen(req, timeout=60) as r:
+            for line in r:
+                if line.strip():
+                    frames.append(json.loads(line))
+        assert frames and frames[-1].get("finished")
+        assert len(frames[-1]["text"].split()) == 6
+        assert len({f["text"] for f in frames}) > 1  # grew incrementally
+
+        # no worker for the model -> structured error frame
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{web.port}/generate_stream",
+            json.dumps({"prompt": "x", "model": "nope",
+                        "raw_prompt": True}).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            err = [json.loads(l) for l in r if l.strip()]
+        assert err == [{"error": "no available worker"}]
+    finally:
+        web.shutdown()
+        worker.stop()
+        server.shutdown()
+        server.server_close()
+        ctrl.shutdown()
+        ctrl.server_close()
+
+
 def test_llm_worker_main_missing_ckpt(monkeypatch, tmp_path):
     import rsvldm_tpu.utils.compile_cache as cc
     monkeypatch.setattr(cc, "cli_setup", lambda *a, **k: None)
