@@ -126,6 +126,7 @@ class LlavaCaptioner:
              quant: str | None = None,
              draft_dir: str | Path | None | bool = None,
              spec_k: int = 4,
+             self_draft_layers: int = 0,
              lora_npz: str | Path | None = None,
              projector_npz: str | Path | None = None
              ) -> Optional["LlavaCaptioner"]:
@@ -152,6 +153,10 @@ class LlavaCaptioner:
         share the target's hidden dim and tokenizer (depth-pruned /
         distilled drafts); it is quantized with the same `quant` mode.
         spec_k: draft tokens proposed per verify round.
+        self_draft_layers: when no draft checkpoint is available, build a
+        depth-pruned SELF-draft from the target's first N layers
+        (speculative.py::self_draft — zero extra HBM, output always exact;
+        only the acceptance rate, i.e. speed, depends on N).
 
         lora_npz: adapter archive from train_vlm.py (save_lora_npz). On an
         fp base the adapters fold into the kernels; on a quantized base
@@ -260,6 +265,14 @@ class LlavaCaptioner:
                          "k=%d)", dd, dcfg.layers, spec_k)
         elif draft_dir:
             raise FileNotFoundError(f"--draft_dir {dd} does not exist")
+        if draft is None and self_draft_layers and mesh is None:
+            # depth-pruned self-draft: zero extra weights, correctness
+            # guaranteed for any draft (speculative.py::self_draft)
+            from .speculative import self_draft
+            draft, draft_params = self_draft(llama_params, llama.cfg,
+                                             self_draft_layers)
+            log.info("self-draft: first %d of %d target layers",
+                     self_draft_layers, llama.cfg.layers)
         return cls(llama, llama_params, vision, vision_params, projector,
                    projector_params, newline, tokenizer, mesh=mesh,
                    draft=draft, draft_params=draft_params, spec_k=spec_k)

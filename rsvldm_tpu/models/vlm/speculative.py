@@ -40,6 +40,34 @@ from .generate import GenerateConfig
 from .llama import KVCache, LlamaModel
 
 
+def self_draft(params: dict, cfg, layers: int = 4):
+    """Depth-pruned SELF-draft (LayerSkip / Draft-&-Verify style): the
+    target's first `layers` transformer blocks plus its own embed / final
+    norm / lm_head become the proposal model — speculative decoding
+    without a separately trained draft checkpoint. Output correctness is
+    independent of draft quality (the acceptance rule keeps greedy
+    streams exactly the target's and sampled streams on the target's key
+    schedule); the draft only moves the ACCEPTANCE RATE, i.e. speed.
+    Returns (draft_model, draft_params) sharing the target's leaves —
+    zero extra HBM. Works on quantized trees and any extra collections
+    (e.g. runtime "lora") since only layer_<i> keys are filtered."""
+    import dataclasses
+    if not 0 < layers < cfg.layers:
+        raise ValueError(f"self-draft layers must be in 1..{cfg.layers - 1}")
+    dcfg = dataclasses.replace(cfg, layers=layers)
+    out = {}
+    for col, tree in params.items():
+        sub = {}
+        for k, v in tree.items():
+            if k.startswith("layer_"):
+                if int(k.split("_", 1)[1]) < layers:
+                    sub[k] = v
+            else:
+                sub[k] = v
+        out[col] = sub
+    return LlamaModel(dcfg), out
+
+
 def _key_for(rng, j):
     """generate()'s key schedule: rng itself for token 0, fold_in(rng, j)
     after — kept identical so draft == target reproduces `generate`."""

@@ -292,6 +292,11 @@ def main(argv=None, block: bool = True):
     ap.add_argument("--no-draft", action="store_true",
                     help="ignore an auto-discovered <ckpt_dir>/llava_draft/ "
                          "(disable speculative decoding)")
+    ap.add_argument("--self-draft", type=int, default=0, metavar="N",
+                    help="speculative decoding with a depth-pruned SELF-"
+                         "draft (the target's first N layers; no draft "
+                         "checkpoint, zero extra HBM) when no real draft "
+                         "is available")
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--prefix-file", type=str, default="",
                     help="file holding a shared prompt scaffold; its KV "
@@ -316,10 +321,10 @@ def main(argv=None, block: bool = True):
     # prefill (engine.submit/DecodeEngine refuse) — fail or opt out at
     # LAUNCH, not per request after the worker registered healthy
     wants_prefix_or_chunk = bool(args.prefix_file) or bool(args.prefill_chunk)
-    if args.draft_dir and wants_prefix_or_chunk:
+    if (args.draft_dir or args.self_draft) and wants_prefix_or_chunk:
         raise SystemExit(
-            "--draft_dir (speculative decoding) does not compose with "
-            "--prefix-file/--prefill-chunk — drop one of them")
+            "--draft_dir/--self-draft (speculative decoding) does not "
+            "compose with --prefix-file/--prefill-chunk — drop one of them")
     draft_dir = (False if (args.no_draft or wants_prefix_or_chunk)
                  else (args.draft_dir or None))
     if draft_dir is False and not args.no_draft:
@@ -332,7 +337,9 @@ def main(argv=None, block: bool = True):
     cap = LlavaCaptioner.load(args.ckpt_dir, llama_cfg=llama_cfg,
                               quant=quant,
                               draft_dir=draft_dir,
-                              spec_k=args.spec_k)
+                              spec_k=args.spec_k,
+                              self_draft_layers=(0 if args.no_draft
+                                                 else args.self_draft))
     if cap is None:
         raise SystemExit(f"no llava assets under {args.ckpt_dir}")
 

@@ -343,6 +343,10 @@ def test_llm_worker_main_draft_conflicts(monkeypatch, tmp_path):
         main(["--no-register", "--draft_dir", str(tmp_path),
               "--prefill-chunk", "128", "--ckpt_dir", str(tmp_path)],
              block=False)
+    with pytest.raises(SystemExit, match="does not compose"):
+        main(["--no-register", "--self-draft", "2",
+              "--prefill-chunk", "128", "--ckpt_dir", str(tmp_path)],
+             block=False)
 
     (tmp_path / "llava_draft").mkdir()
     worker, server = main(["--host", "127.0.0.1", "--port", "0",

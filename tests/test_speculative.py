@@ -14,7 +14,7 @@ import pytest
 
 from rsvldm_tpu.models.vlm.generate import GenerateConfig, generate
 from rsvldm_tpu.models.vlm.llama import KVCache, LlamaConfig, LlamaModel
-from rsvldm_tpu.models.vlm.speculative import (make_round_fn,
+from rsvldm_tpu.models.vlm.speculative import (make_round_fn, self_draft,
                                                speculative_generate)
 
 CFG = LlamaConfig(vocab_size=96, dim=32, layers=2, heads=4, kv_heads=2,
@@ -77,6 +77,37 @@ def test_self_draft_reproduces_sampled_stream(target):
     out = speculative_generate(tm, tp, tm, tp, emb, SAMPLED,
                                jax.random.PRNGKey(2), k=4)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_depth_pruned_self_draft(target):
+    """self_draft (LayerSkip-style): the sliced tree IS the target's first
+    k layers (forward equals a hand-built truncated model), leaves are
+    SHARED (no copy), and speculative decode with it stays greedy-exact."""
+    tm, tp = target
+    dm, dp = self_draft(tp, CFG, layers=1)
+    assert dm.cfg.layers == 1
+    assert "layer_1" not in dp["params"] and "layer_0" in dp["params"]
+    # zero-copy: same leaf objects
+    assert dp["params"]["layer_0"]["q_proj"]["kernel"] is \
+        tp["params"]["layer_0"]["q_proj"]["kernel"]
+    # forward == a model built at layers=1 over the same subtree
+    ref_m = LlamaModel(dataclasses.replace(CFG, layers=1))
+    ids = jnp.asarray([3, 5, 7], jnp.int32)
+    cache = KVCache.init(dm.cfg, 1, 8, jnp.float32)
+    ours = dm.apply(dp, ids[None], cache, 0, method=dm.from_tokens)[0]
+    theirs = ref_m.apply(dp, ids[None], cache, 0,
+                         method=ref_m.from_tokens)[0]
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs))
+    # greedy-exact through speculative decode
+    emb = _prompt(tm, tp, s=6, seed=11)
+    ref = generate(tm, tp, emb, GREEDY, jax.random.PRNGKey(4))
+    out = speculative_generate(tm, tp, dm, dp, emb, GREEDY,
+                               jax.random.PRNGKey(4), k=3)
+    np.testing.assert_array_equal(ref, out)
+    with pytest.raises(ValueError):
+        self_draft(tp, CFG, layers=2)   # must be < target depth
+    with pytest.raises(ValueError):
+        self_draft(tp, CFG, layers=0)
 
 
 def test_self_draft_full_acceptance_round(target):
