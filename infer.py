@@ -35,6 +35,10 @@ def main():
                     help="Llama-family draft checkpoint for speculative "
                          "caption decoding (default: auto-detect "
                          "<ckpt_dir>/llava_draft)")
+    ap.add_argument("--self_draft", type=int, default=0, metavar="N",
+                    help="speculative caption decoding with a depth-pruned "
+                         "self-draft (target's first N layers; no draft "
+                         "checkpoint needed, output exact)")
     ap.add_argument("--lora_npz", type=str, default="",
                     help="adapter archive from train_vlm.py, folded into "
                          "the captioner (fp) or served as the runtime "
@@ -62,6 +66,7 @@ def main():
     cfg.stage1.ddim_steps = args.stage1_steps
     cfg.refine.edm_steps = args.edm_steps
     cfg.llava.draft_dir = args.draft_dir
+    cfg.llava.self_draft_layers = args.self_draft
     cfg.llava.lora_npz = args.lora_npz
     cfg.llava.projector_npz = args.projector_npz
 

@@ -90,6 +90,10 @@ class LlavaConfig:
     # (models/vlm/speculative.py, bench_spec.py).
     draft_dir: str = ""
     spec_k: int = 4          # draft tokens proposed per verify round
+    # Depth-pruned SELF-draft (first N target layers, zero extra HBM)
+    # when no draft checkpoint exists; 0 = off. Output stays exact for
+    # any draft — N only moves the acceptance rate (speculative.py).
+    self_draft_layers: int = 0
     # LoRA adapter archive from train_vlm.py (save_lora_npz): folded into
     # fp kernels, or attached as the runtime QLoRA branch on a quantized
     # decoder. Empty = none.

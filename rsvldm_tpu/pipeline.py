@@ -239,6 +239,7 @@ class SuperResolutionPipeline:
                 kw = {"quant": self.cfg.llava.quant or None,
                       "draft_dir": self.cfg.llava.draft_dir or None,
                       "spec_k": self.cfg.llava.spec_k,
+                      "self_draft_layers": self.cfg.llava.self_draft_layers,
                       "lora_npz": self.cfg.llava.lora_npz or None,
                       "projector_npz": self.cfg.llava.projector_npz or None,
                       **(self.llava_load_kw or {})}
