@@ -265,6 +265,9 @@ class LlavaCaptioner:
                          "k=%d)", dd, dcfg.layers, spec_k)
         elif draft_dir:
             raise FileNotFoundError(f"--draft_dir {dd} does not exist")
+        if draft is None and self_draft_layers and mesh is not None:
+            log.warning("self_draft_layers ignored: speculative decoding "
+                        "and mesh TP are not composed")
         if draft is None and self_draft_layers and mesh is None:
             # depth-pruned self-draft: zero extra weights, correctness
             # guaranteed for any draft (speculative.py::self_draft)
