@@ -39,6 +39,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("BENCH_TINY"):
+    # CPU smoke: the axon sitecustomize ignores JAX_PLATFORMS (CLAUDE.md) —
+    # force the backend before first device use
+    jax.config.update("jax_platforms", "cpu")
+
 
 def isolation():
     """Chunked-prefill decode-latency isolation at the 8B int8 geometry."""

@@ -9,7 +9,10 @@ step, since decode is weight-bound). The end-to-end speedup is
 draft, so this reports t_round and the implied tok/s at several
 acceptance levels instead of inventing an acceptance rate.
 
-Run: python bench_spec.py [k]
+Run: python bench_spec.py [k]            # separate 4-layer draft (~1 GB)
+     python bench_spec.py [k] --self-draft N   # depth-pruned SELF-draft:
+         the target's own first N layers propose (zero extra HBM — leaves
+         shared), measuring what `--self_draft N` costs per round.
 """
 
 from __future__ import annotations
@@ -25,25 +28,46 @@ import numpy as np
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    argv = list(sys.argv[1:])
+    self_layers = 0
+    if "--self-draft" in argv:
+        i = argv.index("--self-draft")
+        self_layers = int(argv[i + 1])
+        del argv[i:i + 2]
+    k = int(argv[0]) if argv else 4
     from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
                                              LlamaModel)
-    from rsvldm_tpu.models.vlm.speculative import make_round_fn
+    from rsvldm_tpu.models.vlm.speculative import make_round_fn, self_draft
 
     tcfg = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16,
                                quant="int8")
-    # depth-4 draft of the same family/width (~1 GB int8): what a
-    # layer-pruned + distilled draft would cost at serve time
-    dcfg = dataclasses.replace(tcfg, layers=4)
-    tm, dm = LlamaModel(tcfg), LlamaModel(dcfg)
-    total = 4096
+    import os
+    if os.environ.get("BENCH_TINY"):   # CPU smoke of the flow only
+        # the axon sitecustomize ignores JAX_PLATFORMS (CLAUDE.md) —
+        # force the backend before first device use
+        jax.config.update("jax_platforms", "cpu")
+        tcfg = dataclasses.replace(tcfg, dim=64, layers=4, heads=4,
+                                   kv_heads=2, ffn_dim=128, vocab_size=256)
+    tm = LlamaModel(tcfg)
+    total = 4096 if not os.environ.get("BENCH_TINY") else 64
 
     from bench_full import dispatch_overhead, dummy_llama_params
-    tp, dp = dummy_llama_params(tm, tcfg), dummy_llama_params(dm, dcfg)
+    tp = dummy_llama_params(tm, tcfg)
+    if self_layers:
+        # zero-extra-HBM draft: the target's own first N layers
+        dm, dp = self_draft(tp, tcfg, self_layers)
+        dcfg = dm.cfg
+    else:
+        # depth-4 draft of the same family/width (~1 GB int8): what a
+        # layer-pruned + distilled draft would cost at serve time
+        dcfg = dataclasses.replace(tcfg, layers=4)
+        dm = LlamaModel(dcfg)
+        dp = dummy_llama_params(dm, dcfg)
     cache_t = KVCache.init(tcfg, 1, total, jnp.bfloat16)
     cache_d = KVCache.init(dcfg, 1, total, jnp.bfloat16)
     rf = make_round_fn(tm, dm, k)
-    args = (jnp.int32(1), jnp.int32(3500), jnp.int32(1), jnp.float32(0.0),
+    p0 = 3500 if total >= 4096 else total // 2   # steady-state fill point
+    args = (jnp.int32(1), jnp.int32(p0), jnp.int32(1), jnp.float32(0.0),
             jax.random.PRNGKey(0))
 
     # warm + steady state (donated caches flow through)
@@ -65,6 +89,8 @@ def main():
     round_s = max(raw - dispatch_overhead(), raw / 4)
     res = {"spec_k": k, "spec_round_ms_dispatched": round(1000 * raw, 1),
            "spec_round_ms_device": round(1000 * round_s, 1)}
+    if self_layers:
+        res["self_draft_layers"] = self_layers
     for a in (0, 2, 4):
         res[f"spec_tok_s_at_acc{a}"] = round((1 + a) / round_s, 1)
         res[f"spec_tok_s_at_acc{a}_relay"] = round((1 + a) / raw, 1)
