@@ -97,6 +97,12 @@ def main():
         extras["sr3_steps_per_sec"] = round(500 / res["stage1_500step_s"], 2)
     if "sdxl_step_64lat_s" in res:
         extras["sdxl_step_ms"] = round(1000 * res["sdxl_step_64lat_s"], 1)
+    if "sdxl_step_hit_s" in res:
+        # informational: a DFBCache-HIT step (ControlNet + UNet input
+        # blocks + similarity test; lax.cond skips the middle/decoder).
+        # The composite counts zero hits — the hit rate is data-dependent —
+        # so [hit, miss] step times bound the cache-active composite.
+        extras["sdxl_step_hit_ms"] = round(1000 * res["sdxl_step_hit_s"], 1)
     if "vae_decode_512px_s" in res:
         extras["vae_decode_ms"] = round(1000 * res["vae_decode_512px_s"], 1)
     if "llama8B_est_tok_s" in res:

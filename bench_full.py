@@ -214,7 +214,36 @@ def part_sdxl():
     f2c = aot(f2, up, cp, x, sigma)
     raw = timed(lambda: f2c(up, cp, x, sigma), n=3)
     dt = max(raw - dispatch_overhead(), raw / 4)
+
+    # cache-HIT step cost: on a DFBCache hit the sampler still pays the
+    # ControlNet + UNet input blocks (denoiser.first — the reference's
+    # ControlWrapper always runs control_model, and *stage1 fbcache modes
+    # run the input blocks) plus the rel-L1 similarity test; the middle +
+    # injected decoder (denoiser.rest) is skipped via lax.cond. The
+    # composite deliberately counts NO hits (data-dependent); this bounds
+    # the cache-active rate: real = miss_steps*step + hit_steps*hit_step.
+    from rsvldm_tpu.diffusion.samplers import _rel_l1
+
+    def hit_step(up, cp, xx, sigma, prev_h):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
+        p = den.first(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+        # every field of the PartialState is a live output: in the sampler
+        # `first` runs unconditionally (its ControlNet features are cond
+        # OPERANDS even on a hit) — only (diff, p.h) as outputs would let
+        # XLA dead-code the ControlNet and fake a cheaper hit
+        return _rel_l1(p.h, prev_h), (p.h, p.hs, p.emb, p.control, p.x,
+                                      p.c_skip, p.c_out)
+
+    fh = jax.jit(hit_step)
+    den0 = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                           control_params=cp)
+    prev_h = jnp.zeros(den0.first_block_shape(n, h, w), jnp.bfloat16)
+    fhc = aot(fh, up, cp, x, sigma, prev_h)
+    raw_h = timed(lambda: fhc(up, cp, x, sigma, prev_h), n=3)
+    dt_h = max(raw_h - dispatch_overhead(), raw_h / 4)
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt,
+            "sdxl_step_hit_s": dt_h,
             **roofline(f2c, dt, prefix="sdxl_")}
 
 
