@@ -519,18 +519,27 @@ def part_flash_bwd():
         k = jnp.ones(shape, jnp.bfloat16)
         v = jnp.ones(shape, jnp.bfloat16)
         fwd_flops = 4.0 * h * s * s * d * 0.5
-        iters = 8
+        # 32 iters ≈ 1-2 s of device work for the XLA fallback and ≥300 ms
+        # for the Pallas path — at 8 the Pallas grad was ~10 ms of device
+        # time vs the ~33 ms relay dispatch and the subtraction was noise
+        iters = 32
 
         def loss(q_, k_, v_):
             return attention(q_, k_, v_, causal=True,
                              impl="flash").astype(jnp.float32).sum()
 
         def grad_loop(q, k, v):
-            def body(acc, _):
-                g = jax.grad(loss)(q + acc, k, v)
-                return acc + (1e-6 * g).astype(acc.dtype), None
-            acc, _ = lax.scan(body, jnp.zeros_like(q), None, length=iters)
-            return acc
+            # grads wrt ALL THREE operands feed the carry — argnums=0 alone
+            # lets XLA DCE the entire dK/dV kernel and the "backward" bench
+            # measures only dQ
+            def body(carry, _):
+                qc, kc, vc = carry
+                gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(qc, kc, vc)
+                return (qc + (1e-6 * gq).astype(qc.dtype),
+                        kc + (1e-6 * gk).astype(kc.dtype),
+                        vc + (1e-6 * gv).astype(vc.dtype)), None
+            (qc, _, _), _ = lax.scan(body, (q, k, v), None, length=iters)
+            return qc
 
         for mode in ("pallas", "xla"):
             os.environ["RSVLDM_FLASH_BWD"] = mode

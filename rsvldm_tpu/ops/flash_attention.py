@@ -101,8 +101,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
                     ).astype(o_ref.dtype)
         # logsumexp per q row — the softmax statistic the fused backward
-        # rebuilds p from (p = exp(s - lse))
-        lse_ref[0] = (m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30)))[:, 0]
+        # rebuilds p from (p = exp(s - lse)). Stored [*, block_q, 1]: the
+        # trailing length-1 lane dim keeps the block spec legal on TPU
+        # (a 2-D (1, block_q) block fails Mosaic's divisible-by-8 sublane
+        # rule whenever b*h > 1).
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
 
 
 def _round_up(x, m):
@@ -159,12 +162,12 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j, kk: (i, j),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),    # running max
@@ -176,7 +179,7 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
 
     out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     if return_lse:
-        return out, lse[:, :sq].reshape(b, h, sq)
+        return out, lse[:, :sq, 0].reshape(b, h, sq)
     return out
 
 
@@ -194,7 +197,9 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
 
 def _bwd_p_ds(q, kk, vv, do, lse_row, delta_row, *, scale, causal,
               q_start, k_start, block_q, block_k, kv_len, q_offset):
-    """Shared block math: rebuild p, return (p, ds) both fp32 [bq, bk]."""
+    """Shared block math: rebuild p, return (p, ds) both fp32 [bq, bk].
+    lse_row / delta_row arrive as [bq, 1] column vectors (the trailing
+    lane dim the TPU block spec requires) and broadcast over keys."""
     s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32,
@@ -204,10 +209,10 @@ def _bwd_p_ds(q, kk, vv, do, lse_row, delta_row, *, scale, causal,
         q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         valid = jnp.logical_and(valid, k_pos <= q_pos)
-    p = jnp.where(valid, jnp.exp(s - lse_row[:, None]), 0.0)
+    p = jnp.where(valid, jnp.exp(s - lse_row), 0.0)
     dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_row[:, None]) * scale
+    ds = p * (dp - delta_row) * scale
     return p, ds
 
 
@@ -315,8 +320,10 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal: bool = False,
     dot = jnp.pad(dot, ((0, 0), (0, sq_p - sq), (0, 0)))
     kt = jnp.pad(kt, ((0, 0), (0, sk_p - sk), (0, 0)))
     vt = jnp.pad(vt, ((0, 0), (0, sk_p - sk), (0, 0)))
-    delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
-    lse2 = jnp.pad(lse2, ((0, 0), (0, sq_p - sq)))
+    # [bh, sq_p, 1]: the trailing length-1 lane dim keeps the (1, block_q,
+    # 1) block specs legal on TPU and matches the kernels' [bq, 1] rows
+    delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))[..., None]
+    lse2 = jnp.pad(lse2, ((0, 0), (0, sq_p - sq)))[..., None]
 
     q_off = sk - sq
     common = dict(scale=scale, causal=causal, block_q=block_q,
@@ -334,9 +341,9 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, kk, qq: (i, qq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, kk, qq: (i, qq),
+            pl.BlockSpec((1, block_q, 1), lambda i, kk, qq: (i, qq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, kk, qq: (i, qq),
+            pl.BlockSpec((1, block_q, 1), lambda i, kk, qq: (i, qq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -368,9 +375,9 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, qq, kk: (i, qq),
+            pl.BlockSpec((1, block_q, 1), lambda i, qq, kk: (i, qq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, qq, kk: (i, qq),
+            pl.BlockSpec((1, block_q, 1), lambda i, qq, kk: (i, qq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
