@@ -86,7 +86,7 @@ def main():
     # step on one chip) — last, so budget exhaustion drops them first
     for name in ("stage1", "sdxl", "llama_int8", "vae", "llama_prefill",
                  "hbm_peak", "llama_int4", "llama", "engine", "sr3_train",
-                 "qlora_train", "flash_bwd"):
+                 "qlora_train", "flash_bwd", "flash_fwd"):
         if time.time() - t0 > budget:
             res[f"{name}_error"] = "skipped: bench budget exceeded"
             continue
@@ -126,9 +126,9 @@ def main():
         extras["sr3_train_img_s"] = res["sr3_train_img_s"]
     if "qlora8B_train_tok_s" in res:
         extras["qlora8B_train_tok_s"] = res["qlora8B_train_tok_s"]
-    # informational: fused Pallas flash backward vs the XLA recompute path
+    # informational: Pallas flash kernels (fwd; fused bwd vs XLA recompute)
     extras.update({k: v for k, v in res.items()
-                   if k.startswith("flash_bwd_")})
+                   if k.startswith(("flash_bwd_", "flash_fwd_"))})
     # roofline columns (compiled-program cost_analysis vs v5e ceilings)
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})

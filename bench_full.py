@@ -556,8 +556,44 @@ def part_flash_bwd():
     return res
 
 
+def part_flash_fwd():
+    """Pallas flash attention FORWARD throughput (informational): causal
+    8k at d=64/d=128 (LLaMA-prefill shape) and non-causal 4k at d=64 (the
+    SDXL 128x128-latent SpatialTransformer shape class). 32 carry-chained
+    calls inside ONE jit amortize the relay dispatch floor. TFLOP/s uses
+    4*B*H*S^2*D (halved when causal)."""
+    import jax.lax as lax
+
+    from rsvldm_tpu.ops.attention import attention
+
+    res = {}
+    for s, d, h, causal, tag in ((8192, 64, 8, True, "8k_d64"),
+                                 (8192, 128, 4, True, "8k_d128"),
+                                 (4096, 64, 8, False, "4k_d64_nc")):
+        shape = (1, s, h, d)
+        q = jnp.ones(shape, jnp.bfloat16)
+        k = jnp.ones(shape, jnp.bfloat16)
+        v = jnp.ones(shape, jnp.bfloat16)
+        flops = 4.0 * h * s * s * d * (0.5 if causal else 1.0)
+        iters = 32
+
+        def loop(q, k, v):
+            def body(acc, _):
+                o = attention(q + acc, k, v, causal=causal, impl="flash")
+                return acc + (1e-6 * o).astype(acc.dtype), None
+            acc, _ = lax.scan(body, jnp.zeros_like(q), None, length=iters)
+            return acc
+
+        fc = aot(jax.jit(loop), q, k, v)
+        raw = timed(lambda: fc(q, k, v), n=3)
+        dt = max(raw - dispatch_overhead(), raw / 4)
+        res[f"flash_fwd_{tag}_tfs"] = round(flops * iters / dt / 1e12, 1)
+    return res
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
          "hbm_peak": part_hbm_peak, "flash_bwd": part_flash_bwd,
+         "flash_fwd": part_flash_fwd,
          "sr3_train": part_sr3_train, "qlora_train": part_qlora_train,
          "llama": part_llama, "llama_int8": part_llama_int8,
          "llama_int4": part_llama_int4,

@@ -46,6 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
@@ -74,38 +76,63 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         q = q_ref[0]                    # [block_q, d]
         k = k_ref[0]                    # [block_k, d]
         v = v_ref[0]
+        # base-2 softmax: log2(e) folds into the score scale so the
+        # per-element transcendental is a bare exp2 — at d=64 the online
+        # softmax is VPU-bound, so the multiply Mosaic's exp lowering
+        # would add per element is on the critical path. m/l carry the
+        # SAME values as the base-e recurrence (only s/m change units);
+        # _finish converts lse back to natural log for the backward.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [bq, bk]
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32,
-                                                   (block_q, block_k), 1)
-        valid = k_pos < kv_len
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
+
+        def _commit(s):
+            m = m_ref[:]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            m_ref[:] = m_new
+
+        # interior blocks skip the mask entirely (iota + compare + select
+        # per element): full = every key slot in range AND (causal) at/
+        # below the diagonal for even the FIRST q row of the block
+        full = k_start + block_k <= kv_len
         if causal:
-            q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            valid = jnp.logical_and(valid, k_pos <= q_pos)
-        s = jnp.where(valid, s, NEG_INF)
-        m = m_ref[:]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = m_new
+            full = jnp.logical_and(
+                full, k_start + block_k - 1 <= q_start + q_offset)
+
+        @pl.when(full)
+        def _fast():
+            _commit(s)
+
+        @pl.when(jnp.logical_not(full))
+        def _masked():
+            k_pos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            valid = k_pos < kv_len
+            if causal:
+                q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                valid = jnp.logical_and(valid, k_pos <= q_pos)
+            _commit(jnp.where(valid, s, NEG_INF))
 
     @pl.when(ki == num_kb - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
                     ).astype(o_ref.dtype)
         # logsumexp per q row — the softmax statistic the fused backward
-        # rebuilds p from (p = exp(s - lse)). Stored [*, block_q, 1]: the
-        # trailing length-1 lane dim keeps the block spec legal on TPU
-        # (a 2-D (1, block_q) block fails Mosaic's divisible-by-8 sublane
-        # rule whenever b*h > 1).
-        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
+        # rebuilds p from (p = exp(s - lse)). m is in base-2 units (see
+        # _update) — convert back to natural log here. Stored
+        # [*, block_q, 1]: the trailing length-1 lane dim keeps the block
+        # spec legal on TPU (a 2-D (1, block_q) block fails Mosaic's
+        # divisible-by-8 sublane rule whenever b*h > 1).
+        lse_ref[0] = (m_ref[:] * LN2
+                      + jnp.log(jnp.maximum(l_ref[:], 1e-30)))
 
 
 def _round_up(x, m):
@@ -196,24 +223,46 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
 
 
 def _bwd_p_ds(q, kk, vv, do, lse_row, delta_row, *, scale, causal,
-              q_start, k_start, block_q, block_k, kv_len, q_offset):
+              q_start, k_start, block_q, block_k, kv_len, q_offset,
+              masked=True):
     """Shared block math: rebuild p, return (p, ds) both fp32 [bq, bk].
     lse_row / delta_row arrive as [bq, 1] column vectors (the trailing
-    lane dim the TPU block spec requires) and broadcast over keys."""
+    lane dim the TPU block spec requires) and broadcast over keys.
+    masked=False is the interior-block fast path (no key slot out of
+    range, no diagonal crossing) — skips the per-element iota/compare/
+    select; padded q ROWS stay benign without it because q and do are
+    zero-padded (s=0, dp=0, delta=0 ⇒ ds=0)."""
+    # base-2 rebuild (see _flash_kernel): scale·log2e folds into the dot's
+    # scale and lse (natural units) converts per ROW — the per-element
+    # transcendental is a bare exp2
     s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32,
-                                               (block_q, block_k), 1)
-    valid = k_pos < kv_len
-    if causal:
-        q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        valid = jnp.logical_and(valid, k_pos <= q_pos)
-    p = jnp.where(valid, jnp.exp(s - lse_row), 0.0)
+                            preferred_element_type=jnp.float32
+                            ) * (scale * LOG2E)
+    p = jnp.exp2(s - lse_row * LOG2E)
+    if masked:
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (block_q, block_k), 1)
+        valid = k_pos < kv_len
+        if causal:
+            q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            valid = jnp.logical_and(valid, k_pos <= q_pos)
+        p = jnp.where(valid, p, 0.0)
     dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta_row) * scale
     return p, ds
+
+
+def _bwd_full_block(k_start, q_start, *, causal, block_k, kv_len, q_offset):
+    """Traced predicate: this (q block, kv block) pair has no masked
+    element — all key slots in range and (causal) at/below the diagonal
+    for even the block's first q row."""
+    full = k_start + block_k <= kv_len
+    if causal:
+        full = jnp.logical_and(
+            full, k_start + block_k - 1 <= q_start + q_offset)
+    return full
 
 
 def _flash_bwd_kv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -233,8 +282,7 @@ def _flash_bwd_kv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # nothing — skip their compute
     live = (q_start + block_q - 1 + q_offset >= k_start) if causal else True
 
-    @pl.when(live)
-    def _update():
+    def _do_update(masked):
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
@@ -242,13 +290,24 @@ def _flash_bwd_kv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         p, ds = _bwd_p_ds(q, kk, vv, do, lse_ref[0], delta_ref[0],
                           scale=scale, causal=causal, q_start=q_start,
                           k_start=k_start, block_q=block_q, block_k=block_k,
-                          kv_len=kv_len, q_offset=q_offset)
+                          kv_len=kv_len, q_offset=q_offset, masked=masked)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    full = _bwd_full_block(k_start, q_start, causal=causal,
+                           block_k=block_k, kv_len=kv_len, q_offset=q_offset)
+
+    @pl.when(jnp.logical_and(live, full))
+    def _fast():
+        _do_update(False)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(full)))
+    def _masked():
+        _do_update(True)
 
     @pl.when(qi == num_qb - 1)
     def _finish():
@@ -270,17 +329,28 @@ def _flash_bwd_q_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k_start = ki * block_k
     live = (k_start <= q_start + block_q - 1 + q_offset) if causal else True
 
-    @pl.when(live)
-    def _update():
+    def _do_update(masked):
         q = q_ref[0]
         kk = k_ref[0]
         _, ds = _bwd_p_ds(q, kk, v_ref[0], do_ref[0], lse_ref[0],
                           delta_ref[0], scale=scale, causal=causal,
                           q_start=q_start, k_start=k_start, block_q=block_q,
-                          block_k=block_k, kv_len=kv_len, q_offset=q_offset)
+                          block_k=block_k, kv_len=kv_len, q_offset=q_offset,
+                          masked=masked)
         dq_acc[:] += jax.lax.dot_general(
             ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    full = _bwd_full_block(k_start, q_start, causal=causal,
+                           block_k=block_k, kv_len=kv_len, q_offset=q_offset)
+
+    @pl.when(jnp.logical_and(live, full))
+    def _fast():
+        _do_update(False)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(full)))
+    def _masked():
+        _do_update(True)
 
     @pl.when(ki == num_kb - 1)
     def _finish():

@@ -143,3 +143,34 @@ def test_flash_lse_matches_softmax():
     ref = jax.scipy.special.logsumexp(logits, axis=-1)
     np.testing.assert_allclose(np.array(lse), np.array(ref), atol=1e-4,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("sq,sk,causal", [
+    (192, 192, False),   # all kv blocks full for every q block
+    (192, 192, True),    # interior full blocks below the diagonal
+    (200, 264, True),    # full interior + partial tail, suffix-aligned
+])
+def test_flash_fused_bwd_small_blocks(sq, sk, causal):
+    """Drive flash_attention_bwd with 64-wide blocks so BOTH branch paths
+    of the bwd kernels run (the interior-block fast path skips the mask
+    entirely; the default 512/1024 blocks never produce a full block at
+    test-scale sequence lengths)."""
+    from rsvldm_tpu.ops.flash_attention import (flash_attention,
+                                                flash_attention_bwd)
+    b, h, d = 2, 2, 16
+    q = _rand((b, sq, h, d), 41)
+    k = _rand((b, sk, h, d), 42)
+    v = _rand((b, sk, h, d), 43)
+    g = _rand((b, sq, h, d), 44)
+    out, lse = flash_attention(q, k, v, causal=causal, block_q=64,
+                               block_k=64, interpret=True, return_lse=True)
+    dq, dk, dv = flash_attention_bwd(q, k, v, out, lse, g, causal=causal,
+                                     block_q=64, block_k=64, interpret=True)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, causal=causal) * g)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip((dq, dk, dv), g_ref):
+        np.testing.assert_allclose(np.array(a), np.array(b_),
+                                   atol=2e-4, rtol=2e-3)
