@@ -13,18 +13,22 @@ The flash recurrence (m, l, acc) lives in VMEM scratch persisting across
 the sequential kv grid steps; the output block is written on the last kv
 step. Causal q-blocks skip compute for blocks beyond the diagonal.
 
-Measured (v5e, bf16, d=64, b*h=32, 8 calls amortized inside ONE jit — the
-axon relay costs ~33 ms/dispatch), v1 re-measured in the SAME harness the
-same day for a fair baseline:
-  4k : v1 23.9 TFLOP/s, v2 23.5 — parity (round-2's recorded 37 does not
-       reproduce under today's relay; block sweeps 256..4096 are flat ±5%,
-       so 4k is not DMA- or block-bound)
-  8k : v2 45.5 TFLOP/s;  16k: v2 58.8 (v1 VMEM-capped above ~8k)
-The 4k ceiling is the online-softmax VPU work (exp on [bq,bk] per step ~9
-cycles/elem) against d=64 MXU contractions — a hardware balance, not a
-scheduling artifact; longer sequences amortize per-call/launch overhead
-toward the ~60 TF exp-bound ceiling. Head-packing negative result from v1
-still holds (equal-FLOPs d=64 vs d=128 within 2%).
+v3 softmax: scores are kept in base 2 — log2(e) folds into the score
+scale so the online recurrence uses bare exp2 per element (the VPU's
+pow2 is ~2x cheaper than exp, and exp(x)=2^(x*log2e) is exact in fp32
+up to one multiply that the scale absorbs); interior causal blocks
+(fully below the diagonal) skip the mask iota/compare/select entirely —
+only the one diagonal block per q-row pays for masking.
+
+Measured (v5e, bf16, 32 carry-chained calls inside ONE jit — the axon
+relay costs ~33 ms/dispatch; bench_full.py part_flash_fwd):
+  8k d=64 causal  40.5 TFLOP/s     8k d=128 causal 100.4 TFLOP/s
+  4k d=64 non-causal 49.5 TFLOP/s  (pre-v3 same harness: ~24 — the
+       base-2 softmax roughly DOUBLES d=64 throughput; the remaining
+       ceiling is the [bq,bk] exp2+max+sum VPU work against d=64 MXU
+       contractions — d=128 halves softmax work per FLOP, hence ~100 TF)
+Head-packing negative result from v1 still holds (equal-FLOPs d=64 vs
+d=128 packing within 2%).
 
 Backward: FlashAttention-2-style fused kernels (flash_attention_bwd) —
 p rebuilt per block from the forward's logsumexp, dK/dV and dQ in two
