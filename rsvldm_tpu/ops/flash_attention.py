@@ -23,6 +23,7 @@ only the one diagonal block per q-row pays for masking.
 Measured (v5e, bf16, 32 carry-chained calls inside ONE jit — the axon
 relay costs ~33 ms/dispatch; bench_full.py part_flash_fwd):
   8k d=64 causal  40.5 TFLOP/s     8k d=128 causal 100.4 TFLOP/s
+  16k d=64 causal 48.3 TFLOP/s     16k d=128 causal 91.9 TFLOP/s
   4k d=64 non-causal 49.5 TFLOP/s  (pre-v3 same harness: ~24 — the
        base-2 softmax roughly DOUBLES d=64 throughput; the remaining
        ceiling is the [bq,bk] exp2+max+sum VPU work against d=64 MXU
