@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .brownian import BrownianTreeNoiseSampler
 from .schedules import legacy_ddpm_sigmas, karras_sigmas
 from .samplers import to_d, init_noise_scaling
 
@@ -222,19 +223,24 @@ def restore_dpmpp2m_sample(denoise_fn, noise, sigmas, rng=None,
     non-first step with next_sigma > 0. Its restore_cfg/x_center __init__
     params are never used in sampler_step — not reproduced here.
 
-    Noise source: the reference draws from a BrownianTreeNoiseSampler;
-    over a fixed non-adaptive step sequence the increments on disjoint
-    [sigma_i, sigma_{i+1}] intervals are independent gaussians, so
-    per-step fold_in normals are statistically identical (bit-parity with
-    torchsde is out of scope). eps_override [n_steps, *x.shape] injects an
-    explicit noise sequence (the oracle-parity hook)."""
+    Noise source: a Brownian-tree path (diffusion/brownian.py), matching
+    the reference's BrownianTreeNoiseSampler over [sigmas[-2], sigmas[0]]
+    (sampling.py:489-498) — one fixed path W; step i's injection is the
+    normalized increment (W(sigma_{i+1}) - W(sigma_i)) / sqrt(dsigma), so
+    results vary smoothly with the step count. Each step reuses the
+    previous step's endpoint value through the scan carry (one tree-point
+    evaluation per step). Bit-parity with torchsde's generator is out of
+    scope. eps_override [n_steps, *x.shape] injects an explicit noise
+    sequence instead (the oracle-parity hook)."""
     n = sigmas.shape[0] - 1
     sigmas = karras_sigmas(n, float(sigmas[-2]), float(sigmas[0]))
     rng = jax.random.PRNGKey(0) if rng is None else rng
     x = init_noise_scaling(noise, sigmas[0])
+    tree = BrownianTreeNoiseSampler(rng, float(sigmas[-2]), float(sigmas[0]),
+                                    x.shape, x.dtype)
 
     def body(carry, i):
-        x, old_denoised = carry
+        x, old_denoised, w_cur = carry
         sigma, nxt = sigmas[i], sigmas[i + 1]
         denoised = denoise_fn(x, sigma)
         t, t_next = t_of(sigma), t_of(nxt)
@@ -249,18 +255,20 @@ def restore_dpmpp2m_sample(denoise_fn, noise, sigmas, rng=None,
         x_adv = mult1 * x - mult2 * denoised_d
         use_adv = (i > 0) & (nxt > 1e-14)
         x_new = jnp.where(use_adv, x_adv, x_std)
+        w_next = tree.w(nxt)
         if eta > 0:
             if eps_override is not None:
                 eps = eps_override[i]
             else:
-                eps = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
-                                        x.dtype)
+                dsig = jnp.maximum(jnp.abs(nxt - sigma), 1e-20)
+                eps = (w_next - w_cur) / jnp.sqrt(dsig).astype(x.dtype)
             inj = eps * nxt * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
             x_new = jnp.where(use_adv, x_new + inj, x_new)
-        return (x_new, denoised), 0.0
+        return (x_new, denoised, w_next), 0.0
 
-    (x_final, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)),
-                                   jnp.arange(sigmas.shape[0] - 1))
+    (x_final, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), tree.w(sigmas[0])),
+        jnp.arange(sigmas.shape[0] - 1))
     return x_final
 
 
@@ -351,3 +359,77 @@ def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
         return acc / cnt, 0.0
 
     return _scan(body, x, n - 1)
+
+
+def tiled_restore_dpmpp2m_sample(denoise_tile_fn, noise, sigmas, lq_latent,
+                                 rng=None, tile: int = 128, stride: int = 64,
+                                 eta: float = 1.0, s_noise: float = 1.0):
+    """TiledRestoreDPMPP2MSampler (sampling.py:760-827): the stochastic
+    DPM++(2M) update applied per gaussian-weighted sliding tile; each
+    tile's control slice is the matching LQ-latent crop, and BOTH the
+    stepped x and the step's `denoised` are stitched back to canvases
+    (the reference carries old_denoised as a stitched canvas and re-slices
+    it next step — reproduced exactly).
+
+    TPU design: static tile grid stacked on the batch axis, ONE batched
+    denoise call per step (the reference loops tiles sequentially with a
+    Python for); per-step Brownian-tree noise is drawn once on the full
+    canvas and sliced per tile, exactly like the reference's
+    `eps_noise[:, :, hi:hi_end, wi:wi_end]`. Local-prompt tiling
+    (cond-as-list) folds into denoise_tile_fn: the tile axis IS the batch
+    axis, so per-tile conditioning is a batched cond stack in the closure.
+    """
+    b, h, w, c = noise.shape
+    n = sigmas.shape[0] - 1
+    sigmas = karras_sigmas(n, float(sigmas[-2]), float(sigmas[0]))
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    wins = sliding_windows(h, w, tile, stride)
+    weights = gaussian_tile_weights(tile, tile)[None, :, :, None]
+    x = init_noise_scaling(noise, sigmas[0])
+    tree = BrownianTreeNoiseSampler(rng, float(sigmas[-2]), float(sigmas[0]),
+                                    x.shape, x.dtype)
+
+    def slices(canvas):
+        return jnp.concatenate([canvas[:, hi:he, wi:we, :]
+                                for hi, he, wi, we in wins], axis=0)
+
+    def stitch(tiles):
+        acc = jnp.zeros((b, h, w, c), tiles.dtype)
+        for t_idx, (hi, he, wi, we) in enumerate(wins):
+            acc = acc.at[:, hi:he, wi:we, :].add(
+                tiles[t_idx * b:(t_idx + 1) * b] * weights)
+        return acc
+
+    lq_tiles = slices(lq_latent)
+    cnt = jnp.zeros((b, h, w, c), jnp.float32)
+    for hi, he, wi, we in wins:
+        cnt = cnt.at[:, hi:he, wi:we, :].add(weights)
+
+    def body(carry, i):
+        x, old_den, w_cur = carry
+        sigma, nxt = sigmas[i], sigmas[i + 1]
+        tiles = slices(x)
+        den = denoise_tile_fn(tiles, sigma, lq_tiles)
+        t, t_next = t_of(sigma), t_of(nxt)
+        h_step = t_next - t
+        eta_h = eta * h_step
+        mult1 = sigma_of(t_next) / sigma_of(t) * jnp.exp(-eta_h)
+        mult2 = jnp.expm1(-h_step - eta_h)
+        x_std = mult1 * tiles - mult2 * den
+        prev_sigma = sigmas[jnp.maximum(i - 1, 0)]
+        r = (t - t_of(prev_sigma)) / h_step
+        den_d = (1 + 1 / (2 * r)) * den - (1 / (2 * r)) * slices(old_den)
+        x_adv = mult1 * tiles - mult2 * den_d
+        use_adv = (i > 0) & (nxt > 1e-14)
+        stepped = jnp.where(use_adv, x_adv, x_std)
+        w_next = tree.w(nxt)
+        if eta > 0:
+            dsig = jnp.maximum(jnp.abs(nxt - sigma), 1e-20)
+            eps = (w_next - w_cur) / jnp.sqrt(dsig).astype(x.dtype)
+            inj = slices(eps) * nxt * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
+            stepped = jnp.where(use_adv, stepped + inj, stepped)
+        return (stitch(stepped) / cnt, stitch(den) / cnt, w_next), 0.0
+
+    (x_final, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), tree.w(sigmas[0])), jnp.arange(n))
+    return x_final

@@ -124,3 +124,45 @@ def test_tiled_restore_edm_matches_untiled_for_local_denoiser():
                                        jnp.zeros_like(NOISE), lq,
                                        jax.random.PRNGKey(1), tile=4, stride=4)
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(whole), atol=1e-4)
+
+
+def test_tiled_restore_dpmpp2m_single_tile_equals_untiled():
+    # one window covering the canvas: weights normalize out, the eps
+    # slice is the full canvas — must reproduce restore_dpmpp2m_sample
+    # (same Brownian tree, same rng) to fp32 rounding
+    sigmas = legacy_ddpm_sigmas(8)
+    rng = jax.random.PRNGKey(5)
+    lq = jax.random.normal(jax.random.PRNGKey(6), NOISE.shape)
+    a = S.restore_dpmpp2m_sample(gauss_denoiser, NOISE, sigmas, rng)
+    b = S.tiled_restore_dpmpp2m_sample(
+        lambda t, s, _lq: gauss_denoiser(t, s), NOISE, sigmas, lq, rng,
+        tile=8, stride=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tiled_restore_dpmpp2m_multi_tile():
+    # overlapping 3x3 grid (reference tile=128, stride=64 geometry scaled
+    # down): runs green, finite, deterministic in rng, converges for the
+    # delta denoiser, and the lq control slices reach the denoiser
+    noise = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 2))
+    target = jnp.ones((1, 16, 16, 2)) * 0.37
+    lq = jax.random.normal(jax.random.PRNGKey(2), noise.shape)
+    sigmas = legacy_ddpm_sigmas(12)
+    seen = []
+
+    def den(t, s, lq_tiles):
+        seen.append(lq_tiles.shape)
+        return jnp.broadcast_to(target[:, :8, :8, :], t.shape)
+
+    out = S.tiled_restore_dpmpp2m_sample(den, noise, sigmas, lq,
+                                         jax.random.PRNGKey(3),
+                                         tile=8, stride=4, eta=0.0)
+    assert seen[0] == (9, 8, 8, 2)  # 3x3 windows stacked on batch
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.broadcast_to(target, out.shape)),
+                               atol=1e-3)
+    out2 = S.tiled_restore_dpmpp2m_sample(den, noise, sigmas, lq,
+                                          jax.random.PRNGKey(3),
+                                          tile=8, stride=4, eta=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
