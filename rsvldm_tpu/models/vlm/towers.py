@@ -17,8 +17,12 @@ the reference ships:
                                   fused-qkv converter
   mlcd-vit-bigG-patch14*          MLCD ViT: 2D-RoPE CLIP variant
                                   (mlcd_encoder.py / HF modeling_mlcd)
-  imagebind_huge                  dormant vendored tree in the reference
-                                  (imagebind.py) — not implemented; raises
+  *eva02*/*eva01*/internal-eva*   EVA-CLIP ViT (vendored eva_clip tree;
+                                  dispatch commented out at builder.py:37-38
+                                  but implemented here — eva_vit.py)
+  imagebind_huge                  needs the EXTERNAL `imagebind` package
+                                  even in the reference (import guarded at
+                                  imagebind.py:5-10) — descoped; raises
 
 select_layer / select_feature mirror mm_vision_select_layer /
 mm_vision_select_feature, including the slicefour_* and slice_m25811_f6_*
@@ -124,8 +128,28 @@ def build_vision_tower(vision_tower: str, select_layer: int = -2,
                          convert_hf.convert_hf_clip_vision)
     if name in ("imagebind_huge",):
         raise NotImplementedError(
-            "imagebind_huge is a dormant vendored tree in the reference "
-            "(imagebind.py; builder.py:28) and is not implemented")
+            "imagebind_huge depends on the EXTERNAL `imagebind` package "
+            "even in the reference (imagebind.py:5-10 guards the import "
+            "with a bare except; the tree is not vendored) — it cannot run "
+            "there without a pip install and is descoped here "
+            "(COMPONENTS.md)")
+    if "internal-eva" in name.lower() or "eva02" in name.lower() \
+            or "eva01" in name.lower():
+        # the vendored EVA tree dispatch (builder.py:37-38, commented out
+        # in the reference but fully vendored under eva_clip/)
+        from .eva_vit import EVA_GEOMETRIES, EvaVisionTower
+        cand = name.lower().replace("internal-", "")
+        # longest match wins (EVA02-CLIP-L-14 is a prefix of ...-L-14-336)
+        key = max((k for k in EVA_GEOMETRIES if k in cand),
+                  key=len, default=None)
+        if key is None:
+            raise ValueError(f"Unknown EVA tower: {name} "
+                             f"(known: {sorted(EVA_GEOMETRIES)})")
+        cfg = EVA_GEOMETRIES[key]
+        return VisionTowerSpec(
+            EvaVisionTower(cfg, keep_cls=(select_feature == "cls_patch")),
+            lambda sd: convert_hf.convert_eva_vision(sd, cfg),
+            cfg.image_size, s2=s2)
     if name.startswith("open_clip_hub"):
         model = name.replace("open_clip_hub:", "")
         if model not in _OPEN_CLIP_GEOMETRY:

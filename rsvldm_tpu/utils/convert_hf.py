@@ -181,6 +181,63 @@ def convert_mlcd_vision(sd: Dict[str, Any], cfg) -> Dict:
     return {"params": p}
 
 
+def convert_eva_vision(sd: Dict[str, Any], cfg) -> Dict:
+    """Vendored EVA ViT state_dict (eva_vit.py EVAVisionTransformer) ->
+    EvaVisionTower params.
+
+    Torch naming: patch_embed.proj, cls_token [1,1,C], pos_embed [1,T+1,C],
+    blocks.{i}.{norm1, norm2, attn.{q_proj,k_proj,v_proj | qkv} +
+    q_bias/v_bias params, attn.inner_attn_ln, attn.proj,
+    mlp.{w1,w2,ffn_ln,w3 | fc1,fc2}}, gamma_1/gamma_2 (layer scale).
+    The FINAL block is intentionally not converted — the reference feature
+    path skips it (eva_vit.py:694-696) and the Flax tower does not build
+    it. rope freqs_cos/freqs_sin buffers are recomputed, not loaded."""
+    p: Dict[str, Any] = {
+        "cls_token": t2n(sd["cls_token"]).reshape(-1),
+        "pos_embed": t2n(sd["pos_embed"])[0],
+        "patch_embed": {
+            "kernel": t2n(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": t2n(sd["patch_embed.proj.bias"]),
+        },
+    }
+    for i in range(cfg.layers - 1):
+        lp = f"blocks.{i}"
+        b: Dict[str, Any] = {
+            "norm1": _lnorm(sd, f"{lp}.norm1"),
+            "norm2": _lnorm(sd, f"{lp}.norm2"),
+            "proj": _dense(sd, f"{lp}.attn.proj"),
+        }
+        if cfg.subln:
+            b["q_proj"] = {"kernel": lin_w(sd[f"{lp}.attn.q_proj.weight"])}
+            b["k_proj"] = {"kernel": lin_w(sd[f"{lp}.attn.k_proj.weight"])}
+            b["v_proj"] = {"kernel": lin_w(sd[f"{lp}.attn.v_proj.weight"])}
+            if cfg.qkv_bias:
+                b["q_proj"]["bias"] = t2n(sd[f"{lp}.attn.q_bias"])
+                b["v_proj"]["bias"] = t2n(sd[f"{lp}.attn.v_bias"])
+            b["inner_attn_ln"] = _lnorm(sd, f"{lp}.attn.inner_attn_ln")
+        else:
+            b["qkv"] = {"kernel": lin_w(sd[f"{lp}.attn.qkv.weight"])}
+            if cfg.qkv_bias:
+                b["q_bias"] = t2n(sd[f"{lp}.attn.q_bias"])
+                b["v_bias"] = t2n(sd[f"{lp}.attn.v_bias"])
+        if cfg.naiveswiglu:
+            b["w1"] = _dense(sd, f"{lp}.mlp.w1")
+            b["w2"] = _dense(sd, f"{lp}.mlp.w2")
+            b["w3"] = _dense(sd, f"{lp}.mlp.w3")
+            if cfg.subln:
+                b["ffn_ln"] = _lnorm(sd, f"{lp}.mlp.ffn_ln")
+        else:
+            b["fc1"] = _dense(sd, f"{lp}.mlp.fc1")
+            b["fc2"] = _dense(sd, f"{lp}.mlp.fc2")
+            if cfg.subln:
+                b["ffn_ln"] = _lnorm(sd, f"{lp}.mlp.ffn_ln")
+        if cfg.ls_init_value is not None:
+            b["gamma_1"] = t2n(sd[f"{lp}.gamma_1"])
+            b["gamma_2"] = t2n(sd[f"{lp}.gamma_2"])
+        p[f"block_{i}"] = b
+    return {"params": p}
+
+
 # ---------------------------------------------------------------- Llama-3
 
 def merge_lora(base: np.ndarray, lora_a, lora_b, scale: float) -> np.ndarray:

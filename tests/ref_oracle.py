@@ -54,6 +54,30 @@ def install():
     _stub("open_clip", create_model_and_transforms=None, tokenize=None)
     _stub("kornia")
 
+    # timm: the vendored EVA tree needs only three trivial layer helpers
+    # (eva_vit.py:152-155); stubbed so the EVA oracle imports without timm
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def _drop_path(x, drop_prob=0.0, training=False, scale_by_keep=True):
+        if drop_prob == 0.0 or not training:
+            return x
+        keep = 1 - drop_prob
+        mask = x.new_empty((x.shape[0],) + (1,) * (x.ndim - 1)).bernoulli_(keep)
+        return x * mask / keep
+
+    def _trunc_normal_(t, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            t.normal_(mean, std).clamp_(mean + a * std, mean + b * std)
+        return t
+
+    tm = _stub("timm")
+    tm.models = _stub("timm.models")
+    tm.models.layers = _stub("timm.models.layers", drop_path=_drop_path,
+                             to_2tuple=_to_2tuple, trunc_normal_=_trunc_normal_)
+    tm.layers = _stub("timm.layers", drop_path=_drop_path,
+                      to_2tuple=_to_2tuple, trunc_normal_=_trunc_normal_)
+
     class _OC:
         @staticmethod
         def load(*a, **k):
