@@ -23,7 +23,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 top-level export; the experimental path is deprecated
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        # check_vma=False: bodies here return unreduced per-device values
+        # (psum'd explicitly or genuinely device-varying), the same cases
+        # the old check_rep=False covered
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_exp
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_exp(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
 
 
 def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str,
@@ -66,7 +81,7 @@ def sequence_parallel_attention(q, k, v, mesh: Mesh, axis: str,
 
     spec = P(None, axis, None, None)
     return shard_map(f, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec)(q, k, v)
 
 
 def gpipe_apply(stage_fn, stage_params, x_mb, mesh: Mesh, axis: str):
@@ -109,8 +124,7 @@ def gpipe_apply(stage_fn, stage_params, x_mb, mesh: Mesh, axis: str):
 
     pspec = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
     fn = shard_map(per_device, mesh=mesh,
-                   in_specs=(pspec, P()), out_specs=P(),
-                   check_rep=False)
+                   in_specs=(pspec, P()), out_specs=P())
     return fn(stage_params, x_mb)
 
 
