@@ -84,7 +84,8 @@ class SuperResolutionPipeline:
     """Loads all stages once, then processes images (infer.py:79-101)."""
 
     def __init__(self, cfg: PipelineConfig, debug_tiny: bool = False,
-                 mesh=None, llava_load_kw: dict | None = None):
+                 mesh=None, llava_load_kw: dict | None = None,
+                 model_cfgs: dict | None = None):
         self.cfg = cfg
         self.debug_tiny = debug_tiny
         self.mesh = mesh  # TP-shards the captioner; shards folder batches
@@ -93,24 +94,33 @@ class SuperResolutionPipeline:
         self.llava_load_kw = llava_load_kw
         self.rng = jax.random.PRNGKey(cfg.seed)
         t = _tiny_overrides() if debug_tiny else None
+        # model_cfgs (keys sr3/sdxl/vae/clip_l/big_g) replaces individual
+        # model geometries while KEEPING the checkpoint-load path active —
+        # unlike debug_tiny, which skips loading entirely. This is how the
+        # directory round-trip test runs the real convert->cache->load
+        # chain at tiny geometry (tests/test_e2e_ckpt_roundtrip.py).
+        mc = model_cfgs or {}
 
         s1 = cfg.stage1
-        self.sr3_cfg = t["sr3"] if t else SR3UNetConfig(
+        self.sr3_cfg = mc.get("sr3") or (t["sr3"] if t else SR3UNetConfig(
             inner_channel=s1.inner_channel, channel_mults=tuple(s1.channel_mults),
             attn_res=tuple(s1.attn_res), res_blocks=s1.res_blocks,
-            image_size=s1.image_size, dtype=jnp.bfloat16)
+            image_size=s1.image_size, dtype=jnp.bfloat16))
         self.sr3 = SR3UNet(self.sr3_cfg)
         self.sr3_diff = SR3Diffusion.from_schedule(
             s1.schedule, s1.steps, s1.linear_start, s1.linear_end)
 
-        self.sdxl_cfg = t["sdxl"] if t else SDXLUNetConfig(dtype=jnp.bfloat16)
-        self.vae_cfg = t["vae"] if t else SDXL_VAE_CONFIG
+        self.sdxl_cfg = mc.get("sdxl") or (
+            t["sdxl"] if t else SDXLUNetConfig(dtype=jnp.bfloat16))
+        self.vae_cfg = mc.get("vae") or (t["vae"] if t else SDXL_VAE_CONFIG)
         self.unet = ControlledUNet(self.sdxl_cfg)
         self.control = GLVControl(self.sdxl_cfg)
         self.vae = AutoencoderKL(self.vae_cfg)
 
-        self.clip_l_cfg = t["clip_l"] if t else CLIP_L_CONFIG
-        self.big_g_cfg = t["big_g"] if t else OPENCLIP_BIGG_CONFIG
+        self.clip_l_cfg = mc.get("clip_l") or (
+            t["clip_l"] if t else CLIP_L_CONFIG)
+        self.big_g_cfg = mc.get("big_g") or (
+            t["big_g"] if t else OPENCLIP_BIGG_CONFIG)
         self.clip_l = CLIPTextTransformer(self.clip_l_cfg)
         self.big_g = CLIPTextTransformer(self.big_g_cfg)
 

@@ -1,0 +1,329 @@
+"""Full-directory checkpoint round-trip (round-3 review item #3).
+
+Builds a REAL reference-layout checkpoint directory on disk — torch
+modules instantiated from /root/reference at tiny geometry, saved under
+the exact published file names and key prefixes the reference loads
+(models/util.py:93-117):
+
+    I1000000_E800_gen.pth                      SR3 UNet state_dict
+    juggernautXL_v8Rundiffusion.safetensors    model.diffusion_model.* +
+        first_stage_model.* + conditioner.embedders.{0.transformer,
+        1.model}.*
+    SR-v0Q.ckpt                                model.control_model.* +
+        first_stage_model.denoise_encoder.* + overlay overrides
+
+then runs the framework's actual ingestion chain end-to-end:
+convert_ckpt.convert_all (the CLI's conversion plans + orbax cache) ->
+SuperResolutionPipeline with the checkpoint-load path ACTIVE (model_cfgs
+override, not debug_tiny) -> process() -> eval.quality.evaluate_dir.
+Asserts: every family converts + caches, the orbax cache round-trips
+bit-exactly, the SR-v0Q overlay takes precedence key-by-key, NO family
+falls back to random init, outputs are finite + deterministic in the
+seed, and the quality harness scores the produced folder.
+
+Module-level converter parity at full scale is test_convert_fullscale;
+this test owns the DIRECTORY plumbing the real-weights path runs.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+import ref_oracle
+
+pytestmark = pytest.mark.skipif(not ref_oracle.available(),
+                                reason="reference repo not mounted")
+if ref_oracle.available():
+    ref_oracle.install()
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.tree_util as tu  # noqa: E402
+
+from rsvldm_tpu.config import (PipelineConfig, Stage1Config,  # noqa: E402
+                               RefinementConfig)
+from rsvldm_tpu.pipeline import (SuperResolutionPipeline,  # noqa: E402
+                                 _tiny_overrides)
+
+TINY = _tiny_overrides()  # the one geometry set every stage agrees on
+
+
+def _np(sd):
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _sr3_sd():
+    from models.sr3_model.sr3_modules.unet import UNet
+    torch.manual_seed(10)
+    c = TINY["sr3"]
+    net = UNet(in_channel=6, out_channel=3, inner_channel=c.inner_channel,
+               norm_groups=c.norm_groups, channel_mults=c.channel_mults,
+               attn_res=c.attn_res, res_blocks=c.res_blocks, dropout=0,
+               image_size=c.image_size).eval()
+    return net.state_dict()
+
+
+_SGM_UNET_KW = None
+
+
+def _sgm_unet_kw():
+    """sgm UNetModel/GLVControl kwargs for TINY['sdxl'] geometry."""
+    global _SGM_UNET_KW
+    if _SGM_UNET_KW is None:
+        u = TINY["sdxl"]
+        _SGM_UNET_KW = dict(
+            adm_in_channels=u.adm_in_channels, num_classes="sequential",
+            use_checkpoint=False, in_channels=4, out_channels=4,
+            model_channels=u.model_channels,
+            attention_resolutions=list(u.attention_resolutions),
+            num_res_blocks=u.num_res_blocks,
+            channel_mult=list(u.channel_mult),
+            num_head_channels=u.num_head_channels,
+            use_spatial_transformer=True, use_linear_in_transformer=True,
+            transformer_depth=list(u.transformer_depth),
+            context_dim=u.context_dim,
+            spatial_transformer_attn_type="softmax", legacy=False)
+    return _SGM_UNET_KW
+
+
+def _vae_parts():
+    """encoder./decoder./quant_conv./post_quant_conv. key set at
+    TINY['vae'] geometry (what first_stage_model.* strips to)."""
+    from sgm.modules.diffusionmodules.model import Decoder as TDec
+    from sgm.modules.diffusionmodules.model import Encoder as TEnc
+    v = TINY["vae"]
+    torch.manual_seed(11)
+    kw = dict(ch=v.ch, out_ch=3, ch_mult=tuple(v.ch_mult),
+              num_res_blocks=v.num_res_blocks, attn_resolutions=[],
+              dropout=0.0, in_channels=3, resolution=32,
+              z_channels=v.z_channels, attn_type="vanilla")
+    enc = TEnc(double_z=True, **kw).eval()
+    dec = TDec(**kw).eval()
+    qc = torch.nn.Conv2d(2 * v.z_channels, 2 * v.embed_dim, 1)
+    pqc = torch.nn.Conv2d(v.embed_dim, v.z_channels, 1)
+    sd = {}
+    for prefix, mod in (("encoder", enc), ("decoder", dec),
+                        ("quant_conv", qc), ("post_quant_conv", pqc)):
+        for k, t in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = t
+    # SR-v0Q additionally ships the denoise_encoder twin (SR_model.py:22)
+    torch.manual_seed(12)
+    den = TEnc(double_z=True, **kw).eval()
+    den_sd = {f"denoise_encoder.{k}": t for k, t in den.state_dict().items()}
+    return sd, den_sd
+
+
+def _clip_l_sd():
+    from transformers import CLIPTextConfig as HFTextConfig, CLIPTextModel
+    c = TINY["clip_l"]
+    hf = HFTextConfig(vocab_size=c.vocab_size, hidden_size=c.width,
+                      intermediate_size=4 * c.width, num_hidden_layers=c.layers,
+                      num_attention_heads=c.heads, max_position_embeddings=77)
+    torch.manual_seed(13)
+    m = CLIPTextModel(hf).eval()
+    return {k: v for k, v in m.state_dict().items()
+            if "position_ids" not in k}
+
+
+def _bigg_sd():
+    """open_clip TextTransformer naming at TINY['big_g'] geometry."""
+    c = TINY["big_g"]
+    g = torch.Generator().manual_seed(14)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.02
+    sd = {"token_embedding.weight": r(c.vocab_size, c.width),
+          "positional_embedding": r(77, c.width),
+          "ln_final.weight": 1 + r(c.width), "ln_final.bias": r(c.width),
+          "text_projection": r(c.width, c.width)}
+    for i in range(c.layers):
+        p = f"transformer.resblocks.{i}"
+        sd.update({
+            f"{p}.ln_1.weight": 1 + r(c.width), f"{p}.ln_1.bias": r(c.width),
+            f"{p}.ln_2.weight": 1 + r(c.width), f"{p}.ln_2.bias": r(c.width),
+            f"{p}.attn.in_proj_weight": r(3 * c.width, c.width),
+            f"{p}.attn.in_proj_bias": r(3 * c.width),
+            f"{p}.attn.out_proj.weight": r(c.width, c.width),
+            f"{p}.attn.out_proj.bias": r(c.width),
+            f"{p}.mlp.c_fc.weight": r(4 * c.width, c.width),
+            f"{p}.mlp.c_fc.bias": r(4 * c.width),
+            f"{p}.mlp.c_proj.weight": r(c.width, 4 * c.width),
+            f"{p}.mlp.c_proj.bias": r(c.width),
+        })
+    return sd
+
+
+def _light_unet_sd():
+    """LightGLVUNet (the real model.diffusion_model family: UNet + ZeroSFT/
+    ZeroCrossAttn project_modules). XL-base hardcodes the production
+    channel plan, so the injectors are rebuilt at the tiny derived sizes
+    exactly as test_parity_sdxl.test_controlled_unet_full_parity does."""
+    import torch.nn as tnn
+    from models.modules.SR_modules import (LightGLVUNet as TLight,
+                                           ZeroCrossAttn as TZCA,
+                                           ZeroSFT as TZeroSFT)
+    from rsvldm_tpu.models.sdxl.control import derive_project_specs
+    torch.manual_seed(15)
+    tunet = TLight(mode="XL-base", project_type="ZeroSFT",
+                   project_channel_scale=2, **_sgm_unet_kw()).eval()
+    specs = derive_project_specs(TINY["sdxl"])
+    mods = []
+    for s in reversed(specs):  # torch consumes project_modules in reverse
+        if s["kind"] == "sft":
+            mods.append(TZeroSFT(s["norm_nc"], s["norm_nc"],
+                                 concat_channels=s["concat_nc"]))
+        else:
+            mods.append(TZCA(s["query_dim"] // 2, s["query_dim"]))
+    torch.manual_seed(17)
+    tunet.project_modules = tnn.ModuleList(mods)
+    return tunet.state_dict()
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    """The reference-layout checkpoint directory, written once."""
+    from safetensors.numpy import save_file
+    from models.modules.SR_modules import GLVControl as TGLV
+
+    cd = tmp_path_factory.mktemp("CKPT_PTH")
+
+    torch.save(_sr3_sd(), cd / "I1000000_E800_gen.pth")
+
+    unet_sd = _light_unet_sd()
+    torch.manual_seed(16)
+    ctrl_sd = TGLV(**_sgm_unet_kw()).eval().state_dict()
+    vae_sd, den_sd = _vae_parts()
+    clip_sd, bigg_sd = _clip_l_sd(), _bigg_sd()
+
+    jug = {}
+    jug.update({f"model.diffusion_model.{k}": v for k, v in unet_sd.items()})
+    jug.update({f"first_stage_model.{k}": v for k, v in vae_sd.items()})
+    jug.update({f"conditioner.embedders.0.transformer.{k}": v
+                for k, v in clip_sd.items()})
+    jug.update({f"conditioner.embedders.1.model.{k}": v
+                for k, v in bigg_sd.items()})
+    save_file({k: np.ascontiguousarray(v.detach().numpy())
+               for k, v in jug.items()},
+              str(cd / "juggernautXL_v8Rundiffusion.safetensors"))
+
+    # the SR-v0Q overlay: control model + denoise_encoder + one key that
+    # OVERRIDES the juggernaut base (models/util.py:98-100 load order)
+    srq = {f"model.control_model.{k}": v for k, v in ctrl_sd.items()}
+    srq.update({f"first_stage_model.{k}": v for k, v in den_sd.items()})
+    override_key = ("conditioner.embedders.0.transformer."
+                    "text_model.embeddings.token_embedding.weight")
+    srq[override_key] = torch.full_like(jug[override_key], 0.125)
+    torch.save({"state_dict": srq}, cd / "SR-v0Q.ckpt")
+    return cd
+
+
+@pytest.fixture(scope="module")
+def converted(ckpt_dir):
+    """convert_ckpt's own plans, run through the orbax cache."""
+    import convert_ckpt
+    return convert_ckpt.convert_all(
+        ckpt_dir, cfgs={k: TINY[k] for k in
+                        ("sr3", "sdxl", "vae", "clip_l", "big_g")})
+
+
+def test_all_families_convert_and_cache(ckpt_dir, converted):
+    for name in ("sr3", "vae", "unet", "control", "clip_l", "big_g"):
+        assert converted[name] is not None, f"{name} found no source"
+        assert (ckpt_dir / "jax" / name).exists(), f"{name} cache missing"
+
+
+def test_orbax_cache_roundtrips_bit_exact(ckpt_dir, converted):
+    from rsvldm_tpu.utils import checkpoint as ckpt
+    restored = ckpt.load_orbax(ckpt_dir / "jax" / "clip_l")
+    direct = converted["clip_l"]
+    assert (tu.tree_structure(restored) == tu.tree_structure(direct))
+    for a, b in zip(tu.tree_leaves(restored), tu.tree_leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_srq_overlay_wins_over_base(converted):
+    emb = converted["clip_l"]["params"]["token_embedding"]
+    np.testing.assert_array_equal(np.asarray(emb),
+                                  np.full_like(np.asarray(emb), 0.125))
+
+
+def test_denoise_encoder_from_overlay_not_encoder_copy(converted):
+    p = converted["vae"]["params"]
+    a = tu.tree_leaves(p["denoise_encoder"])
+    b = tu.tree_leaves(p["encoder"])
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b)), (
+        "denoise_encoder silently fell back to the encoder copy")
+
+
+def _pipe_cfg(ckpt_dir, out_dir):
+    return PipelineConfig(
+        ckpt_dir=str(ckpt_dir), output_dir=str(out_dir), upscale=8,
+        seed=7, no_llava=True, params_dtype="fp32",
+        stage1=Stage1Config(steps=8),
+        # min_size=64: pil_to_array floors H/W to /64 multiples (the
+        # reference PIL2Tensor contract) — 64 is the smallest legal size
+        refine=RefinementConfig(min_size=64, edm_steps=2, size_bucket=0))
+
+
+@pytest.fixture(scope="module")
+def processed(ckpt_dir, converted, tmp_path_factory, caplog=None):
+    from PIL import Image
+    work = tmp_path_factory.mktemp("roundtrip_out")
+    rng = np.random.default_rng(3)
+    Image.fromarray((rng.random((2, 2, 3)) * 255).astype("uint8")).save(
+        work / "in.png")
+
+    logging.getLogger().setLevel(logging.WARNING)
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec)
+    logging.getLogger("rsvldm_tpu.pipeline").addHandler(h)
+    try:
+        pipe = SuperResolutionPipeline(
+            _pipe_cfg(ckpt_dir, work / "out"),
+            model_cfgs={k: TINY[k] for k in
+                        ("sr3", "sdxl", "vae", "clip_l", "big_g")})
+        final = pipe.process(str(work / "in.png"))
+        # determinism: reset the seed stream, rerun through the SAME jits
+        pipe.rng = jax.random.PRNGKey(pipe.cfg.seed)
+        pipe.cfg.output_dir = work / "out2"
+        final2 = pipe.process(str(work / "in.png"))
+    finally:
+        logging.getLogger("rsvldm_tpu.pipeline").removeHandler(h)
+    return work, final, final2, records
+
+
+def test_pipeline_loads_real_weights_no_random_init(processed):
+    _, _, _, records = processed
+    fallbacks = [r.getMessage() for r in records
+                 if "random init" in r.getMessage()]
+    assert not fallbacks, f"families fell back to random init: {fallbacks}"
+
+
+def test_process_outputs_finite_and_deterministic(processed):
+    work, final, final2, _ = processed
+    out = np.asarray(final, np.float32)
+    assert out.shape == (16, 16, 3)
+    assert np.isfinite(out).all()
+    assert out.std() > 0  # not a constant canvas
+    np.testing.assert_array_equal(out, np.asarray(final2, np.float32))
+    assert (work / "out" / "sr3_in.png").exists()
+    assert (work / "out" / "in_final_0.png").exists()
+
+
+def test_quality_harness_scores_output_dir(processed, tmp_path_factory):
+    from PIL import Image
+    from rsvldm_tpu.eval.quality import evaluate_dir
+    import test_quality_eval as Q
+
+    work, _, _, _ = processed
+    assets = tmp_path_factory.mktemp("clip_assets")
+    Q._write_assets(assets, Q._tiny_hf_clip())
+    hr = tmp_path_factory.mktemp("hr")
+    Image.open(work / "out" / "sr3_in.png").save(hr / "in.png")
+
+    res = evaluate_dir(work / "out", hr_dir=hr, ckpt_dir=assets)
+    assert res["num_images"] == 2
+    for k in ("CLIP-IQA", "PSNR", "SSIM", "SMS"):
+        assert k in res and np.isfinite(res[k]), (k, res)
