@@ -44,6 +44,12 @@ if os.environ.get("BENCH_TINY"):
     # force the backend before first device use
     jax.config.update("jax_platforms", "cpu")
 
+# warm-cache compiles (see bench_full.py) — keeps the engine part inside
+# bench.py's per-part timeout
+from rsvldm_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def isolation():
     """Chunked-prefill decode-latency isolation at the 8B int8 geometry."""

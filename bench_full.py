@@ -20,6 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compilation cache: parts are dominated by remote-relay
+# compiles (the actual measured kernels run in ms..s); a warm cache turns
+# a several-minute part into seconds, which is what lets bench.py fit the
+# driver's wall clock. Entries key on (HLO, flags, backend) — a code
+# change simply misses and recompiles.
+from rsvldm_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def fetch(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
@@ -166,8 +175,12 @@ def part_stage1():
                         dtype=jnp.bfloat16)
     model = SR3UNet(cfg)
     cond = jnp.zeros((1, 224, 224, 3))
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 6)),
-                        jnp.ones((1, 1)))
+    # eval_shape zeros, NOT model.init: a real init is its own full XLA
+    # program and cost 300+ s through the remote-compile relay on a bad
+    # day (round-4 measurement) — 20x the program actually being timed
+    params = zeros_like_shapes(jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 224, 224, 6)),
+                             jnp.ones((1, 1))), jax.random.PRNGKey(0)))
     diff = SR3Diffusion.from_schedule(n_timestep=500)
     f1 = jax.jit(lambda p, c, r: sr3_sample(
         diff, lambda pp, x, nl: model.apply(pp, x, nl), p, c, r))
@@ -245,6 +258,64 @@ def part_sdxl():
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt,
             "sdxl_step_hit_s": dt_h,
             **roofline(f2c, dt, prefix="sdxl_")}
+
+
+def part_sdxl_1024():
+    """One CFG-doubled SDXL+ControlNet denoise step at a 128^2 LATENT —
+    the reference's PRODUCTION resolution: PIL2Tensor(min_size=1024)
+    (models/util.py:132-156, infer.py:47) puts every real image at a
+    >=1024px stage-2 input, i.e. a >=128^2 latent with 4x the spatial
+    work of the 512px step. Round-3 review Weak #2: the composite must be
+    demonstrated at this path too."""
+    from rsvldm_tpu.models.sdxl import (ControlledUNet, GLVControl,
+                                        SDXLUNetConfig)
+    from rsvldm_tpu.models.sdxl.denoiser import ControlDenoiser
+    ucfg = SDXLUNetConfig(dtype=jnp.bfloat16)
+    unet, ctrl = ControlledUNet(ucfg), GLVControl(ucfg)
+    n, h, w = 2, 128, 128
+    x = jnp.zeros((n, h, w, 4), jnp.bfloat16)
+    t = jnp.zeros((n,))
+    ca = jnp.zeros((n, 77, 2048), jnp.bfloat16)
+    vec = jnp.zeros((n, 2816), jnp.bfloat16)
+    cp = zeros_like_shapes(jax.eval_shape(
+        lambda k: ctrl.init(k, x, x, t, ca, vec), jax.random.PRNGKey(0)))
+    feats = zeros_like_shapes(jax.eval_shape(
+        lambda p: ctrl.apply(p, x, x, t, ca, vec), cp))
+    up = zeros_like_shapes(jax.eval_shape(
+        lambda k: unet.init(k, x, t, ca, vec, feats), jax.random.PRNGKey(1)))
+
+    def step(up, cp, xx, sigma):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
+        return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+
+    f2 = jax.jit(step)
+    sigma = jnp.full((n,), 14.6)
+    f2c = aot(f2, up, cp, x, sigma)
+    raw = timed(lambda: f2c(up, cp, x, sigma), n=3)
+    dt = max(raw - dispatch_overhead(), raw / 4)
+    return {"sdxl_step_128lat_s": dt,
+            **roofline(f2c, dt, prefix="sdxl1024_")}
+
+
+def part_vae_1024():
+    """SDXL VAE decode at the production 128^2 latent (1024px image) —
+    the 1024px-composite sibling of part_vae. The pipeline's default
+    config decodes this un-tiled (use_tile_vae=False, config.py:127);
+    tiled decode parity/sharding is covered by tests and dryrun."""
+    from rsvldm_tpu.models.vae import AutoencoderKL, SDXL_VAE_CONFIG
+    import dataclasses
+    vcfg = dataclasses.replace(SDXL_VAE_CONFIG, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    vp = zeros_like_shapes(jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3))),
+        jax.random.PRNGKey(2)))
+    z = jnp.zeros((1, 128, 128, 4))
+    fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
+    fvc = aot(fv, vp, z)
+    raw = timed(lambda: fvc(vp, z), n=3)
+    dt = max(raw - dispatch_overhead(), raw / 4)
+    return {"vae_decode_1024px_s": dt, **roofline(fvc, dt, prefix="vae1024_")}
 
 
 def part_vae():
@@ -591,7 +662,54 @@ def part_flash_fwd():
     return res
 
 
+def part_flash_roofline():
+    """Is the flash kernel's d=64 plateau a real VPU softmax bound?
+    (round-3 review Weak #4.) Measures the chip's elementwise throughput
+    on (a) a bare sub+exp2 chain and (b) the kernel's full per-score-
+    element softmax chain (row-max, sub, exp2, row-sum, bf16 cast) as
+    plain XLA jits — same VPU the Pallas kernel uses. The flash kernel
+    does 4*d MXU FLOPs per score element, so the softmax-bound ceiling is
+    chain_rate * 4 * d: if measured flash TF/s sits at that product, the
+    kernel is VPU-bound at d=64 and block tuning cannot move it."""
+    import jax.lax as lax
+
+    x = jnp.full((4096, 4096), 0.5, jnp.float32)
+    iters = 16
+
+    def chain(body):
+        def loop(x):
+            y, _ = lax.scan(lambda c, _: (body(c), None), x, None,
+                            length=iters)
+            return y
+        fc = aot(jax.jit(loop), x)
+        raw = timed(lambda: fc(x), n=3)
+        dt = max(raw - dispatch_overhead(), raw / 4)
+        return x.size * iters / dt
+
+    # (a) sub+exp2 only: values cycle in (0.5, 2) — numerically stable
+    exp2_rate = chain(lambda y: jnp.exp2(y - 1.0))
+
+    # (b) the kernel's per-element softmax work (flash_attention.py
+    # _commit): row-max, sub, exp2, row-sum, cast to the MXU input dtype.
+    # p stays in (0, 1] so the chain is stable.
+    def softmax_elem(y):
+        m = jnp.max(y, axis=-1, keepdims=True)
+        p = jnp.exp2(y - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        return (p + 1e-6 * s).astype(jnp.bfloat16).astype(jnp.float32)
+
+    sm_rate = chain(softmax_elem)
+
+    return {"flash_roofline_exp2_gelem_s": round(exp2_rate / 1e9, 1),
+            "flash_roofline_smchain_gelem_s": round(sm_rate / 1e9, 1),
+            # softmax-bound flash ceilings implied by (b): rate * 4d FLOPs
+            "flash_roofline_d64_bound_tfs": round(sm_rate * 256 / 1e12, 1),
+            "flash_roofline_d128_bound_tfs": round(sm_rate * 512 / 1e12, 1)}
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
+         "flash_roofline": part_flash_roofline,
+         "sdxl_1024": part_sdxl_1024, "vae_1024": part_vae_1024,
          "hbm_peak": part_hbm_peak, "flash_bwd": part_flash_bwd,
          "flash_fwd": part_flash_fwd,
          "sr3_train": part_sr3_train, "qlora_train": part_qlora_train,
