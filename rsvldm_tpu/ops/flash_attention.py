@@ -87,9 +87,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         # would add per element is on the critical path. m/l carry the
         # SAME values as the base-e recurrence (only s/m change units);
         # _finish converts lse back to natural log for the backward.
+        # v4: the wrapper pre-folds scale*log2e into q itself (one S*d
+        # elementwise pass vs S^2 here), so this static branch compiles
+        # away entirely — one less VPU op per score element.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
+            preferred_element_type=jnp.float32)
+        if scale * LOG2E != 1.0:
+            s = s * (scale * LOG2E)
 
         def _commit(s):
             m = m_ref[:]
@@ -164,6 +169,17 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, 8))
 
+    # fold scale*log2e into q up front (fp32 mult, cast back): an S*d
+    # elementwise pass XLA fuses into the transpose, replacing the S^2
+    # per-score-element multiply inside the kernel (the d=64 path is
+    # VPU-bound — see bench_full part_flash_roofline). kernel_scale
+    # 1/log2e makes the in-kernel static rescale branch compile away.
+    # The fused backward recomputes s from the ORIGINAL q — the bf16
+    # rounding of q*c differs from s*c by <=2^-8 relative, far below the
+    # bf16 MXU dot's own noise floor (grads verified in test_attention).
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    kernel_scale = 1.0 / LOG2E
+
     # [B,S,H,D] -> [B*H, S, D]
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
@@ -177,7 +193,7 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
 
     grid = (b * h, sq_p // block_q, sk_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_q=block_q,
+        _flash_kernel, scale=kernel_scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=sk, q_offset=sk - sq)
 
     out, lse = pl.pallas_call(
