@@ -719,31 +719,51 @@ PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
          "llama_int8kv": part_llama_int8kv}
 
 
+def _release_device_memory():
+    """Free all HBM between parts so sequential model families never share
+    the 16 GB chip: drop jit caches (they pin compiled executables and
+    their constants), then force-delete every live device array."""
+    import gc
+    jax.clear_caches()
+    gc.collect()
+    try:
+        for a in jax.live_arrays():
+            a.delete()
+    except Exception:
+        pass
+    gc.collect()
+
+
 def main():
-    import subprocess
+    """Run the named parts SEQUENTIALLY IN THIS PROCESS, printing one JSON
+    line per part as it completes: {"part": name, ...results}.
+
+    One process for all parts is the round-4 relay fix: the FIRST compile
+    of a process pays a large, congestion-dependent toll through the axon
+    remote-compile relay (measured 68-302 s even for a trivial v+1
+    program); every subsequent compile is ~0.5-2 s. Per-part subprocesses
+    paid that toll once PER PART, which is what blew round 3's driver wall
+    clock. HBM is released between parts (_release_device_memory) so model
+    families still never share the chip. A part that raises prints an
+    error line and the run continues; bench.py merges lines as they
+    stream and can respawn this script with the remaining parts if the
+    process dies outright."""
     import sys
-    if len(sys.argv) > 1:
-        print(json.dumps(_part(sys.argv[1])))
-        return
-    res = {}
-    for name in PARTS:
-        out = subprocess.run([sys.executable, __file__, name],
-                             capture_output=True, text=True, timeout=1800)
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+    import traceback
+    names = sys.argv[1:] or list(PARTS)
+    for i, name in enumerate(names):
+        t0 = time.time()
         try:
-            res.update(json.loads(line))
-        except json.JSONDecodeError:
-            res[f"{name}_error"] = out.stderr.strip()[-200:]
-    if all(k in res for k in ("stage1_500step_s", "stage2_50step_est_s",
-                              "vae_decode_512px_s", "llama8B_est_tok_s")):
-        per_image = (res["stage1_500step_s"] + res["stage2_50step_est_s"]
-                     + 2 * res["vae_decode_512px_s"]
-                     + 256 / res["llama8B_est_tok_s"])
-        res["metric"] = "e2e_seconds_per_image_512px_est"
-        res["value"] = round(per_image, 2)
-    res = {k: (round(v, 3) if isinstance(v, float) else v)
-           for k, v in res.items()}
-    print(json.dumps(res))
+            res = _part(name)
+        except Exception as e:  # keep later parts alive past one failure
+            traceback.print_exc()
+            res = {f"{name}_error": f"{type(e).__name__}: {e}"[:200]}
+        res = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in res.items()}
+        res[f"{name}_part_s"] = round(time.time() - t0, 1)
+        print(json.dumps({"part": name, **res}), flush=True)
+        if i + 1 < len(names):
+            _release_device_memory()
 
 
 if __name__ == "__main__":
