@@ -208,6 +208,9 @@ def emit() -> None:
         # The composite counts zero hits — the hit rate is data-dependent —
         # so [hit, miss] step times bound the cache-active composite.
         extras["sdxl_step_hit_ms"] = round(1000 * res["sdxl_step_hit_s"], 1)
+    if "sdxl_step_128lat_hit_s" in res:
+        extras["sdxl_step_1024px_hit_ms"] = round(
+            1000 * res["sdxl_step_128lat_hit_s"], 1)
     if "vae_decode_512px_s" in res:
         extras["vae_decode_ms"] = round(1000 * res["vae_decode_512px_s"], 1)
     if "vae_decode_1024px_s" in res:

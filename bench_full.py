@@ -294,7 +294,26 @@ def part_sdxl_1024():
     f2c = aot(f2, up, cp, x, sigma)
     raw = timed(lambda: f2c(up, cp, x, sigma), n=3)
     dt = max(raw - dispatch_overhead(), raw / 4)
-    return {"sdxl_step_128lat_s": dt,
+
+    # cache-HIT step at the production latent (see part_sdxl for the
+    # contract): at 128^2 the skipped middle+decoder is most of the step,
+    # so [hit, miss] meaningfully bounds the cache-active 1024px rate
+    from rsvldm_tpu.diffusion.samplers import _rel_l1
+
+    def hit_step(up, cp, xx, sigma, prev_h):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
+        p = den.first(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+        return _rel_l1(p.h, prev_h), (p.h, p.hs, p.emb, p.control, p.x,
+                                      p.c_skip, p.c_out)
+
+    den0 = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                           control_params=cp)
+    prev_h = jnp.zeros(den0.first_block_shape(n, h, w), jnp.bfloat16)
+    fhc = aot(jax.jit(hit_step), up, cp, x, sigma, prev_h)
+    raw_h = timed(lambda: fhc(up, cp, x, sigma, prev_h), n=3)
+    dt_h = max(raw_h - dispatch_overhead(), raw_h / 4)
+    return {"sdxl_step_128lat_s": dt, "sdxl_step_128lat_hit_s": dt_h,
             **roofline(f2c, dt, prefix="sdxl1024_")}
 
 
@@ -664,29 +683,40 @@ def part_flash_fwd():
 
 def part_flash_roofline():
     """Is the flash kernel's d=64 plateau a real VPU softmax bound?
-    (round-3 review Weak #4.) Measures the chip's elementwise throughput
-    on (a) a bare sub+exp2 chain and (b) the kernel's full per-score-
-    element softmax chain (row-max, sub, exp2, row-sum, bf16 cast) as
-    plain XLA jits — same VPU the Pallas kernel uses. The flash kernel
-    does 4*d MXU FLOPs per score element, so the softmax-bound ceiling is
+    (round-3 review Weak #4.) Measures the chip's VPU elementwise
+    throughput on (a) a bare sub+exp2 chain and (b) the kernel's full
+    per-score-element softmax chain (row-max, sub, exp2, row-sum, bf16
+    cast) — same VPU the Pallas kernel uses. The flash kernel does 4*d
+    MXU FLOPs per score element, so the softmax-bound ceiling is
     chain_rate * 4 * d: if measured flash TF/s sits at that product, the
-    kernel is VPU-bound at d=64 and block tuning cannot move it."""
+    kernel is VPU-bound at d=64 and block tuning cannot move it; if the
+    ceiling sits far above, the plateau is NOT a softmax bound.
+
+    The chain is applied REPS times per element inside the fused scan
+    body so each HBM round-trip of the carry amortizes over REPS chain
+    applications — a single application per iteration measures HBM
+    bandwidth (~30 Gelem/s on this chip), not the VPU, and implies a
+    nonsense ceiling BELOW the kernel's own measured throughput."""
     import jax.lax as lax
 
-    x = jnp.full((4096, 4096), 0.5, jnp.float32)
-    iters = 16
+    x = jnp.full((2048, 2048), 0.5, jnp.float32)
+    iters, reps = 32, 16
 
     def chain(body):
         def loop(x):
-            y, _ = lax.scan(lambda c, _: (body(c), None), x, None,
-                            length=iters)
+            def step(c, _):
+                y = c
+                for _ in range(reps):
+                    y = body(y)
+                return y, None
+            y, _ = lax.scan(step, x, None, length=iters)
             return y
         fc = aot(jax.jit(loop), x)
         raw = timed(lambda: fc(x), n=3)
         dt = max(raw - dispatch_overhead(), raw / 4)
-        return x.size * iters / dt
+        return x.size * reps * iters / dt
 
-    # (a) sub+exp2 only: values cycle in (0.5, 2) — numerically stable
+    # (a) sub+exp2 only: converges to the stable fixed point y=1
     exp2_rate = chain(lambda y: jnp.exp2(y - 1.0))
 
     # (b) the kernel's per-element softmax work (flash_attention.py

@@ -21,13 +21,22 @@ up to one multiply that the scale absorbs); interior causal blocks
 only the one diagonal block per q-row pays for masking.
 
 Measured (v5e, bf16, 32 carry-chained calls inside ONE jit — the axon
-relay costs ~33 ms/dispatch; bench_full.py part_flash_fwd):
-  8k d=64 causal  40.5 TFLOP/s     8k d=128 causal 100.4 TFLOP/s
-  16k d=64 causal 48.3 TFLOP/s     16k d=128 causal 91.9 TFLOP/s
-  4k d=64 non-causal 49.5 TFLOP/s  (pre-v3 same harness: ~24 — the
-       base-2 softmax roughly DOUBLES d=64 throughput; the remaining
-       ceiling is the [bq,bk] exp2+max+sum VPU work against d=64 MXU
-       contractions — d=128 halves softmax work per FLOP, hence ~100 TF)
+relay costs ~33 ms/dispatch; bench_full.py part_flash_fwd; the shared
+chip shows ~20-30% run-to-run variance, ranges over 4 round-4 runs):
+  8k d=64 causal  43-46 TFLOP/s    8k d=128 causal 78-92 TFLOP/s
+  4k d=64 non-causal 51-80 TFLOP/s
+Roofline (round-4, bench_full part_flash_roofline + back-to-back diag):
+the kernel is VPU-SOFTMAX-BOUND at d=64 — the measured VPU rate for the
+kernel's per-score-element chain (row-max, sub, exp2, row-sum, bf16
+cast) is 228 Gelem/s (bare sub+exp2: 313), and the kernel processes
+scores at 203 (causal) / 212 (non-causal) Gelem/s = ~90% of that bound.
+The causal-credited gap on top is block quantization: with block_q=512/
+block_k=1024 the kernel computes 56.25% of the score matrix while the
+FLOP convention credits 50%. Implied d=64 causal-credited ceiling at the
+chain bound: 51.9 TF/s — the kernel sits at ~87%; block tuning cannot
+move it materially (block_k=512 trades ~6% less quantization waste for
+~5% more per-block m/l/acc rescale work). d=128 halves chain work per
+FLOP: bound 116.8 TF/s, measured ~75-79% of it.
 Head-packing negative result from v1 still holds (equal-FLOPs d=64 vs
 d=128 packing within 2%).
 
@@ -196,15 +205,35 @@ def flash_attention(q, k, v, *, causal: bool = False, scale: float | None = None
         _flash_kernel, scale=kernel_scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=sk, q_offset=sk - sq)
 
+    # causal: kv blocks past this q block's diagonal are dead (compute is
+    # predicated off in-kernel) — CLAMP their block index to the diagonal
+    # block so consecutive dead grid steps revisit the SAME block and the
+    # pipeline elides their K/V DMA. Measured LATENCY-NEUTRAL at 8k d=64
+    # (the pipeline already hid dead-block DMA behind live compute; back-
+    # to-back diag: causal 203 vs non-causal 212 Gelem/s of processed
+    # scores, both ~90% of the VPU softmax-chain bound) — kept because it
+    # removes the dead half of K/V HBM reads, real bandwidth under
+    # contention even when latency-hidden.
+    if causal:
+        q_off = sk - sq
+
+        def kv_map(i, j, kk):
+            last_live = jnp.maximum(
+                (j * block_q + block_q - 1 + q_off) // block_k, 0)
+            return (i, jnp.minimum(kk, last_live), 0)
+    else:
+        def kv_map(i, j, kk):
+            return (i, kk, 0)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+            pl.BlockSpec((1, block_k, d), kv_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+            pl.BlockSpec((1, block_k, d), kv_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -420,21 +449,35 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal: bool = False,
     common = dict(scale=scale, causal=causal, block_q=block_q,
                   block_k=block_k, kv_len=sk, q_offset=q_off)
 
+    # causal dead-block DMA elision (see flash_attention's kv_map): in the
+    # dK/dV kernel the q dimension is innermost and the DEAD steps are the
+    # EARLY q blocks (those entirely above this kv block's diagonal) —
+    # clamp their q-side block index UP to the first live block so the
+    # pipeline revisits one block instead of streaming dead ones.
+    if causal:
+        def q_map(i, kk, qq):
+            first_live = jnp.maximum(
+                (kk * block_k - q_off) // block_q, 0)
+            return (i, jnp.maximum(qq, first_live), 0)
+    else:
+        def q_map(i, kk, qq):
+            return (i, qq, 0)
+
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kv_kernel, **common),
         grid=(bh, sk_p // block_k, sq_p // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, kk, qq: (i, qq, 0),
+            pl.BlockSpec((1, block_q, d), q_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, kk, qq: (i, kk, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, kk, qq: (i, kk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, kk, qq: (i, qq, 0),
+            pl.BlockSpec((1, block_q, d), q_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, kk, qq: (i, qq, 0),
+            pl.BlockSpec((1, block_q, 1), q_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, kk, qq: (i, qq, 0),
+            pl.BlockSpec((1, block_q, 1), q_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -454,15 +497,25 @@ def flash_attention_bwd(q, k, v, out, lse, do, *, causal: bool = False,
         interpret=interpret,
     )(qt, kt, vt, dot, lse2, delta)
 
+    # dQ kernel: kv innermost — same diagonal clamp as the forward
+    if causal:
+        def kv_map(i, qq, kk):
+            last_live = jnp.maximum(
+                (qq * block_q + block_q - 1 + q_off) // block_k, 0)
+            return (i, jnp.minimum(kk, last_live), 0)
+    else:
+        def kv_map(i, qq, kk):
+            return (i, kk, 0)
+
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_q_kernel, **common),
         grid=(bh, sq_p // block_q, sk_p // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, qq, kk: (i, kk, 0),
+            pl.BlockSpec((1, block_k, d), kv_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, qq, kk: (i, kk, 0),
+            pl.BlockSpec((1, block_k, d), kv_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, qq, kk: (i, qq, 0),
                          memory_space=pltpu.VMEM),
