@@ -319,15 +319,23 @@ def main():
             RES[f"{bad}_error"] = (f"hung/crashed (attempt {attempt}): "
                                    + "".join(errs)[-200:]).strip()
     for name in pending:
-        RES.setdefault(f"{name}_error", "skipped: bench budget exceeded")
+        # self-describing skip reason: the loop exits on the deadline OR
+        # on the respawn-attempt cap — label which one actually happened
+        RES.setdefault(f"{name}_error",
+                       "skipped: bench budget exceeded"
+                       if time.time() >= deadline - 30
+                       else f"skipped: {attempt} child respawns exhausted")
 
     # parts with their own driver script (serving engine) stay per-process
+    # — each new process pays the relay's first-compile toll itself, so it
+    # gets the warm-up clock, not the (re-armed, already-warm) part clock
     for name in (p for p in parts if p in PART_CMDS):
         left = deadline - time.time()
         if left < 30:
             RES[f"{name}_error"] = "skipped: bench budget exceeded"
             continue
-        RES.update(run_part(name, timeout_s=min(part_timeout, left)))
+        RES.update(run_part(name, timeout_s=min(max(part_timeout,
+                                                    first_timeout), left)))
     emit()
 
 

@@ -74,7 +74,9 @@ def convert_all(ckpt_dir, models=None, cfgs: dict | None = None) -> dict:
 
     plans = conversion_plans(ckpt_dir, cfgs)
     out = {}
-    for name in models or plans:
+    # an explicitly EMPTY models list means "convert nothing" (argparse
+    # `--models` with no values yields []); only None means "all"
+    for name in (plans if models is None else models):
         paths, fn = plans[name]
         params = ckpt.load_or_convert(Path(ckpt_dir), name, paths, fn)
         out[name] = params

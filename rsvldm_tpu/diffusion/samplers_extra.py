@@ -302,6 +302,34 @@ def sliding_windows(h: int, w: int, tile: int, stride: int):
     return [(i, i + tile, j, j + tile) for i in hs for j in ws]
 
 
+def tile_slices(canvas, wins):
+    """Stack every window of `canvas` on the batch axis (one batched
+    denoise call per step instead of the reference's sequential tile
+    loop). Shared by both tiled samplers."""
+    return jnp.concatenate([canvas[:, hi:he, wi:we, :]
+                            for hi, he, wi, we in wins], axis=0)
+
+
+def tile_stitch(tiles, wins, weights, out_shape, out_dtype):
+    """Scatter-add gaussian-weighted tiles back onto a canvas of
+    `out_shape`/`out_dtype` (batch b = out_shape[0] tiles per window)."""
+    b = out_shape[0]
+    acc = jnp.zeros(out_shape, out_dtype)
+    for t_idx, (hi, he, wi, we) in enumerate(wins):
+        acc = acc.at[:, hi:he, wi:we, :].add(
+            tiles[t_idx * b:(t_idx + 1) * b] * weights)
+    return acc
+
+
+def tile_weight_canvas(wins, weights, out_shape, out_dtype):
+    """The step-invariant weight-normalization canvas (built once per
+    sample, not once per scan iteration)."""
+    acc = jnp.zeros(out_shape, out_dtype)
+    for hi, he, wi, we in wins:
+        acc = acc.at[:, hi:he, wi:we, :].add(weights)
+    return acc
+
+
 def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
                              lq_latent, rng, tile: int = 128,
                              stride: int = 64, restore_cfg: float = -1.0,
@@ -324,15 +352,9 @@ def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
     n = sigmas.shape[0]
     gamma_val = min(s_churn / (n - 1), 2 ** 0.5 - 1) if s_churn > 0 else 0.0
 
-    lq_tiles = jnp.concatenate([lq_latent[:, hi:he, wi:we, :]
-                                for hi, he, wi, we in wins], axis=0)
-    xc_tiles = jnp.concatenate([x_center[:, hi:he, wi:we, :]
-                                for hi, he, wi, we in wins], axis=0)
-    # weight-normalization canvas is step-invariant — build it ONCE instead
-    # of re-running len(wins) scatter-adds inside every scan iteration
-    cnt = jnp.zeros_like(x)
-    for hi, he, wi, we in wins:
-        cnt = cnt.at[:, hi:he, wi:we, :].add(weights)
+    lq_tiles = tile_slices(lq_latent, wins)
+    xc_tiles = tile_slices(x_center, wins)
+    cnt = tile_weight_canvas(wins, weights, x.shape, x.dtype)
 
     def body(x, i):
         sigma, nxt = sigmas[i], sigmas[i + 1]
@@ -342,8 +364,7 @@ def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
             eps = jax.random.normal(jax.random.fold_in(rng, i), x.shape,
                                     x.dtype) * s_noise
             x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
-        tiles = jnp.concatenate([x[:, hi:he, wi:we, :]
-                                 for hi, he, wi, we in wins], axis=0)
+        tiles = tile_slices(x, wins)
         den = denoise_tile_fn(tiles, sigma_hat, lq_tiles)
         if restore_cfg > 0:
             wgt = (sigma / sigma_max) ** restore_cfg
@@ -351,12 +372,7 @@ def tiled_restore_edm_sample(denoise_tile_fn, noise, sigmas, x_center,
             den = jnp.where(nxt > restore_cfg_s_tmin, corrected, den)
         d = (tiles - den) / sigma_hat
         stepped = tiles + d * (nxt - sigma_hat)
-
-        acc = jnp.zeros_like(x)
-        for t_idx, (hi, he, wi, we) in enumerate(wins):
-            st = stepped[t_idx * b:(t_idx + 1) * b]
-            acc = acc.at[:, hi:he, wi:we, :].add(st * weights)
-        return acc / cnt, 0.0
+        return tile_stitch(stepped, wins, weights, x.shape, x.dtype) / cnt, 0.0
 
     return _scan(body, x, n - 1)
 
@@ -390,20 +406,13 @@ def tiled_restore_dpmpp2m_sample(denoise_tile_fn, noise, sigmas, lq_latent,
                                     x.shape, x.dtype)
 
     def slices(canvas):
-        return jnp.concatenate([canvas[:, hi:he, wi:we, :]
-                                for hi, he, wi, we in wins], axis=0)
+        return tile_slices(canvas, wins)
 
     def stitch(tiles):
-        acc = jnp.zeros((b, h, w, c), tiles.dtype)
-        for t_idx, (hi, he, wi, we) in enumerate(wins):
-            acc = acc.at[:, hi:he, wi:we, :].add(
-                tiles[t_idx * b:(t_idx + 1) * b] * weights)
-        return acc
+        return tile_stitch(tiles, wins, weights, (b, h, w, c), tiles.dtype)
 
     lq_tiles = slices(lq_latent)
-    cnt = jnp.zeros((b, h, w, c), jnp.float32)
-    for hi, he, wi, we in wins:
-        cnt = cnt.at[:, hi:he, wi:we, :].add(weights)
+    cnt = tile_weight_canvas(wins, weights, (b, h, w, c), jnp.float32)
 
     def body(carry, i):
         x, old_den, w_cur = carry

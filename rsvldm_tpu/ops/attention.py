@@ -32,6 +32,12 @@ def _xla_attention(q, k, v, *, causal: bool = False, scale: float | None = None,
         mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=off)
         logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    if causal and off < 0:
+        # q rows before the first key (sq > sk) have NO valid key; the
+        # max-subtracted softmax of an all-masked row is uniform, which
+        # would emit mean-of-v garbage — zero those rows (the convention
+        # the Pallas kernel shares)
+        probs = jnp.where(mask.any(-1)[None, None, :, None], probs, 0.0)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 

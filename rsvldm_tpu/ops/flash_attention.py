@@ -138,7 +138,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
                 q_pos = q_start + q_offset + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 0)
                 valid = jnp.logical_and(valid, k_pos <= q_pos)
-            _commit(jnp.where(valid, s, NEG_INF))
+            s_m = jnp.where(valid, s, NEG_INF)
+            # rows with NO valid key so far (causal sq > sk puts q rows
+            # before the first key): m_new stays NEG_INF and the naive
+            # exp2(s - m_new) = exp2(0) = 1 would emit mean-of-v garbage
+            # — zero p so l stays 0 and _finish outputs zeros (the
+            # convention _xla_attention shares)
+            m_now = jnp.maximum(m_ref[:], jnp.max(s_m, axis=-1,
+                                                  keepdims=True))
+            _commit(jnp.where(m_now > NEG_INF * 0.5, s_m, -jnp.inf))
 
     @pl.when(ki == num_kb - 1)
     def _finish():

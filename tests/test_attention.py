@@ -33,6 +33,55 @@ def test_flash_matches_xla(sq, sk, causal):
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.parametrize("sq,sk,block_q", [
+    (48, 24, 16),    # block straddles the empty/live row boundary
+    (48, 24, 8),     # block-aligned boundary
+    (130, 60, 64),   # non-multiple tail
+])
+def test_flash_causal_sq_gt_sk_empty_rows(sq, sk, block_q):
+    """causal sq > sk (suffix-aligned): q rows before the first key have
+    NO valid key. Both paths must return ZEROS there — the naive
+    max-subtracted softmax of an all-masked row is uniform and emitted
+    mean-of-v garbage (found in round-4 review), worst when block_q
+    straddles the empty/live boundary."""
+    b, h, d = 1, 2, 64
+    q = _rand((b, sq, h, d), 20)
+    k = _rand((b, sk, h, d), 21)
+    v = _rand((b, sk, h, d), 22)
+    ref = _xla_attention(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=block_q,
+                          block_k=block_q, interpret=True)
+    n_empty = sq - sk
+    np.testing.assert_array_equal(np.array(out[:, :n_empty]), 0.0)
+    np.testing.assert_array_equal(np.array(ref[:, :n_empty]), 0.0)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5,
+                               rtol=2e-4)
+
+
+def test_flash_causal_sq_gt_sk_grads_finite():
+    """Gradients through empty causal rows must be zero/finite, and match
+    the einsum VJP for the live rows."""
+    from rsvldm_tpu.ops.attention import _flash_diff
+    b, sq, sk, h, d = 1, 48, 24, 2, 16
+    q = _rand((b, sq, h, d), 23)
+    k = _rand((b, sk, h, d), 24)
+    v = _rand((b, sk, h, d), 25)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash_diff(q, k, v, True, None) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, causal=True) ** 2)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_x):
+        assert np.all(np.isfinite(np.array(a)))
+        np.testing.assert_allclose(np.array(a), np.array(b_), atol=1e-4,
+                                   rtol=1e-3)
+    np.testing.assert_array_equal(np.array(g_f[0][:, :sq - sk]), 0.0)
+
+
 def test_attention_dispatch():
     q = _rand((1, 32, 2, 64), 3)
     out = attention(q, q, q)

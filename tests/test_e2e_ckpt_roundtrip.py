@@ -267,7 +267,7 @@ def _pipe_cfg(ckpt_dir, out_dir):
 
 
 @pytest.fixture(scope="module")
-def processed(ckpt_dir, converted, tmp_path_factory, caplog=None):
+def processed(ckpt_dir, converted, tmp_path_factory):
     from PIL import Image
     work = tmp_path_factory.mktemp("roundtrip_out")
     rng = np.random.default_rng(3)
