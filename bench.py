@@ -32,7 +32,7 @@ threshold 0.3 so the real steady-state is faster.
 Informational parts (hbm_peak, int4/bf16 llama, serving engine, trainers,
 flash kernels) are gated behind BENCH_FULL=1 — by default only the
 composite-required parts run so the whole bench fits the driver's wall
-clock (default budget 900 s, 240 s per part; BENCH_BUDGET_S /
+clock (default budget 900 s, 300 s per part; BENCH_BUDGET_S /
 BENCH_PART_TIMEOUT_S override).
 
 vs_baseline uses a documented ASSUMPTION for the torch/CUDA reference,
@@ -184,6 +184,22 @@ def stream_parts(parts, deadline: float, first_timeout: float,
     return pending, stderr_tail
 
 
+def _publish(obj: dict) -> None:
+    """Print the one JSON line AND mirror it to an untracked local file.
+
+    The file is a forensic backstop: if the driver's stdout capture is
+    ever lost (round-3's BENCH_r03 recorded an empty tail), the line
+    still exists on disk for a later audit. Self-reported, not a
+    substitute for the driver's own record."""
+    line = json.dumps(obj)
+    print(line, flush=True)
+    try:
+        with open(os.path.join(HERE, "BENCH_LOCAL_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # never fail the contract over the mirror
+
+
 def emit() -> None:
     """Build and print the ONE JSON line from whatever RES holds now.
 
@@ -257,23 +273,23 @@ def emit() -> None:
             extras["composite_s_per_image_1024px"] = round(comp1024, 2)
             extras["vs_baseline_1024px"] = round(
                 ASSUMED_REF_S_PER_IMAGE / comp1024, 2)
-        print(json.dumps({
+        _publish({
             "metric": "e2e_seconds_per_image_512px_est",
             "value": round(composite, 2),
             "unit": "s/image",
             "vs_baseline": round(ASSUMED_REF_S_PER_IMAGE / composite, 2),
             **extras,
-        }), flush=True)
+        })
         return
     # fallback: report the Stage-1 metric (round-1 contract) + any errors
     sps = extras.get("sr3_steps_per_sec", 0.0)
-    print(json.dumps({
+    _publish({
         "metric": "sr3_unet_denoise_steps_per_sec_224px",
         "value": sps,
         "unit": "steps/s",
         "vs_baseline": round(sps / 10.0, 2),
         **extras,
-    }), flush=True)
+    })
 
 
 def _on_signal(signum, frame):  # pragma: no cover - driver-kill path
@@ -291,7 +307,11 @@ def _on_signal(signum, frame):  # pragma: no cover - driver-kill path
 
 def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
-    part_timeout = float(os.environ.get("BENCH_PART_TIMEOUT_S", "240"))
+    # 300 not 240: the sdxl_1024 part measured 228 s wall on a congested
+    # relay day (rc=0 run, 2026-08-19) — 240 left 12 s of margin between
+    # "slow relay" and "lose the production-resolution composite". The
+    # 900 s budget still caps the whole run; this clock only catches hangs.
+    part_timeout = float(os.environ.get("BENCH_PART_TIMEOUT_S", "300"))
     # the first part of each child absorbs the relay's first-compile toll
     # (measured 68-463 s, congestion-dependent) on top of its own work;
     # killing a merely-slow child re-pays the toll, so the warm-up clock

@@ -225,7 +225,7 @@ def part_sdxl():
     f2 = jax.jit(step)
     sigma = jnp.full((n,), 14.6)
     f2c = aot(f2, up, cp, x, sigma)
-    raw = timed(lambda: f2c(up, cp, x, sigma), n=3)
+    raw = timed(lambda: f2c(up, cp, x, sigma), n=8)
     dt = max(raw - dispatch_overhead(), raw / 4)
 
     # cache-HIT step cost: on a DFBCache hit the sampler still pays the
@@ -253,7 +253,7 @@ def part_sdxl():
                            control_params=cp)
     prev_h = jnp.zeros(den0.first_block_shape(n, h, w), jnp.bfloat16)
     fhc = aot(fh, up, cp, x, sigma, prev_h)
-    raw_h = timed(lambda: fhc(up, cp, x, sigma, prev_h), n=3)
+    raw_h = timed(lambda: fhc(up, cp, x, sigma, prev_h), n=8)
     dt_h = max(raw_h - dispatch_overhead(), raw_h / 4)
     return {"sdxl_step_64lat_s": dt, "stage2_50step_est_s": 50 * dt,
             "sdxl_step_hit_s": dt_h,
@@ -292,7 +292,7 @@ def part_sdxl_1024():
     f2 = jax.jit(step)
     sigma = jnp.full((n,), 14.6)
     f2c = aot(f2, up, cp, x, sigma)
-    raw = timed(lambda: f2c(up, cp, x, sigma), n=3)
+    raw = timed(lambda: f2c(up, cp, x, sigma), n=8)
     dt = max(raw - dispatch_overhead(), raw / 4)
 
     # cache-HIT step at the production latent (see part_sdxl for the
@@ -311,7 +311,7 @@ def part_sdxl_1024():
                            control_params=cp)
     prev_h = jnp.zeros(den0.first_block_shape(n, h, w), jnp.bfloat16)
     fhc = aot(jax.jit(hit_step), up, cp, x, sigma, prev_h)
-    raw_h = timed(lambda: fhc(up, cp, x, sigma, prev_h), n=3)
+    raw_h = timed(lambda: fhc(up, cp, x, sigma, prev_h), n=8)
     dt_h = max(raw_h - dispatch_overhead(), raw_h / 4)
     return {"sdxl_step_128lat_s": dt, "sdxl_step_128lat_hit_s": dt_h,
             **roofline(f2c, dt, prefix="sdxl1024_")}
@@ -332,7 +332,7 @@ def part_vae_1024():
     z = jnp.zeros((1, 128, 128, 4))
     fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
     fvc = aot(fv, vp, z)
-    raw = timed(lambda: fvc(vp, z), n=3)
+    raw = timed(lambda: fvc(vp, z), n=8)
     dt = max(raw - dispatch_overhead(), raw / 4)
     return {"vae_decode_1024px_s": dt, **roofline(fvc, dt, prefix="vae1024_")}
 
@@ -348,7 +348,7 @@ def part_vae():
     z = jnp.zeros((1, 64, 64, 4))
     fv = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
     fvc = aot(fv, vp, z)  # params as jit args
-    raw = timed(lambda: fvc(vp, z), n=3)
+    raw = timed(lambda: fvc(vp, z), n=8)
     # dispatch-corrected (see dispatch_overhead)
     dt = max(raw - dispatch_overhead(), raw / 4)
     return {"vae_decode_512px_s": dt, **roofline(fvc, dt, prefix="vae_")}
