@@ -29,6 +29,9 @@ import numpy as np
 
 def main():
     argv = list(sys.argv[1:])
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        return
     self_layers = 0
     if "--self-draft" in argv:
         i = argv.index("--self-draft")
