@@ -35,7 +35,7 @@ FAST_MODULES = {
     "test_schedules", "test_golden", "test_brownian", "test_metrics",
     "test_native", "test_prefetch", "test_checkpoint", "test_compile_cache",
     "test_config_prompt", "test_moderation", "test_eval",
-    "test_serving_debug", "test_sampler",
+    "test_serving_debug", "test_sampler", "test_bench_contract",
 }
 
 SLOW_E2E_MODULES = {
