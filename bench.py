@@ -32,8 +32,10 @@ threshold 0.3 so the real steady-state is faster.
 Informational parts (hbm_peak, int4/bf16 llama, serving engine, trainers,
 flash kernels) are gated behind BENCH_FULL=1 — by default only the
 composite-required parts run so the whole bench fits the driver's wall
-clock (default budget 900 s, 300 s per part; BENCH_BUDGET_S /
-BENCH_PART_TIMEOUT_S override).
+clock (default budget 2400 s, 300 s per part; BENCH_BUDGET_S /
+BENCH_PART_TIMEOUT_S override — the budget is generous because the
+relay's per-process first-compile toll is unbounded on a congested day
+and a kill mid-run still emits the line).
 
 vs_baseline uses a documented ASSUMPTION for the torch/CUDA reference,
 which publishes no latency numbers (BASELINE.md): ~60 s/image — 500 SR3
@@ -305,12 +307,33 @@ def _on_signal(signum, frame):  # pragma: no cover - driver-kill path
     os._exit(0)
 
 
+# Arm the kill-safety net the moment the script body runs, not inside
+# main(): interpreter startup (sitecustomize + axon plugin) measures
+# ~2.3 s, and a driver SIGTERM landing in that window would hit the
+# default disposition and produce an empty tail — the exact round-3
+# failure. The stderr marker lets tests (and a human) synchronize on
+# "handlers live" without racing. Guarded so `import bench` stays
+# side-effect-free.
+if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    atexit.register(emit)
+    print("bench: signal handlers armed", file=sys.stderr, flush=True)
+
+
 def main():
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # 2400 not 900: the axon relay's per-process first-compile toll is
+    # congestion-dependent and unbounded in practice (68-463 s measured in
+    # round 4; >600 s for a trivial v+1 observed 2026-08-20 on a cold
+    # cache) — a 900 s budget can lose EVERY part to one bad day. A large
+    # budget is now strictly safe: the SIGTERM/atexit emitter means a
+    # driver kill still yields the one JSON line with whatever completed,
+    # so the only effect of a generous budget is more parts captured.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     # 300 not 240: the sdxl_1024 part measured 228 s wall on a congested
     # relay day (rc=0 run, 2026-08-19) — 240 left 12 s of margin between
     # "slow relay" and "lose the production-resolution composite". The
-    # 900 s budget still caps the whole run; this clock only catches hangs.
+    # budget still caps the whole run; this clock only catches hangs.
     part_timeout = float(os.environ.get("BENCH_PART_TIMEOUT_S", "300"))
     # the first part of each child absorbs the relay's first-compile toll
     # (measured 68-463 s, congestion-dependent) on top of its own work;
@@ -318,9 +341,7 @@ def main():
     # is generous: most of the budget, never under 480 s
     first_timeout = float(os.environ.get(
         "BENCH_WARMUP_TIMEOUT_S", str(max(480.0, 0.7 * budget))))
-    signal.signal(signal.SIGTERM, _on_signal)
-    signal.signal(signal.SIGINT, _on_signal)
-    atexit.register(emit)
+    # signal handlers + atexit are armed at module import (see _on_signal)
     deadline = time.time() + budget
     parts = list(REQUIRED_PARTS)
     if os.environ.get("BENCH_FULL"):

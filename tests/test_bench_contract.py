@@ -16,7 +16,6 @@ import os
 import signal
 import subprocess
 import sys
-import time
 
 import pytest
 
@@ -66,7 +65,11 @@ def test_sigterm_mid_run_still_emits_line():
     env = {**os.environ, "BENCH_BUDGET_S": "600"}
     proc = subprocess.Popen([sys.executable, BENCH], env=env, text=True,
                             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-    time.sleep(2.0)  # past signal-handler installation (first statements)
+    # bench.py prints this stderr marker the moment its SIGTERM handler is
+    # armed (interpreter startup alone is ~2.3 s here — a fixed sleep races
+    # it); readline blocks until the marker or EOF.
+    marker = proc.stderr.readline()
+    assert "signal handlers armed" in marker, marker
     proc.send_signal(signal.SIGTERM)
     out, _ = proc.communicate(timeout=30)
     assert proc.returncode == 0  # the handler exits 0 on purpose
