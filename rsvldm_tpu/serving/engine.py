@@ -42,6 +42,22 @@ BETWEEN jitted steps instead:
   stalls co-tenant token streams for hundreds of ms. One executable serves
   every chunk of every request (offsets are traced scalars).
 
+- Multi-step decode horizon (`decode_horizon=H`): the per-token host
+  round-trip (admission bookkeeping + one [B]-token device->host fetch) is
+  pure scheduler overhead — through a dispatch-expensive link it dominates
+  the step. When the scheduler has nothing to do between steps (no waiting
+  requests, no chunked prefills in flight), `step()` runs H decode steps
+  as ONE jitted `lax.scan` and commits up to H tokens per slot from a
+  single fetch, amortizing the host sync H-fold. Outputs are bit-identical
+  to H=1 (the sampling key schedule is (nonce, count), computed in-scan):
+  a row that stops (EOT / max_new / cache-full) mid-horizon is trimmed on
+  host, and its dead-row writes past the frontier are dropped by scatter
+  OOB semantics / replaced wholesale by the slot's next prefill. The cost
+  is admission latency (a request arriving mid-scan waits out the horizon)
+  and up to H-1 wasted row-steps at each stream's tail — the scheduler
+  falls back to single steps whenever work is queued, so isolation
+  (chunked prefill cadence, admission) is preserved under load.
+
 - Speculative decoding composes with the slot pool (`draft=`/`spec_k=`):
   each step becomes one jitted ROUND — a k-step batched draft scan + ONE
   (k+1)-token target verify over all slots (per-row positions) + per-row
@@ -118,11 +134,17 @@ class DecodeEngine:
                  cache_dtype=None, rng: jax.Array | None = None,
                  prefill_chunk: int | None = None,
                  draft: LlamaModel | None = None, draft_params: Any = None,
-                 spec_k: int = 4, mesh=None):
+                 spec_k: int = 4, mesh=None, decode_horizon: int = 1):
         """draft/draft_params/spec_k: optional speculative decoding — the
         draft must share the target's hidden dim (its prefill consumes the
         same spliced embeds). Not composed with prefix caching or chunked
         prefill (the draft pool has no prefix/chunk bookkeeping).
+
+        decode_horizon: run H decode steps per jitted dispatch whenever the
+        scheduler is otherwise idle (see module docstring) — outputs are
+        bit-identical to H=1; trades admission latency for an H-fold
+        amortization of the per-step host sync. Not composed with
+        speculative decoding.
 
         mesh: optional jax.sharding.Mesh — params are tensor-sharded over
         its 'data' axis (Megatron col/row rules) and the slot-pool KV cache
@@ -147,6 +169,12 @@ class DecodeEngine:
         if draft is not None and prefill_chunk is not None:
             raise ValueError("speculative decoding does not compose with "
                              "prefill_chunk")
+        if decode_horizon < 1:
+            raise ValueError("decode_horizon must be >= 1")
+        if draft is not None and decode_horizon > 1:
+            raise ValueError("speculative decoding does not compose with "
+                             "decode_horizon (a spec round already commits "
+                             "up to k+1 tokens per dispatch)")
         if draft is not None:
             if draft_params is None:
                 raise ValueError("draft model given without draft_params")
@@ -156,6 +184,7 @@ class DecodeEngine:
                     f"{model.cfg.dim} — the draft prefill consumes the "
                     "target's spliced embeds")
         self.prefill_chunk = prefill_chunk
+        self.decode_horizon = decode_horizon
         self.draft = draft
         self.draft_params = draft_params
         self.spec_k = spec_k
@@ -270,6 +299,32 @@ class DecodeEngine:
                            )(logits[:, -1], temps, keys)
             return pool, nxt
 
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("h",))
+        def _decode_multi(params, pool: KVCache, toks, pos, temps, nonces,
+                          counts, h: int):
+            """`h` decode steps for every slot in ONE dispatch (decode
+            horizon). Identical math and (nonce, count)-key schedule to
+            `_decode` applied h times; returns (pool', toks [B, h]). Rows
+            that stop mid-horizon keep decoding garbage whose cache writes
+            land past their own frontier — dropped by scatter OOB at
+            max_len, fully replaced by the slot's next prefill otherwise —
+            and the host trims their token bursts at the stop."""
+
+            def body(carry, i):
+                tok, pool = carry
+                emb = mdl.apply(params, tok[:, None], method=mdl.embed)
+                logits, pool = mdl.apply(params, emb, pool, pos + i)
+                keys = jax.vmap(lambda n, c: jax.random.fold_in(
+                    jax.random.fold_in(self.rng, n), c))(nonces, counts + i)
+                nxt = jax.vmap(
+                    lambda lg, t, k: _sample(lg[None], t[None], k)[0]
+                )(logits[:, -1], temps, keys).astype(tok.dtype)
+                return (nxt, pool), nxt
+
+            (_, pool), out = jax.lax.scan(body, (toks, pool), jnp.arange(h))
+            return pool, jnp.swapaxes(out, 0, 1)
+
         if draft is not None:
             drf, k = draft, spec_k
             from ..models.vlm.speculative import (_sample_dist,
@@ -351,6 +406,7 @@ class DecodeEngine:
             self._spec_round = _spec_round
 
         self._prefill = _prefill
+        self._decode_multi = _decode_multi
         self._prefill_pfx = _prefill_pfx
         self._prefix_kv = _prefix_kv
         self._chunk_fill = _chunk_fill
@@ -517,6 +573,19 @@ class DecodeEngine:
                 self._active[slot] = req
                 self._record(req, int(tok))
 
+    def _use_horizon(self) -> bool:
+        """Multi-step only when the scheduler would otherwise idle between
+        steps: nothing waiting for a slot, no chunked prefill needing its
+        per-step cadence, and at least one row with a full horizon of
+        tokens left (otherwise the scan's tail steps are pure waste)."""
+        if (self.decode_horizon <= 1 or self._waiting or self._prefilling
+                or self.draft is not None):
+            return False
+        return any(
+            min(req.max_new_tokens,
+                self.max_len - req.prompt_len) - len(req.out_ids)
+            >= self.decode_horizon for req in self._active.values())
+
     def step(self) -> int:
         """Admit waiting requests, advance chunked prefills by one chunk,
         then advance every active slot one token. Returns the number of
@@ -553,6 +622,18 @@ class DecodeEngine:
                         self._record(req, int(t))
                         if req.done:
                             break   # drop the rest of the block
+            elif self._use_horizon():
+                self.cache, out = self._decode_multi(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.asarray(pos), jnp.asarray(temps),
+                    jnp.asarray(nonces), jnp.asarray(counts),
+                    h=self.decode_horizon)
+                out = np.asarray(out)
+                for slot, req in list(self._active.items()):
+                    for t in out[slot]:
+                        self._record(req, int(t))
+                        if req.done:
+                            break   # trim the burst at the stop
             else:
                 self.cache, nxt = self._decode(
                     self.params, self.cache, jnp.asarray(toks),

@@ -628,3 +628,121 @@ def test_llm_worker_driver_survives_step_exception(model_and_params):
     assert worker.queue_length == 0
     assert not eng._requests  # released after both requests
     worker.stop()
+
+
+# -- decode horizon (multi-step scheduling) ---------------------------------
+
+def test_engine_horizon_matches_generate_greedy(model_and_params):
+    """decode_horizon=4: greedy streams are bit-identical to the plain
+    `generate` path, through staggered admission (which forces the
+    single-step fallback while work is queued) and slot reuse."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5, 9, 3], seed=37)
+    ref = _ref(model, params, prompts, GREEDY)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       decode_horizon=4)
+    u0 = eng.submit(prompts[0], GREEDY)
+    u1 = eng.submit(prompts[1], GREEDY)
+    for _ in range(2):
+        eng.step()
+    u2 = eng.submit(prompts[2], GREEDY)   # queued behind the 2 slots
+    eng.run_until_idle()
+    for uid, r in zip((u0, u1, u2), ref):
+        np.testing.assert_array_equal(r, eng.result(uid))
+
+
+def test_engine_horizon_sampled_bit_identical(model_and_params):
+    """temperature>0: the (nonce, count) key schedule is computed in-scan,
+    so horizon-H sampled streams equal the horizon-1 engine's exactly."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [4, 6], seed=41)
+    cfg = GenerateConfig(max_new_tokens=11, temperature=0.7, do_sample=True,
+                         eot_ids=(127,), pad_to=8)
+    base = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8)
+    out1 = base.generate_all(prompts, cfg)
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       decode_horizon=4)
+    outh = eng.generate_all(prompts, cfg)
+    for a, b in zip(out1, outh):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_engine_horizon_trims_at_stop(model_and_params):
+    """A row stopping mid-burst (EOT or max_new) is trimmed on host: the
+    result equals the solo decode, co-tenants are unperturbed, and the
+    freed slot is correctly reused by the next prefill."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5, 5, 7], seed=43)
+    # pick an EOT that fires mid-stream (and mid-burst: index 5 with
+    # horizon 4 lands inside the second burst) from an unrestricted run
+    # eot 999 is outside the vocab — it never fires (generate() cannot
+    # express an empty eot set: it indexes eot[0])
+    noeot = GenerateConfig(max_new_tokens=12, temperature=0.0,
+                           do_sample=False, eot_ids=(999,), pad_to=8)
+    full = DecodeEngine(model, params, slots=1, max_len=64,
+                        pad_to=8).generate_all(prompts[:1], noeot)[0]
+    assert len(full) >= 6
+    stop = int(full[5])
+    cfg = GenerateConfig(max_new_tokens=12, temperature=0.0,
+                         do_sample=False, eot_ids=(stop,), pad_to=8)
+    # max_new=6 stops row 1 mid-burst without an EOT
+    cfg_short = GenerateConfig(max_new_tokens=6, temperature=0.0,
+                               do_sample=False, eot_ids=(999,), pad_to=8)
+    ref = [generate(model, params, p, c, jax.random.PRNGKey(1))
+           for p, c in zip(prompts, (cfg, cfg_short, cfg))]
+    eng = DecodeEngine(model, params, slots=2, max_len=64, pad_to=8,
+                       decode_horizon=4)
+    uids = [eng.submit(p, c)
+            for p, c in zip(prompts, (cfg, cfg_short, cfg))]
+    eng.run_until_idle()
+    for uid, r in zip(uids, ref):
+        np.testing.assert_array_equal(r, eng.result(uid))
+    assert stop not in eng.result(uids[0])
+
+
+def test_engine_horizon_scheduler_policy(model_and_params):
+    """The multi-step path runs ONLY when the scheduler is idle: queued
+    admissions and chunked prefills force single steps; an empty queue with
+    a full horizon of work left uses one dispatch per H tokens."""
+    model, params = model_and_params
+    prompts = _prompts(model, params, [5, 5], seed=47)
+    eng = DecodeEngine(model, params, slots=1, max_len=64, pad_to=8,
+                       decode_horizon=4)
+    calls = {"multi": 0, "single": 0}
+    real_multi, real_single = eng._decode_multi, eng._decode
+
+    def count_multi(*a, **k):
+        assert not eng._waiting and not eng._prefilling
+        calls["multi"] += 1
+        return real_multi(*a, **k)
+
+    def count_single(*a, **k):
+        calls["single"] += 1
+        return real_single(*a, **k)
+
+    eng._decode_multi, eng._decode = count_multi, count_single
+    # eot 999 is outside the vocab — it never fires (generate() cannot
+    # express an empty eot set: it indexes eot[0])
+    noeot = GenerateConfig(max_new_tokens=12, temperature=0.0,
+                           do_sample=False, eot_ids=(999,), pad_to=8)
+    u0 = eng.submit(prompts[0], noeot)
+    u1 = eng.submit(prompts[1], noeot)   # waiting: slot count is 1
+    eng.run_until_idle()
+    # 12 greedy tokens each: 1 from prefill + 11 decoded; u0 decodes
+    # entirely under a non-empty queue (single steps), u1 alone rides
+    # the horizon (2 full bursts of 4 + 3 singles)
+    assert calls["single"] == 11 + 3
+    assert calls["multi"] == 2
+    ref = _ref(model, params, prompts, noeot)
+    for uid, r in zip((u0, u1), ref):
+        np.testing.assert_array_equal(r, eng.result(uid))
+
+
+def test_engine_horizon_guards(model_and_params):
+    model, params = model_and_params
+    with pytest.raises(ValueError, match="decode_horizon"):
+        DecodeEngine(model, params, slots=1, max_len=64, pad_to=8,
+                     decode_horizon=0)
+    with pytest.raises(ValueError, match="decode_horizon"):
+        DecodeEngine(model, params, slots=1, max_len=64, pad_to=8,
+                     decode_horizon=4, draft=model, draft_params=params)
