@@ -71,8 +71,9 @@ FULL_PARTS = ("hbm_peak", "llama_int4", "llama", "engine", "sr3_train",
               "flash_roofline")
 
 # parts that live in their own driver script (everything else is a
-# bench_full.py part name)
-PART_CMDS = {"engine": ("bench_engine.py", "8")}
+# bench_full.py part name). 8h8 = 8 slots with an 8-step decode horizon
+# (multi-step scheduling — tokens per dispatch amortize the host sync).
+PART_CMDS = {"engine": ("bench_engine.py", "8", "8h8")}
 
 # results collected so far — read by the emergency emitter
 RES: dict = {}

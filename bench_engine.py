@@ -12,7 +12,9 @@ scan-decode path (bench_full.py part_llama_int8) serves one stream.
 
 Run: python bench_engine.py [slots ...]   (suffix q = int8 KV cache,
 e.g. `bench_engine.py 8 16q` — kv_quant halves cache bytes so 16 slots
-at the same context fit where bf16 KV allows 8)
+at the same context fit where bf16 KV allows 8; suffix hN = decode
+horizon, e.g. `8h8` — N decode steps per dispatch when the scheduler is
+idle, amortizing the per-step host sync N-fold)
 
      python bench_engine.py spec [slots] — speculative rounds over the
      slot pool (8B int8 target + 4-layer draft, k=4): per-round step time
@@ -49,6 +51,16 @@ if os.environ.get("BENCH_TINY"):
 from rsvldm_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+
+def parse_spec(a: str):
+    """Slot spec grammar: `<slots>[q][h<H>]` — q = int8 KV cache,
+    hN = decode horizon N. E.g. 8, 16q, 8h8, 16qh4."""
+    import re
+    m = re.fullmatch(r"(\d+)(q?)(?:h(\d+))?", a)
+    if not m:
+        raise SystemExit(f"bad slot spec {a!r} (want e.g. 8, 16q, 8h8)")
+    return int(m.group(1)), bool(m.group(2)), int(m.group(3) or 1)
 
 
 def isolation():
@@ -161,8 +173,8 @@ def main():
         rest = [a for a in sys.argv[1:] if a != "spec"]
         spec(int(rest[0]) if rest else 4)
         return
-    specs = [(int(a.rstrip("q")), a.endswith("q"))
-             for a in sys.argv[1:]] or [(1, False), (4, False)]
+    specs = ([parse_spec(a) for a in sys.argv[1:]]
+             or [(1, False, 1), (4, False, 1)])
     from rsvldm_tpu.models.vlm.llama import LLAMA3_8B_CONFIG, LlamaModel
     from rsvldm_tpu.models.vlm.generate import GenerateConfig
     from rsvldm_tpu.serving.engine import DecodeEngine
@@ -179,15 +191,21 @@ def main():
 
     res = {}
     lm = lp = eng = emb = None
-    for slots, kvq in specs:
+    for slots, kvq, horizon in specs:
         # drop the previous iteration's ~9.5 GB param set BEFORE building
         # the next one — two sets cannot coexist on a 16 GB chip
         lm = lp = eng = emb = None
         lm, lp = build(kvq)
-        tag = f"{slots}slot" + ("_kvq" if kvq else "")
-        eng = DecodeEngine(lm, lp, slots=slots, max_len=max_len, pad_to=128)
-        cfg = GenerateConfig(max_new_tokens=24, temperature=0.0,
-                             do_sample=False, eot_ids=(), pad_to=128)
+        tag = (f"{slots}slot" + ("_kvq" if kvq else "")
+               + (f"_h{horizon}" if horizon > 1 else ""))
+        eng = DecodeEngine(lm, lp, slots=slots, max_len=max_len, pad_to=128,
+                           decode_horizon=horizon)
+        # enough max_new that every timed step is a full-horizon burst
+        # (prompt 1000 -> 1536-1000 = 536 cache positions of room)
+        cfg = GenerateConfig(
+            max_new_tokens=(24 if horizon == 1
+                            else min(500, (3 + 20 + 2) * horizon)),
+            temperature=0.0, do_sample=False, eot_ids=(), pad_to=128)
         emb = jnp.zeros((1000, lm.cfg.dim), jnp.bfloat16)
         uids = [eng.submit(emb, cfg) for _ in range(slots)]
         # warm both executables (prefill bucket + decode step)
@@ -202,7 +220,7 @@ def main():
         step_ms = 1000 * dt / n_steps
         res[f"engine_{tag}_step_ms"] = round(step_ms, 1)
         res[f"engine_{tag}_agg_tok_s"] = round(
-            slots * n_steps / dt, 1)
+            slots * n_steps * horizon / dt, 1)
         del eng, cfg
     print(json.dumps(res))
 

@@ -298,6 +298,12 @@ def main(argv=None, block: bool = True):
                          "checkpoint, zero extra HBM) when no real draft "
                          "is available")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--decode-horizon", type=int, default=1, metavar="H",
+                    help="decode H tokens per device dispatch when the "
+                         "scheduler is idle (amortizes the per-step host "
+                         "sync H-fold; streams arrive in bursts of up to "
+                         "H tokens). Does not compose with speculative "
+                         "decoding")
     ap.add_argument("--prefix-file", type=str, default="",
                     help="file holding a shared prompt scaffold; its KV "
                          "block is prefilled once (prefix caching). Must "
@@ -325,14 +331,19 @@ def main(argv=None, block: bool = True):
         raise SystemExit(
             "--draft_dir/--self-draft (speculative decoding) does not "
             "compose with --prefix-file/--prefill-chunk — drop one of them")
-    draft_dir = (False if (args.no_draft or wants_prefix_or_chunk)
+    if (args.draft_dir or args.self_draft) and args.decode_horizon > 1:
+        raise SystemExit(
+            "--draft_dir/--self-draft (speculative decoding) does not "
+            "compose with --decode-horizon — drop one of them")
+    draft_dir = (False if (args.no_draft or wants_prefix_or_chunk
+                           or args.decode_horizon > 1)
                  else (args.draft_dir or None))
     if draft_dir is False and not args.no_draft:
         from pathlib import Path
         if (Path(args.ckpt_dir) / "llava_draft").is_dir():
             print("note: auto-discovered llava_draft/ ignored — "
-                  "--prefix-file/--prefill-chunk do not compose with "
-                  "speculative decoding", flush=True)
+                  "--prefix-file/--prefill-chunk/--decode-horizon do not "
+                  "compose with speculative decoding", flush=True)
 
     cap = LlavaCaptioner.load(args.ckpt_dir, llama_cfg=llama_cfg,
                               quant=quant,
@@ -347,7 +358,8 @@ def main(argv=None, block: bool = True):
                           max_len=args.max_len,
                           prefill_chunk=args.prefill_chunk or None,
                           draft=cap.draft, draft_params=cap.draft_params,
-                          spec_k=args.spec_k)
+                          spec_k=args.spec_k,
+                          decode_horizon=args.decode_horizon)
     decode_fn = lambda ids: cap.tokenizer.decode(ids,
                                                  skip_special_tokens=True)
     prefix_text = None

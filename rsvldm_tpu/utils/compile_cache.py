@@ -47,9 +47,13 @@ def enable_compilation_cache(directory: str | None = None) -> str | None:
 def cli_setup(platform: str | None = None) -> None:
     """Shared entry-point preamble for every CLI: force a jax platform
     BEFORE the first backend touch (the axon sitecustomize wins over the
-    JAX_PLATFORMS env var, so this must go through jax.config) and point
-    the persistent compilation cache at disk."""
+    JAX_PLATFORMS env var, so this must go through jax.config), join the
+    multi-process runtime when the RSVLDM_COORDINATOR/RSVLDM_DISTRIBUTED
+    env rendezvous is set (no-op otherwise — see parallel/distributed.py),
+    and point the persistent compilation cache at disk."""
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    from ..parallel.distributed import init_distributed
+    init_distributed()
     enable_compilation_cache()

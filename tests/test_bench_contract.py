@@ -78,3 +78,21 @@ def test_sigterm_mid_run_still_emits_line():
     obj = json.loads(lines[0])
     assert obj["signal_15_error"] == "killed mid-run; partial results"
     assert "metric" in obj and "vs_baseline" in obj
+
+
+def test_bench_engine_spec_parsing():
+    """bench_engine slot specs: 8 / 16q / 8h8 / 16qh4 parse; junk exits."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    try:
+        be = importlib.import_module("bench_engine")
+    finally:
+        _sys.path.pop(0)
+    assert be.parse_spec("8") == (8, False, 1)
+    assert be.parse_spec("16q") == (16, True, 1)
+    assert be.parse_spec("8h8") == (8, False, 8)
+    assert be.parse_spec("16qh4") == (16, True, 4)
+    with pytest.raises(SystemExit, match="bad slot spec"):
+        be.parse_spec("8x8")
