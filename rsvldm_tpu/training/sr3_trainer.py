@@ -60,6 +60,15 @@ class SR3Trainer:
                                       jnp.ones((1, 1)))
         self.opt_state = self.tx.init(self.params)
         self.ema = ema_init(self.params)
+        if mesh is not None and jax.process_count() > 1:
+            # pod-scale: the train state must be a GLOBAL (replicated)
+            # array over the mesh or the jitted step's device sets clash.
+            # device_put verifies cross-process equality — guaranteed by
+            # the deterministic init as long as `rng` is process-uniform.
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.params, self.opt_state, self.ema = jax.device_put(
+                (self.params, self.opt_state, self.ema), rep)
         self.step = 0
         self._apply = lambda p, x, nl: self.model.apply(p, x, nl)
         self._train_step = jax.jit(self._step_fn)
@@ -74,11 +83,26 @@ class SR3Trainer:
         return params, opt_state, ema, loss
 
     def train_step(self, hr, sr, rng) -> float:
-        """hr/sr: [N,H,W,3] in [-1,1] (HR target, bicubic-upsampled LR)."""
+        """hr/sr: [N,H,W,3] in [-1,1] (HR target, bicubic-upsampled LR).
+
+        Single-process: N is the global batch. Multi-process (pod-scale,
+        parallel/distributed.py): N is THIS HOST's shard of the global
+        batch — each host loads local_batch_range(global_N) rows and the
+        global array is assembled shard-by-shard (no host materializes
+        the full batch); `rng` must be process-uniform (the same key on
+        every host), as with any SPMD JAX program."""
         if self.mesh is not None:
             from ..parallel import batch_sharding
-            hr = jax.device_put(hr, batch_sharding(self.mesh, 4))
-            sr = jax.device_put(sr, batch_sharding(self.mesh, 4))
+            sh = batch_sharding(self.mesh, 4)
+            if jax.process_count() > 1:
+                import numpy as np
+                hr = jax.make_array_from_process_local_data(
+                    sh, np.asarray(hr))
+                sr = jax.make_array_from_process_local_data(
+                    sh, np.asarray(sr))
+            else:
+                hr = jax.device_put(hr, sh)
+                sr = jax.device_put(sr, sh)
         self.params, self.opt_state, self.ema, loss = self._train_step(
             self.params, self.opt_state, self.ema, hr, sr, rng)
         self.step += 1

@@ -129,3 +129,70 @@ print("OK")
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert proc.stdout.strip().splitlines()[-1] == "OK"
+
+
+TRAIN_CHILD = r"""
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+from rsvldm_tpu.parallel.distributed import (init_distributed,
+                                             local_batch_range,
+                                             make_global_mesh)
+init_distributed()
+import numpy as np
+from rsvldm_tpu.models.sr3 import SR3UNetConfig
+from rsvldm_tpu.training.sr3_trainer import SR3Trainer, SR3TrainConfig
+
+mesh = make_global_mesh(tile=1)
+mcfg = SR3UNetConfig(image_size=16, inner_channel=8, channel_mults=(1, 2),
+                     res_blocks=1, attn_res=(8,), norm_groups=4)
+tr = SR3Trainer(mcfg, SR3TrainConfig(n_timestep=10), mesh=mesh,
+                rng=jax.random.PRNGKey(0))
+rng = np.random.default_rng(0)
+hr_g = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+sr_g = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+lo, hi = local_batch_range(4)        # this host's rows of the global batch
+for i in range(3):
+    loss = tr.train_step(hr_g[lo:hi], sr_g[lo:hi], jax.random.PRNGKey(7 + i))
+print(json.dumps({"pid": int(jax.process_index()), "loss": float(loss)}))
+"""
+
+
+def test_two_process_sr3_train_matches_single():
+    """P2 (DP training) at pod scale: two hosts each feed THEIR shard of
+    the global batch; the dp-sharded train step psums grads across
+    processes. Both hosts must agree bit-for-bit with each other and with
+    a single-process run on the full batch to fp32 collective tolerance
+    (Gloo cross-process psum vs in-process all-reduce order)."""
+    port = _free_port()
+    procs = [subprocess.Popen([sys.executable, "-c", TRAIN_CHILD],
+                              env=_child_env(port, pid), cwd=REPO,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    losses = {}
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+        rec = json.loads(out.strip().splitlines()[-1])
+        losses[rec["pid"]] = rec["loss"]
+    assert losses[0] == losses[1]           # SPMD: identical on every host
+
+    # single-process reference on the same global batch
+    import jax
+    import numpy as np
+    from rsvldm_tpu.models.sr3 import SR3UNetConfig
+    from rsvldm_tpu.parallel.mesh import make_mesh
+    from rsvldm_tpu.training.sr3_trainer import SR3Trainer, SR3TrainConfig
+    mesh = make_mesh(4, tile=1)
+    mcfg = SR3UNetConfig(image_size=16, inner_channel=8,
+                         channel_mults=(1, 2), res_blocks=1, attn_res=(8,),
+                         norm_groups=4)
+    tr = SR3Trainer(mcfg, SR3TrainConfig(n_timestep=10), mesh=mesh,
+                    rng=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    hr = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    sr = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    for i in range(3):
+        ref = tr.train_step(hr, sr, jax.random.PRNGKey(7 + i))
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
