@@ -24,7 +24,16 @@ hosts — the only pod-specific requirements, packaged here, are:
    global array without any host ever materializing the full batch.
 
 Verified by tests/test_distributed.py with real multi-process meshes
-(2 OS processes x 2 CPU devices over the Gloo collectives backend).
+(2 OS processes x 2 CPU devices over the Gloo collectives backend),
+including 3 dp-sharded SR3 train steps whose loss matches a single-process
+run on the same global batch.
+
+Scope note: pod-scale DP is wired end-to-end for the SR3 trainer (the
+reference's shipped training loop) and for inference/serving (sharding
+annotations are process-count-agnostic). The VLM fine-tune trainers
+(adapter-only; the int8 8B base fits ONE chip) remain single-host
+multi-chip — their frozen base/cache operands are closed over per-process,
+which matches the reference's own single-node LLaVA recipes.
 """
 
 from __future__ import annotations

@@ -50,6 +50,31 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_batch(mesh: Mesh, x) -> jax.Array:
+    """Place a batch on the mesh's batch axes, multi-host aware.
+
+    Single-process: plain device_put (x is the global batch). Multi-
+    process (parallel/distributed.py): x is THIS host's shard of the
+    global batch (local_batch_range rows) and the global array is
+    assembled shard-by-shard — cross-process device_put is only valid
+    for replicated values, not sharded batches."""
+    sh = batch_sharding(mesh, jnp.ndim(x))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate a train-state pytree over the global mesh when running
+    multi-process (the jitted step's device sets must agree with its
+    mesh-global batch inputs); identity single-process. device_put
+    verifies cross-process equality — guaranteed by deterministic init
+    from a process-uniform rng."""
+    if jax.process_count() > 1:
+        return jax.device_put(tree, replicate(mesh))
+    return tree
+
+
 def shard_tiled_gn_apply(fn: Callable, mesh: Mesh, axis: str = "tile"):
     """Wrap a tile-batched VAE apply ([T, h, w, C] -> [T, h', w', C']) in a
     shard_map over the tile axis with tile-collective GroupNorm: each device

@@ -60,15 +60,13 @@ class SR3Trainer:
                                       jnp.ones((1, 1)))
         self.opt_state = self.tx.init(self.params)
         self.ema = ema_init(self.params)
-        if mesh is not None and jax.process_count() > 1:
+        if mesh is not None:
             # pod-scale: the train state must be a GLOBAL (replicated)
-            # array over the mesh or the jitted step's device sets clash.
-            # device_put verifies cross-process equality — guaranteed by
-            # the deterministic init as long as `rng` is process-uniform.
-            from jax.sharding import NamedSharding, PartitionSpec
-            rep = NamedSharding(mesh, PartitionSpec())
-            self.params, self.opt_state, self.ema = jax.device_put(
-                (self.params, self.opt_state, self.ema), rep)
+            # array over the mesh or the jitted step's device sets clash
+            # (identity when single-process)
+            from ..parallel import replicate_state
+            self.params, self.opt_state, self.ema = replicate_state(
+                mesh, (self.params, self.opt_state, self.ema))
         self.step = 0
         self._apply = lambda p, x, nl: self.model.apply(p, x, nl)
         self._train_step = jax.jit(self._step_fn)
@@ -92,17 +90,9 @@ class SR3Trainer:
         the full batch); `rng` must be process-uniform (the same key on
         every host), as with any SPMD JAX program."""
         if self.mesh is not None:
-            from ..parallel import batch_sharding
-            sh = batch_sharding(self.mesh, 4)
-            if jax.process_count() > 1:
-                import numpy as np
-                hr = jax.make_array_from_process_local_data(
-                    sh, np.asarray(hr))
-                sr = jax.make_array_from_process_local_data(
-                    sh, np.asarray(sr))
-            else:
-                hr = jax.device_put(hr, sh)
-                sr = jax.device_put(sr, sh)
+            from ..parallel import put_batch
+            hr = put_batch(self.mesh, hr)
+            sr = put_batch(self.mesh, sr)
         self.params, self.opt_state, self.ema, loss = self._train_step(
             self.params, self.opt_state, self.ema, hr, sr, rng)
         self.step += 1

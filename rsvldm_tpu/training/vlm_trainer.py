@@ -308,11 +308,9 @@ class VLMTrainer:
 
     def train_step(self, input_embeds, labels, cache) -> float:
         if self.mesh is not None:
-            from ..parallel import batch_sharding
-            input_embeds = jax.device_put(
-                input_embeds, batch_sharding(self.mesh, input_embeds.ndim))
-            labels = jax.device_put(labels,
-                                    batch_sharding(self.mesh, labels.ndim))
+            from ..parallel import put_batch
+            input_embeds = put_batch(self.mesh, input_embeds)
+            labels = put_batch(self.mesh, labels)
         self.lora, self.opt_state, loss = self._train_step(
             self.lora, self.opt_state, input_embeds, labels, cache)
         self.step += 1
@@ -354,9 +352,8 @@ class DPOTrainer:
     def train_step(self, chosen_embeds, chosen_labels, rejected_embeds,
                    rejected_labels, cache) -> float:
         if self.mesh is not None:
-            from ..parallel import batch_sharding
-            put = lambda x: jax.device_put(
-                x, batch_sharding(self.mesh, jnp.ndim(x)))
+            from ..parallel import put_batch
+            put = lambda x: put_batch(self.mesh, x)
             chosen_embeds, chosen_labels = put(chosen_embeds), put(
                 jnp.asarray(chosen_labels))
             rejected_embeds, rejected_labels = put(rejected_embeds), put(
@@ -440,9 +437,8 @@ class MMTrainer:
         [B,S,D] with a zero reserved span of T rows at img_pos[b];
         labels [B,S] (IGNORE over prompt + image spans)."""
         if self.mesh is not None:
-            from ..parallel import batch_sharding
-            put = lambda x: jax.device_put(
-                jnp.asarray(x), batch_sharding(self.mesh, jnp.ndim(x)))
+            from ..parallel import put_batch
+            put = lambda x: put_batch(self.mesh, jnp.asarray(x))
             # shard EVERY batch-major operand (an uncommitted labels array
             # next to committed embeds forces a reshard inside the jit)
             vis_feats, text_embeds = put(vis_feats), put(text_embeds)
