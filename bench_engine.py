@@ -57,7 +57,7 @@ def parse_spec(a: str):
     """Slot spec grammar: `<slots>[q][h<H>]` — q = int8 KV cache,
     hN = decode horizon N. E.g. 8, 16q, 8h8, 16qh4."""
     import re
-    m = re.fullmatch(r"(\d+)(q?)(?:h(\d+))?", a)
+    m = re.fullmatch(r"(\d+)(q?)(?:h([1-9]\d*))?", a)
     if not m:
         raise SystemExit(f"bad slot spec {a!r} (want e.g. 8, 16q, 8h8)")
     return int(m.group(1)), bool(m.group(2)), int(m.group(3) or 1)

@@ -86,6 +86,30 @@ def init_distributed(coordinator: str | None = None,
     return True
 
 
+def _order_data_axis_by_process(arr: np.ndarray) -> np.ndarray:
+    """Sort 'data'-axis rows so process indices never decrease along the
+    flattened (data, tile) traversal, then verify the invariant.
+
+    Per-host batch feeding (local_batch_range + from_process_local) maps
+    global rows [i*per, (i+1)*per) to process i — valid only when the
+    'data' axis is process-ordered and each process's rows are contiguous.
+    jax.devices() guarantees this for the single-slice reshape, but
+    mesh_utils.create_hybrid_device_mesh may permute devices within a
+    slice (advisor round-4 finding), so the multi-slice branch sorts rows
+    (a whole-row permutation keeps every tile group inside its slice) and
+    raises if sorting cannot restore contiguity."""
+    procs = np.asarray([[d.process_index for d in row] for row in arr])
+    arr = arr[np.argsort(procs.min(axis=1), kind="stable")]
+    flat = np.asarray([d.process_index for d in arr.reshape(-1)])
+    if np.any(np.diff(flat) < 0):
+        raise RuntimeError(
+            "global mesh 'data' axis is not process-contiguous even after "
+            "row sort — per-host batch feeding (local_batch_range/"
+            "from_process_local) would mis-place rows on this topology; "
+            "build the mesh explicitly via parallel.mesh.make_mesh")
+    return arr
+
+
 def make_global_mesh(tile: int = 1) -> Mesh:
     """(data, tile) mesh over every process's devices, fabric-aware.
 
@@ -111,7 +135,7 @@ def make_global_mesh(tile: int = 1) -> Mesh:
                              f"device count {per_slice}")
         arr = mesh_utils.create_hybrid_device_mesh(
             (per_slice // tile, tile), (len(slices), 1), devices=devices)
-        return Mesh(arr, ("data", "tile"))
+        return Mesh(_order_data_axis_by_process(arr), ("data", "tile"))
     if tile > 1:
         per_host = max(len(jax.local_devices()), 1)
         if per_host % tile and tile % per_host:

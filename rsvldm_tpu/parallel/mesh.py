@@ -67,9 +67,11 @@ def put_batch(mesh: Mesh, x) -> jax.Array:
 def replicate_state(mesh: Mesh, tree):
     """Replicate a train-state pytree over the global mesh when running
     multi-process (the jitted step's device sets must agree with its
-    mesh-global batch inputs); identity single-process. device_put
-    verifies cross-process equality — guaranteed by deterministic init
-    from a process-uniform rng."""
+    mesh-global batch inputs); identity single-process. device_put does
+    NOT verify that per-process values agree — replication here ASSUMES
+    cross-process equality, which the trainers guarantee by deterministic
+    init from a process-uniform rng (divergent inputs would be silently
+    undefined, not an error)."""
     if jax.process_count() > 1:
         return jax.device_put(tree, replicate(mesh))
     return tree

@@ -48,8 +48,10 @@ BETWEEN jitted steps instead:
   the step. When the scheduler has nothing to do between steps (no waiting
   requests, no chunked prefills in flight), `step()` runs H decode steps
   as ONE jitted `lax.scan` and commits up to H tokens per slot from a
-  single fetch, amortizing the host sync H-fold. Outputs are bit-identical
-  to H=1 (the sampling key schedule is (nonce, count), computed in-scan):
+  single fetch, amortizing the host sync H-fold. Outputs follow the same
+  math and (nonce, count) sampling-key schedule as H=1 — bit-identical in
+  the CPU parity tests, though the scan body is a distinct XLA program so
+  fusion differences could in principle flip a near-tie token on TPU:
   a row that stops (EOT / max_new / cache-full) mid-horizon is trimmed on
   host, and its dead-row writes past the frontier are dropped by scatter
   OOB semantics / replaced wholesale by the slot's next prefill. The cost
@@ -141,8 +143,10 @@ class DecodeEngine:
         prefill (the draft pool has no prefix/chunk bookkeeping).
 
         decode_horizon: run H decode steps per jitted dispatch whenever the
-        scheduler is otherwise idle (see module docstring) — outputs are
-        bit-identical to H=1; trades admission latency for an H-fold
+        scheduler is otherwise idle (see module docstring) — same math and
+        key schedule as H=1 (bit-identical in the CPU parity tests; a
+        distinct XLA program, so not formally guaranteed on TPU); trades
+        admission latency for an H-fold
         amortization of the per-step host sync. Not composed with
         speculative decoding.
 

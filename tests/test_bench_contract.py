@@ -96,3 +96,7 @@ def test_bench_engine_spec_parsing():
     assert be.parse_spec("16qh4") == (16, True, 4)
     with pytest.raises(SystemExit, match="bad slot spec"):
         be.parse_spec("8x8")
+    # h0 must die at spec parsing with the friendly message, not deep in
+    # DecodeEngine with "decode_horizon must be >= 1" (advisor round-4)
+    with pytest.raises(SystemExit, match="bad slot spec"):
+        be.parse_spec("8h0")

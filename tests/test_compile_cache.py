@@ -1,6 +1,7 @@
 """Persistent XLA compilation cache (utils/compile_cache.py)."""
 
 import os
+import random
 
 import jax
 import jax.numpy as jnp
@@ -15,8 +16,14 @@ def test_enable_sets_config_and_writes_entries(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir == d
     # drop the time floor so this tiny program qualifies for the cache
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # fold a per-run-unique constant into the program: if any earlier test
+    # in the session compiled the same HLO, jax's in-memory executable
+    # cache would satisfy this jit without ever touching the persistent
+    # cache and the listdir assert below would flake (round-4 review
+    # Weak #1 — deterministic failure in any multi-file run)
+    salt = jnp.float32(random.random() + 2.0)
     try:
-        jax.jit(lambda x: (x * 3 + jnp.float32(1)).sum())(
+        jax.jit(lambda x: (x * salt + jnp.float32(1)).sum())(
             jnp.arange(8, dtype=jnp.float32)).block_until_ready()
         assert os.listdir(d), "no cache entry written"
     finally:

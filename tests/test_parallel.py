@@ -125,3 +125,28 @@ def test_pipeline_tiled_vae_mesh_equivalence():
                                        rtol=0, atol=1e-3)
     finally:
         PL._tiny_overrides = orig
+
+
+def test_order_data_axis_by_process():
+    """Hybrid-mesh row sort restores the process-contiguity invariant that
+    local_batch_range/from_process_local rely on (advisor round-4 #2)."""
+    from types import SimpleNamespace
+
+    from rsvldm_tpu.parallel.distributed import _order_data_axis_by_process
+
+    def dev(p):
+        return SimpleNamespace(process_index=p)
+
+    # permuted-but-fixable: rows [p1, p0, p1, p0] -> sorted [p0, p0, p1, p1]
+    arr = np.asarray([[dev(1), dev(1)], [dev(0), dev(0)],
+                      [dev(1), dev(1)], [dev(0), dev(0)]])
+    out = _order_data_axis_by_process(arr)
+    flat = [d.process_index for d in out.reshape(-1)]
+    assert flat == sorted(flat)
+    # already-ordered input is preserved verbatim (stable sort)
+    arr2 = np.asarray([[dev(0)], [dev(0)], [dev(1)], [dev(1)]])
+    assert (_order_data_axis_by_process(arr2) == arr2).all()
+    # interleaved within a row: no row permutation can fix it -> raise
+    bad = np.asarray([[dev(0), dev(2)], [dev(1), dev(3)]])
+    with pytest.raises(RuntimeError, match="process-contiguous"):
+        _order_data_axis_by_process(bad)
