@@ -62,13 +62,26 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # composite-required parts, priority order: the 512px composite terms
 # first (the round-1/2 contract and the fallback metric), then the
-# production-resolution terms, then the optional prefill refinement.
+# production-resolution terms, then the round-5 measurement parts (the
+# TRUE e2e wall clock + DFB hit trace, and the caption accelerator
+# evidence: int4 fidelity + self-draft acceptance).
 REQUIRED_PARTS = ("stage1", "sdxl", "llama_int8", "vae",
-                  "sdxl_1024", "vae_1024", "llama_prefill")
+                  "sdxl_1024", "vae_1024", "llama_prefill",
+                  "e2e_1024", "llama_int4", "caption_probe")
 # informational parts (BENCH_FULL=1): serving/training/kernel columns
-FULL_PARTS = ("hbm_peak", "llama_int4", "llama", "engine", "sr3_train",
+FULL_PARTS = ("hbm_peak", "llama", "engine", "sr3_train",
               "qlora_train", "llama_int8kv", "flash_bwd", "flash_fwd",
               "flash_roofline")
+
+# parts whose re-armed clock must exceed the default part timeout:
+# sdxl_1024 ran 247 s of a 300 s clock on a congested relay day (round-4
+# review Weak #4); e2e_1024 pays a full-scale host weight init plus the
+# whole pipeline's compiles; caption_probe generates + quantizes an 8B
+# tree twice. Values are caps on HANGS, not budgets — the overall
+# BENCH_BUDGET_S still bounds the run and the kill-safe emitter keeps
+# whatever completed.
+PART_TIMEOUTS = {"sdxl_1024": 480.0, "e2e_1024": 900.0,
+                 "caption_probe": 720.0}
 
 # parts that live in their own driver script (everything else is a
 # bench_full.py part name). 8h8 = 8 slots with an 8-step decode horizon
@@ -83,12 +96,26 @@ _EMITTED = False
 _CHILD: list = []
 
 
+def _die_with_parent():  # pragma: no cover - child-process preexec
+    """PR_SET_PDEATHSIG: the part child is SIGKILLed by the kernel the
+    moment bench.py dies — closes the race where a driver kill lands
+    while Popen is mid-spawn (before _CHILD is armed), which left an
+    orphan part squatting on the TPU (observed from the SIGTERM contract
+    test, round 5)."""
+    try:
+        import ctypes
+        ctypes.CDLL("libc.so.6", use_errno=True).prctl(1, signal.SIGKILL)
+    except Exception:
+        pass  # non-Linux: fall back to the _CHILD kill in the handler
+
+
 def run_part(name: str, timeout_s: float) -> dict:
     script, *extra = PART_CMDS.get(name, ("bench_full.py", name))
     t0 = time.time()
     proc = subprocess.Popen(
         [sys.executable, os.path.join(HERE, script), *extra],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        preexec_fn=_die_with_parent)
     _CHILD[:] = [proc]
     try:
         stdout, stderr = proc.communicate(timeout=timeout_s)
@@ -137,7 +164,8 @@ def stream_parts(parts, deadline: float, first_timeout: float,
 
     proc = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "bench_full.py"), *parts],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        preexec_fn=_die_with_parent)
     _CHILD[:] = [proc]
     q: "queue.Queue" = queue.Queue()
 
@@ -149,10 +177,16 @@ def stream_parts(parts, deadline: float, first_timeout: float,
     for pipe, tag in ((proc.stdout, "out"), (proc.stderr, "err")):
         threading.Thread(target=pump, args=(pipe, tag), daemon=True).start()
 
+    def _pt(name):
+        # per-part hang clocks (PART_TIMEOUTS); part_timeout is the default
+        return (part_timeout.get(name, part_timeout.get("default", 300.0))
+                if isinstance(part_timeout, dict)
+                else max(part_timeout, PART_TIMEOUTS.get(name, 0.0)))
+
     pending = list(parts)
     stderr_tail: list = []
     t_arm = time.time()
-    timeout_cur = first_timeout
+    timeout_cur = max(first_timeout, _pt(pending[0]) if pending else 0.0)
     try:
         while pending:
             wait = min(t_arm + timeout_cur, deadline) - time.time()
@@ -179,7 +213,7 @@ def stream_parts(parts, deadline: float, first_timeout: float,
             if name in pending:
                 pending.remove(name)
                 t_arm = time.time()
-                timeout_cur = part_timeout
+                timeout_cur = _pt(pending[0]) if pending else 300.0
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -249,6 +283,21 @@ def emit() -> None:
     # roofline columns (compiled-program cost_analysis vs v5e ceilings)
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})
+    if any(k.endswith("_mfu_pct") or k.endswith("_hbm_pct")
+           for k in extras):
+        # round-4 review Weak #5: >100% columns must be self-describing on
+        # the driver line, not only in PERF.md
+        extras["pct_note"] = (
+            ">100% is legitimate: mfu_pct normalizes to the bf16 MXU peak "
+            "(int8 MXU ops run ~2x it) and cost_analysis 'bytes accessed' "
+            "counts VMEM-reused reads, so hbm_pct>100 marks fused reuse, "
+            "not impossible bandwidth (PERF.md §4)")
+    # round-5 measurement keys: caption accelerator evidence + the DFB
+    # hit trace ride the line verbatim (their notes are added below)
+    extras.update({k: v for k, v in res.items()
+                   if k.startswith(("caption_selfdraft_", "int4_vs_int8_",
+                                    "dfb_", "e2e_"))
+                   and not k.endswith(("_error", "_part_s"))})
     # part failures/skips + per-part wall clock are self-describing
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_error") or k.endswith("_part_s")})
@@ -273,6 +322,60 @@ def emit() -> None:
             comp1024 = (res["stage1_500step_s"]
                         + 50 * res["sdxl_step_128lat_s"]
                         + 2 * res["vae_decode_1024px_s"] + caption_s)
+            extras["composite_arith_s_per_image_1024px"] = round(comp1024, 2)
+            # MEASURED e2e wall clock (round-4 review item 1): when the
+            # e2e part ran, it — not the arithmetic stage sum — anchors
+            # the headline 1024px number. The reconciliation delta
+            # compares the measured no-caption wall clock against the
+            # stage sum ADJUSTED for the run's own measured DFB hit rate
+            # (the measured clock natively contains the cache savings the
+            # zero-hit arithmetic sum excludes).
+            meas = res.get("e2e_measured_s_per_image_1024px")
+            if meas is not None:
+                r_hit = res.get("dfb_hit_rate", 0.0)
+                step_miss = res["sdxl_step_128lat_s"]
+                step_hit = res.get("sdxl_step_128lat_hit_s", step_miss)
+                sdxl_s = 50 * ((1 - r_hit) * step_miss + r_hit * step_hit)
+                expect = (res["stage1_500step_s"] + sdxl_s
+                          + 2 * res["vae_decode_1024px_s"])
+                extras["e2e_vs_composite_delta_pct"] = round(
+                    100.0 * (meas - expect) / expect, 1)
+                extras["e2e_note"] = (
+                    "e2e_measured = one real pipeline process() wall clock "
+                    "at the 1024px path (full-scale synthetic weights, "
+                    "captioner off: it cannot co-reside with SDXL on one "
+                    "16GB chip); headline composite_s_per_image_1024px = "
+                    "e2e_measured + measured caption terms; delta vs the "
+                    "dfb-hit-rate-adjusted arithmetic stage sum")
+                comp1024 = meas + caption_s
+            # DFBCache-active arithmetic estimate at the measured hit rate
+            # (round-4 review item 3) — the [hit,miss] bound collapsed to
+            # a point by the e2e run's real trajectory trace
+            if "dfb_hit_rate" in res and "sdxl_step_128lat_hit_s" in res:
+                r_hit = res["dfb_hit_rate"]
+                cached = (res["stage1_500step_s"]
+                          + 50 * ((1 - r_hit) * res["sdxl_step_128lat_s"]
+                                  + r_hit * res["sdxl_step_128lat_hit_s"])
+                          + 2 * res["vae_decode_1024px_s"] + caption_s)
+                extras["composite_s_per_image_1024px_cached"] = round(
+                    cached, 2)
+                extras["dfb_note"] = (
+                    "hit rate measured on a real 50-step threshold-0.3 "
+                    "trajectory with synthetic full-scale weights — real "
+                    "checkpoints shift it")
+            # int4 caption variant, gated on the fidelity probe's evidence
+            # (round-4 review item 2): only claim the faster decode when
+            # the greedy streams agree
+            tok4 = res.get("llama8B_int4_tok_s")
+            if (tok4 and res.get("int4_vs_int8_greedy_match_pct", 0) >= 90
+                    and "sdxl_step_128lat_s" in res):
+                cap4 = prefill + 256 / tok4
+                extras["composite_s_per_image_1024px_int4"] = round(
+                    comp1024 - caption_s + cap4, 2)
+                extras["int4_note"] = (
+                    "int4 caption variant gated on the measured int4-vs-"
+                    "int8 greedy agreement (synthetic weights: no trained "
+                    "outliers, treat as upper bound)")
             extras["composite_s_per_image_1024px"] = round(comp1024, 2)
             extras["vs_baseline_1024px"] = round(
                 ASSUMED_REF_S_PER_IMAGE / comp1024, 2)

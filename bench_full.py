@@ -737,7 +737,230 @@ def part_flash_roofline():
             "flash_roofline_d128_bound_tfs": round(sm_rate * 512 / 1e12, 1)}
 
 
+def part_e2e_1024():
+    """ONE true end-to-end `process()` wall clock at the PRODUCTION 1024px
+    path (round-4 review item 1: the headline composite was an arithmetic
+    estimate that omitted the VAE encodes, the conditioner, colorfix, PIL
+    hops, and inter-jit dispatch on a ~33 ms/dispatch relay).
+
+    Runs the REAL SuperResolutionPipeline (pipeline.py::process — the
+    reference's infer.py:206-215 unit of work): 28x28 LR input -> 500-step
+    SR3 at 224^2 -> PNG hop -> stage-2b at the min_size=1024 path (3 VAE
+    codec passes + conditioner + 50-step RestoreEDM scan + 1024px decode +
+    wavelet colorfix + PNG save). Weights are full-scale seeded random
+    host inits (the pipeline's documented no-checkpoint smoke mode) —
+    weight VALUES don't change the timed compute because every stage jit
+    takes params as arguments. no_llava: the 8B captioner cannot co-reside
+    with the full SDXL stack on one 16 GB chip; the caption term is
+    measured by its own parts, and bench.py reconciles this wall clock
+    against the no-caption arithmetic composite.
+
+    Also reports the MEASURED DFBCache hit-rate trace of the run's 50-step
+    trajectory at threshold 0.3 (round-4 review item 3) — synthetic
+    weights shift the rate vs real ones; the JSON line says so."""
+    import tempfile
+
+    from PIL import Image
+
+    from rsvldm_tpu.config import PipelineConfig
+    from rsvldm_tpu.pipeline import SuperResolutionPipeline
+
+    td = tempfile.mkdtemp(prefix="rsvldm_e2e_")
+    rng = np.random.default_rng(0)
+    lr = rng.integers(0, 255, size=(28, 28, 3), dtype=np.uint8)
+    inp = os.path.join(td, "lr.png")
+    Image.fromarray(lr).save(inp)
+
+    cfg = PipelineConfig(input_img=inp, output_dir=os.path.join(td, "out"),
+                         ckpt_dir=os.path.join(td, "no_ckpts"),
+                         no_llava=True)
+    t0 = time.time()
+    pipe = SuperResolutionPipeline(cfg)
+    pipe._ensure_stage2()
+    t_init = time.time() - t0
+
+    t0 = time.time()
+    pipe.process()              # cold: pays every stage compile
+    t_cold = time.time() - t0
+
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        pipe.process()
+        best = min(best, time.time() - t0)
+
+    dfb = pipe.last_dfb or {}
+    hits = int(dfb.get("hits", 0))
+    steps = int(dfb.get("steps", 0)) or 1
+    res = {"e2e_measured_s_per_image_1024px": best,
+           "e2e_cold_s": round(t_cold, 1),
+           "e2e_init_s": round(t_init, 1),
+           "dfb_hit_rate": round(hits / steps, 3),
+           "dfb_hits": hits, "dfb_steps": steps}
+
+    # stage split (warm, informational): the same units process() chains
+    t0 = time.time()
+    sr_np = pipe.run_stage1(inp)
+    res["e2e_stage1_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pipe.run_refinement(Image.fromarray(sr_np), "", use_bucket=False)
+    res["e2e_stage2b_s"] = round(time.time() - t0, 2)
+    return res
+
+
+def part_caption_probe():
+    """Caption-stage accelerator evidence at the FULL 8B int8/int4
+    geometry (round-4 review item 2: speculative/self-draft and int4 were
+    shipped but never measured into the bench story).
+
+    Weights: ONE deterministic host-random dense tree (std 0.02 normal —
+    synthetic: no trained-weight outliers, so the int4-vs-int8 agreement
+    here is an upper bound and the self-draft acceptance a lower bound;
+    both labels ride the JSON line via bench.py's notes).
+
+    (a) int4-vs-int8 fidelity: greedy-decode 64 tokens from a fixed
+        prompt through BOTH quantizations of the same dense weights;
+        report greedy-match prefix %% and mean logit cosine — the evidence
+        gate for using the faster int4 decode in a composite variant.
+    (b) self-draft speculative decode (speculative.py::self_draft, 16 of
+        32 layers, k=4): measured tok/s + Leviathan acceptance rate on a
+        deterministic greedy stream through the real round jit; plus a
+        converged-residual variant (layers 16-31 output scales damped)
+        representing the regime trained LayerSkip-style models sit in."""
+    import dataclasses
+    import gc
+    import zlib
+
+    from rsvldm_tpu.models.vlm.generate import GenerateConfig
+    from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
+                                             LlamaModel,
+                                             quantize_llama_params)
+    from rsvldm_tpu.models.vlm.speculative import (self_draft,
+                                                   speculative_generate)
+
+    base = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16)
+    dense_model = LlamaModel(base)
+    cache0 = KVCache.init(base, 1, 8, jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: dense_model.init(k, jnp.zeros((1, 8), jnp.int32), cache0,
+                                   0, method=dense_model.from_tokens),
+        jax.random.PRNGKey(0))
+
+    def mk_leaf(path, s):
+        seed = zlib.crc32(jax.tree_util.keystr(path).encode())
+        r = np.random.default_rng(seed)
+        return (r.standard_normal(s.shape, dtype=np.float32) * 0.02
+                ).astype(np.float32)
+
+    t0 = time.time()
+    dense = jax.tree_util.tree_map_with_path(mk_leaf, shapes)  # host, ~32GB
+    gen_s = time.time() - t0
+
+    prompt = jnp.asarray((np.arange(32) * 97 + 11) % base.vocab_size,
+                         jnp.int32)
+    n_dec = 64
+
+    def decode_logits(lm):
+        def fn(params, cache):
+            emb = lm.apply(params, prompt[None], method=lm.embed)
+            lg, cache = lm.apply(params, emb, cache, 0)
+            tok0 = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+
+            def body(carry, i):
+                tok, cache = carry
+                emb = lm.apply(params, tok[None, None], method=lm.embed)
+                lg, cache = lm.apply(params, emb, cache, prompt.shape[0] + i)
+                nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+                return (nxt, cache), (tok, lg[0, -1].astype(jnp.float32))
+            (_, cache), (toks, logits) = jax.lax.scan(
+                body, (tok0, cache), jnp.arange(n_dec))
+            return toks, logits
+        return fn
+
+    def run_mode(mode):
+        cfg = dataclasses.replace(base, quant=mode)
+        lm = LlamaModel(cfg)
+        qp = quantize_llama_params(dense, embed_dtype=jnp.bfloat16,
+                                   mode=mode)
+        cache = KVCache.init(cfg, 1, 256, jnp.bfloat16)
+        fd = aot(jax.jit(decode_logits(lm)), qp, cache)
+        toks, logits = fd(qp, cache)
+        return lm, cfg, qp, np.asarray(toks), np.asarray(logits)
+
+    res = {"caption_probe_weightgen_s": round(gen_s, 1)}
+
+    # --- (a) int8 reference stream, then self-draft on the SAME tree ----
+    lm8, cfg8, qp8, toks8, logits8 = run_mode("int8")
+
+    gcfg = GenerateConfig(max_new_tokens=128, temperature=0.0,
+                          do_sample=False, eot_ids=(), pad_to=128)
+    emb = lm8.apply(qp8, prompt, method=lm8.embed)
+    dm, dp = self_draft(qp8, cfg8, layers=16)
+
+    def spec_run(tp):
+        _ = speculative_generate(lm8, tp, dm, dp, emb, gcfg,
+                                 jax.random.PRNGKey(0), k=4,
+                                 return_stats=True)   # warm compile
+        t0 = time.time()
+        ids, st = speculative_generate(lm8, tp, dm, dp, emb, gcfg,
+                                       jax.random.PRNGKey(0), k=4,
+                                       return_stats=True)
+        dt = time.time() - t0
+        return len(ids) / dt, st
+
+    tok_s, st = spec_run(qp8)
+    res["caption_selfdraft_tok_s"] = round(tok_s, 1)
+    res["caption_selfdraft_accept"] = round(st["accept_rate"], 3)
+    res["caption_selfdraft_rounds"] = st["rounds"]
+
+    # converged-residual variant: damp the residual contributions of the
+    # SKIPPED layers (o_proj/down_proj output scales of layers 16-31) so
+    # draft and target hidden states agree — the regime a trained
+    # early-exit/LayerSkip model sits in; acceptance becomes high and the
+    # measured tok/s shows the mechanism's real gain shape
+    def damp(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                sub = damp(v)
+                if (k.startswith("layer_")
+                        and int(k.split("_", 1)[1]) >= 16):
+                    for m in ("o_proj", "down_proj"):
+                        if m in sub and "scale" in sub[m]:
+                            sub[m] = {**sub[m],
+                                      "scale": sub[m]["scale"] * 0.05}
+                out[k] = sub
+            else:
+                out[k] = v
+        return out
+
+    qp8c = {c: damp(t) for c, t in qp8.items()}
+    tok_s_c, st_c = spec_run(qp8c)
+    res["caption_selfdraft_conv_tok_s"] = round(tok_s_c, 1)
+    res["caption_selfdraft_conv_accept"] = round(st_c["accept_rate"], 3)
+
+    del qp8c, qp8, dp, emb
+    gc.collect()
+    jax.clear_caches()
+
+    # --- (b) int4 stream of the SAME dense weights, host-side compare ---
+    _, _, qp4, toks4, logits4 = run_mode("int4")
+    del qp4
+    gc.collect()
+
+    agree = toks8 == toks4
+    match_len = int(np.argmin(agree)) if not agree.all() else n_dec
+    cos = np.mean([
+        float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+        for a, b in zip(logits8, logits4)])
+    res["int4_vs_int8_greedy_match_pct"] = round(100.0 * match_len / n_dec, 1)
+    res["int4_vs_int8_match_all_pct"] = round(100.0 * agree.mean(), 1)
+    res["int4_vs_int8_logit_cos"] = round(cos, 4)
+    return res
+
+
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
+         "e2e_1024": part_e2e_1024, "caption_probe": part_caption_probe,
          "flash_roofline": part_flash_roofline,
          "sdxl_1024": part_sdxl_1024, "vae_1024": part_vae_1024,
          "hbm_peak": part_hbm_peak, "flash_bwd": part_flash_bwd,

@@ -186,7 +186,14 @@ def restore_edm_sample(denoiser, cond: Dict, uc: Dict, noise: jnp.ndarray,
     xs = jnp.arange(0, num_sigmas - 1)
     (x_final, *_), (thresholds, hits) = jax.lax.scan(body, carry, xs)
     if return_aux:
+        # hit_trace: the raw per-step cache decisions (the reference's
+        # VERBOSE_SIMILARITY print, DFBCache.py:115-134) — lets callers
+        # report a MEASURED hit rate for a real trajectory instead of the
+        # [all-hit, all-miss] bound (round-4 review Weak #3); thresholds
+        # doubles as the per-step _rel_l1 trace (on a miss past step 0 the
+        # new threshold IS the measured diff)
         return x_final, dict(cache_hits=jnp.sum(hits),
                              num_steps=num_sigmas - 1,
-                             thresholds=thresholds)
+                             thresholds=thresholds,
+                             hit_trace=hits)
     return x_final

@@ -179,13 +179,21 @@ def make_round_fn(target: LlamaModel, draft: LlamaModel, k: int):
 def speculative_generate(target: LlamaModel, tp: Any, draft: LlamaModel,
                          dp: Any, input_embeds, cfg: GenerateConfig,
                          rng: jax.Array, k: int = 4,
-                         draft_embeds=None) -> np.ndarray:
+                         draft_embeds=None,
+                         return_stats: bool = False) -> np.ndarray:
     """Drop-in for `generate` with a draft model: [S, D] spliced prompt ->
     np.int32 generated ids (trimmed at the first eot).
 
     draft_embeds: the prompt in the draft's embedding space; defaults to
     input_embeds (valid when the families share dim/tokenizer, e.g. a
-    depth-pruned or quantized draft)."""
+    depth-pruned or quantized draft).
+
+    return_stats: also return {"rounds", "proposed", "accepted",
+    "accept_rate"} — accepted counts DRAFT tokens that survived
+    verification (the per-round +1 correction/bonus token is excluded),
+    so accept_rate = accepted / proposed is the Leviathan acceptance
+    probability the speedup model needs (round-4 review: the shipped
+    accelerators were never measured into the bench story)."""
     temp = cfg.temperature if cfg.do_sample else 0.0
     s = input_embeds.shape[0]
     s_pad = -(-s // cfg.pad_to) * cfg.pad_to
@@ -206,15 +214,19 @@ def speculative_generate(target: LlamaModel, tp: Any, draft: LlamaModel,
 
     round_fn = make_round_fn(target, draft, k)
     eot = set(int(e) for e in cfg.eot_ids)
+    stats = {"rounds": 0, "proposed": 0, "accepted": 0}
     out: list[int] = [int(pending)]
     if out[0] in eot:
-        return np.asarray([], np.int32)
+        out = []
     p, j0 = s, 1
-    while len(out) < cfg.max_new_tokens:
+    while out and len(out) < cfg.max_new_tokens:
         committed, n_c, cache_t, cache_d = round_fn(
             tp, dp, cache_t, cache_d, jnp.int32(out[-1]), jnp.int32(p),
             jnp.int32(j0), jnp.float32(temp), rng)
         toks = np.asarray(committed)[: int(n_c)]
+        stats["rounds"] += 1
+        stats["proposed"] += k
+        stats["accepted"] += int(n_c) - 1   # the last token is corr/bonus
         stop = False
         for t in toks:
             out.append(int(t))
@@ -229,4 +241,9 @@ def speculative_generate(target: LlamaModel, tp: Any, draft: LlamaModel,
             break
         p += int(n_c)
         j0 += int(n_c)
-    return np.asarray(out, np.int32)
+    ids = np.asarray(out, np.int32)
+    if return_stats:
+        stats["accept_rate"] = (stats["accepted"] / stats["proposed"]
+                                if stats["proposed"] else 0.0)
+        return ids, stats
+    return ids

@@ -127,6 +127,7 @@ class SuperResolutionPipeline:
         self._stage2_loaded = False
         self._load_stage1_weights()
         self._jit_cache: dict = {}
+        self.last_dfb: dict | None = None  # set by every _refine_core run
 
     def _cast(self, tree):
         """fp32 -> bf16 storage cast, staged through the host so the
@@ -201,7 +202,15 @@ class SuperResolutionPipeline:
         self.control_params = self._cast(p if p is not None else self._init_params(
             "control", lambda k: self.control.init(k, lat, lat, tt, ctx, yv)))
 
-        feats = self.control.apply(self.control_params, lat, lat, tt, ctx, yv)
+        # unet.init only needs the control features' SHAPES/dtypes — an
+        # eval_shape costs nothing, whereas a real eager control forward
+        # here dispatched hundreds of un-jitted ops through the TPU relay
+        # (minutes of compile toll on first load, all for throwaway values)
+        feats = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda p: self.control.apply(p, lat, lat, tt, ctx,
+                                                        yv),
+                           self.control_params))
         p = None if self.debug_tiny else ckpt.load_or_convert(
             cd, "unet", [jug, srq],
             lambda sd: convert.convert_controlled_unet(
@@ -419,11 +428,16 @@ class SuperResolutionPipeline:
             self.vae_params, x, k_enc)
         cond, uc = self._jit_cache["refine_cond"](
             self.clip_l_params, self.big_g_params, tl_c, tg_c, tl_u, tg_u, _z)
-        z, hits, steps = self._jit_cache[skey](
+        z, hits, steps, hit_trace = self._jit_cache[skey](
             self.unet_params, self.control_params, cond, uc, z_stage1,
             k_noise, k_loop)
         log.info("first-block cache (batch %d): %d/%d steps skipped "
                  "middle+decoder", x.shape[0], int(hits), int(steps))
+        # observability for the dynamic acceleration: the MEASURED per-step
+        # cache decisions of the last sampling run (bench e2e part reads
+        # this to report a real dfb hit rate — round-4 review Weak #3)
+        self.last_dfb = {"hits": int(hits), "steps": int(steps),
+                         "trace": np.asarray(hit_trace)}
         samples = self._jit_cache["refine_decode"](self.vae_params, z)
         return samples, x_stage1
 
@@ -457,13 +471,28 @@ class SuperResolutionPipeline:
             samples = samples[:, :h_real, :w_real]
             x_stage1 = x_stage1[:, :h_real, :w_real]
 
-        if r.color_fix_type == "Wavelet":
-            samples = colorfix.wavelet_reconstruction(samples, x_stage1)
-        elif r.color_fix_type == "AdaIn":
-            samples = colorfix.adaptive_instance_normalization(samples, x_stage1)
+        samples = self._colorfix(samples, x_stage1)
         pils = [array_to_pil(np.asarray(samples[i]), h0, w0)
                 for i in range(samples.shape[0])]
         return pils[0] if len(pils) == 1 else pils
+
+    def _colorfix(self, samples, x_stage1):
+        """Jitted color fix (one fused program instead of dozens of eager
+        conv dispatches at 1024^2 through the TPU relay); jax.jit retraces
+        per input shape, so mixed folder shapes each get their own
+        executable."""
+        r = self.cfg.refine
+        if r.color_fix_type == "Wavelet":
+            key = "colorfix_wavelet"
+            fn = colorfix.wavelet_reconstruction
+        elif r.color_fix_type == "AdaIn":
+            key = "colorfix_adain"
+            fn = colorfix.adaptive_instance_normalization
+        else:
+            return samples
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](samples, x_stage1)
 
     def run_refinement_batch(self, items) -> list:
         """Batched Stage-2b over several images sharing one bucketed shape.
@@ -528,10 +557,7 @@ class SuperResolutionPipeline:
         for i, (h_real, w_real, h0, w0) in enumerate(metas):
             s_i = samples[i:i + 1, :h_real, :w_real]
             x1_i = x_stage1[i:i + 1, :h_real, :w_real]
-            if r.color_fix_type == "Wavelet":
-                s_i = colorfix.wavelet_reconstruction(s_i, x1_i)
-            elif r.color_fix_type == "AdaIn":
-                s_i = colorfix.adaptive_instance_normalization(s_i, x1_i)
+            s_i = self._colorfix(s_i, x1_i)
             outs.append(array_to_pil(np.asarray(s_i[0]), h0, w0))
         return outs
 
@@ -595,7 +621,7 @@ class SuperResolutionPipeline:
         noise = jax.random.normal(k_noise, cond["control"].shape, jnp.float32)
         z, aux = restore_edm_sample(denoiser, cond, uc, noise, z_stage1, scfg,
                                     k_loop, return_aux=True)
-        return z, aux["cache_hits"], aux["num_steps"]
+        return z, aux["cache_hits"], aux["num_steps"], aux["hit_trace"]
 
     def _decode_jit(self, vae_params, z):
         vae = self.vae

@@ -42,6 +42,8 @@ SLOW_E2E_MODULES = {
     "test_parity_e2e", "test_parity_sampler_loop", "test_pipeline",
     "test_sampler_e2e", "test_convert_fullscale", "test_e2e_ckpt_roundtrip",
     "test_distributed",   # real 2-OS-process meshes: ~2-4 min of compiles
+    "test_convert_stats",  # full-scale XL forward on CPU: ~6 min (but NOT
+                           # oracle — it needs only the committed fixture)
 }
 
 

@@ -100,3 +100,70 @@ def test_bench_engine_spec_parsing():
     # DecodeEngine with "decode_horizon must be >= 1" (advisor round-4)
     with pytest.raises(SystemExit, match="bad slot spec"):
         be.parse_spec("8h0")
+
+
+def _emit_with(res):
+    import importlib
+
+    sys.path.insert(0, REPO)
+    try:
+        bench = importlib.import_module("bench")
+    finally:
+        sys.path.pop(0)
+    bench = importlib.reload(bench)   # reset _EMITTED/RES between cases
+    out = {}
+    bench._publish = lambda obj: out.update(obj)
+    bench.RES.update(res)
+    bench.emit()
+    return out
+
+
+BASE_RES = {
+    "stage1_500step_s": 1.4, "sdxl_step_64lat_s": 0.05,
+    "vae_decode_512px_s": 0.02, "llama8B_int8_tok_s": 60.0,
+    "llama8B_prefill_3584_s": 0.25, "sdxl_step_128lat_s": 0.2,
+    "sdxl_step_128lat_hit_s": 0.1, "vae_decode_1024px_s": 0.09,
+}
+
+
+def test_emit_measured_e2e_anchors_headline():
+    """Round-5 contract: when the e2e part ran, the 1024px headline is the
+    MEASURED wall clock + caption terms; the arithmetic sum stays on the
+    line for the reconciliation delta."""
+    res = {**BASE_RES, "e2e_measured_s_per_image_1024px": 12.0,
+           "dfb_hit_rate": 0.2}
+    out = _emit_with(res)
+    cap = 0.25 + 256 / 60.0
+    assert out["composite_s_per_image_1024px"] == round(12.0 + cap, 2)
+    assert out["composite_arith_s_per_image_1024px"] == round(
+        1.4 + 50 * 0.2 + 2 * 0.09 + cap, 2)
+    # delta vs the hit-rate-adjusted stage sum
+    expect = 1.4 + 50 * (0.8 * 0.2 + 0.2 * 0.1) + 2 * 0.09
+    assert out["e2e_vs_composite_delta_pct"] == round(
+        100 * (12.0 - expect) / expect, 1)
+    assert "e2e_note" in out
+    # DFB cached composite at the measured rate
+    cached = 1.4 + 50 * (0.8 * 0.2 + 0.2 * 0.1) + 2 * 0.09 + cap
+    assert out["composite_s_per_image_1024px_cached"] == round(cached, 2)
+    assert "dfb_note" in out
+    assert "pct_note" not in out   # no roofline columns in this res
+
+
+def test_emit_int4_variant_gated_on_evidence():
+    res = {**BASE_RES, "llama8B_int4_tok_s": 78.0,
+           "int4_vs_int8_greedy_match_pct": 95.0}
+    out = _emit_with(res)
+    cap4 = 0.25 + 256 / 78.0
+    base = 1.4 + 50 * 0.2 + 2 * 0.09
+    assert out["composite_s_per_image_1024px_int4"] == round(base + cap4, 2)
+    assert "int4_note" in out
+    # below the gate: no int4 claim
+    res2 = {**BASE_RES, "llama8B_int4_tok_s": 78.0,
+            "int4_vs_int8_greedy_match_pct": 50.0}
+    out2 = _emit_with(res2)
+    assert "composite_s_per_image_1024px_int4" not in out2
+
+
+def test_emit_pct_note_rides_roofline_columns():
+    out = _emit_with({**BASE_RES, "stage1_hbm_pct": 181.0})
+    assert "pct_note" in out and "VMEM" in out["pct_note"]

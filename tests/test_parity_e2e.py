@@ -336,7 +336,7 @@ def _run_ours(world, threshold, tag):
         z, aux = restore_edm_sample(den, cond, uc, init_noise, z_stage1,
                                     scfg, k_loop, return_aux=True,
                                     churn_noise=churn)
-        return z, aux["cache_hits"], aux["num_steps"]
+        return z, aux["cache_hits"], aux["num_steps"], aux["hit_trace"]
 
     pipe._vae_prep_jit = prep
     pipe._cond_jit = cond_fn

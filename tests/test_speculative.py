@@ -160,3 +160,28 @@ def test_max_new_tokens_bound(target, weak_draft):
                                    jax.random.PRNGKey(4), k=3,
                                    draft_embeds=emb)
         np.testing.assert_array_equal(ref, out)
+
+
+def test_return_stats(target, weak_draft):
+    """return_stats reports the Leviathan acceptance bookkeeping: the
+    correction/bonus token never counts as accepted, so draft==target is
+    exactly 1.0 and a weak draft lands strictly below it (the rate is the
+    input to any speculative speedup claim — bench caption_probe)."""
+    tm, tp = target
+    emb = _prompt(tm, tp, s=6, seed=9)
+    ids_ref = generate(tm, tp, emb, GREEDY, jax.random.PRNGKey(0))
+    ids, st = speculative_generate(tm, tp, tm, tp, emb, GREEDY,
+                                   jax.random.PRNGKey(0), k=3,
+                                   return_stats=True)
+    np.testing.assert_array_equal(ids, ids_ref)
+    assert st["rounds"] > 0 and st["proposed"] == 3 * st["rounds"]
+    # draft == target: every proposal accepted (identical greedy argmax)
+    assert st["accept_rate"] == 1.0
+
+    dm, dp = weak_draft
+    ids2, st2 = speculative_generate(tm, tp, dm, dp, emb, GREEDY,
+                                     jax.random.PRNGKey(0), k=3,
+                                     return_stats=True)
+    np.testing.assert_array_equal(ids2, ids_ref)   # output never depends
+    assert 0.0 <= st2["accept_rate"] < 1.0
+    assert st2["accepted"] <= st2["proposed"]
