@@ -737,6 +737,95 @@ def part_flash_roofline():
             "flash_roofline_d128_bound_tfs": round(sm_rate * 512 / 1e12, 1)}
 
 
+def part_sdxl_profile():
+    """Per-component split of the PRODUCTION 128^2-latent CFG-doubled SDXL
+    step (round-4 review item 7: the step is 62%% of the 1024px composite
+    and had only a one-line 'blended' bound claim). Subtractive
+    decomposition on the real programs:
+
+      ctrl   — GLVControl alone (the always-paid cache key's biggest part)
+      first  — ControlNet + UNet input blocks + similarity test (the
+               DFBCache-hit path, denoiser.first)
+      rest   — middle + injected decoder + CFG (full - first: what a
+               cache hit skips)
+      noattn — the same step with attention_resolutions=() (every
+               SpatialTransformer removed): full - noattn isolates the
+               attention share; noattn is the conv+GN+SFT floor
+
+    Each timing is dispatch-corrected; cost_analysis flops ride along so
+    PERF.md can anchor the split in hardware ceilings."""
+    from rsvldm_tpu.models.sdxl import (ControlledUNet, GLVControl,
+                                        SDXLUNetConfig)
+    from rsvldm_tpu.models.sdxl.denoiser import ControlDenoiser
+
+    n, h, w = 2, 128, 128
+    t = jnp.zeros((n,))
+    ca = jnp.zeros((n, 77, 2048), jnp.bfloat16)
+    vec = jnp.zeros((n, 2816), jnp.bfloat16)
+    x = jnp.zeros((n, h, w, 4), jnp.bfloat16)
+    sigma = jnp.full((n,), 14.6)
+    res = {}
+
+    def build(ucfg):
+        unet, ctrl = ControlledUNet(ucfg), GLVControl(ucfg)
+        cp = zeros_like_shapes(jax.eval_shape(
+            lambda k: ctrl.init(k, x, x, t, ca, vec), jax.random.PRNGKey(0)))
+        feats = zeros_like_shapes(jax.eval_shape(
+            lambda p: ctrl.apply(p, x, x, t, ca, vec), cp))
+        up = zeros_like_shapes(jax.eval_shape(
+            lambda k: unet.init(k, x, t, ca, vec, feats),
+            jax.random.PRNGKey(1)))
+        return unet, ctrl, up, cp
+
+    def clock(f, *args, label=""):
+        fc = aot(jax.jit(f), *args)
+        raw = timed(lambda: fc(*args), n=6)
+        dt = max(raw - dispatch_overhead(), raw / 4)
+        res[f"sdxlprof_{label}_ms"] = round(1000 * dt, 1)
+        try:
+            cacost = fc.cost_analysis()
+            if isinstance(cacost, (list, tuple)):
+                cacost = cacost[0]
+            res[f"sdxlprof_{label}_gflop"] = round(
+                float(cacost.get("flops", 0.0)) / 1e9, 1)
+        except Exception:
+            pass
+        return dt
+
+    ucfg = SDXLUNetConfig(dtype=jnp.bfloat16)
+    unet, ctrl, up, cp = build(ucfg)
+
+    def full_step(up, cp, xx, sigma):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
+        return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+
+    def first_only(up, cp, xx, sigma):
+        den = ControlDenoiser(unet=unet, control_net=ctrl, unet_params=up,
+                              control_params=cp)
+        p = den.first(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+        return (p.h, p.hs, p.emb, p.control, p.x, p.c_skip, p.c_out)
+
+    t_full = clock(full_step, up, cp, x, sigma, label="full")
+    t_first = clock(first_only, up, cp, x, sigma, label="first")
+    t_ctrl = clock(lambda cp, xx: ctrl.apply(cp, xx, xx, t, ca, vec),
+                   cp, x, label="ctrl")
+
+    # attention share: identical step with every SpatialTransformer gone
+    ucfg_na = SDXLUNetConfig(dtype=jnp.bfloat16, attention_resolutions=())
+    unet_na, ctrl_na, up_na, cp_na = build(ucfg_na)
+
+    def noattn_step(up, cp, xx, sigma):
+        den = ControlDenoiser(unet=unet_na, control_net=ctrl_na,
+                              unet_params=up, control_params=cp)
+        return den(xx, sigma, dict(crossattn=ca, vector=vec, control=xx))
+
+    t_na = clock(noattn_step, up_na, cp_na, x, sigma, label="noattn")
+    res["sdxlprof_rest_ms"] = round(1000 * (t_full - t_first), 1)
+    res["sdxlprof_attn_share_ms"] = round(1000 * (t_full - t_na), 1)
+    return res
+
+
 def part_e2e_1024():
     """ONE true end-to-end `process()` wall clock at the PRODUCTION 1024px
     path (round-4 review item 1: the headline composite was an arithmetic
@@ -813,10 +902,14 @@ def part_caption_probe():
     geometry (round-4 review item 2: speculative/self-draft and int4 were
     shipped but never measured into the bench story).
 
-    Weights: ONE deterministic host-random dense tree (std 0.02 normal —
-    synthetic: no trained-weight outliers, so the int4-vs-int8 agreement
-    here is an upper bound and the self-draft acceptance a lower bound;
-    both labels ride the JSON line via bench.py's notes).
+    Weights: deterministic per-leaf DEVICE random normals (std 0.02),
+    quantized leaf-by-leaf on chip with the dense transient discarded —
+    the dense 8B never exists anywhere (32 GB fp32 exceeds both HBM and
+    any sane relay-transfer budget; a host-generated tree measured >40 min
+    of tunnel time). Synthetic: no trained-weight outliers, so the
+    int4-vs-int8 agreement here is an upper bound and the self-draft
+    acceptance a lower bound; both labels ride the JSON line via
+    bench.py's notes.
 
     (a) int4-vs-int8 fidelity: greedy-decode 64 tokens from a fixed
         prompt through BOTH quantizations of the same dense weights;
@@ -833,10 +926,12 @@ def part_caption_probe():
 
     from rsvldm_tpu.models.vlm.generate import GenerateConfig
     from rsvldm_tpu.models.vlm.llama import (KVCache, LLAMA3_8B_CONFIG,
-                                             LlamaModel,
-                                             quantize_llama_params)
+                                             LlamaModel)
     from rsvldm_tpu.models.vlm.speculative import (self_draft,
                                                    speculative_generate)
+
+    from rsvldm_tpu.models.vlm.llama import _QUANT_MODULES
+    from rsvldm_tpu.ops.quant import quantize_weight, quantize_weight_int4
 
     base = dataclasses.replace(LLAMA3_8B_CONFIG, dtype=jnp.bfloat16)
     dense_model = LlamaModel(base)
@@ -846,15 +941,58 @@ def part_caption_probe():
                                    0, method=dense_model.from_tokens),
         jax.random.PRNGKey(0))
 
-    def mk_leaf(path, s):
-        seed = zlib.crc32(jax.tree_util.keystr(path).encode())
-        r = np.random.default_rng(seed)
-        return (r.standard_normal(s.shape, dtype=np.float32) * 0.02
-                ).astype(np.float32)
+    import functools
 
-    t0 = time.time()
-    dense = jax.tree_util.tree_map_with_path(mk_leaf, shapes)  # host, ~32GB
-    gen_s = time.time() - t0
+    def seed_of(name):
+        return jnp.uint32(zlib.crc32(name.encode()) % (2**31))
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def dev_normal(seed, shape):
+        """Deterministic device normal — seeded on the leaf PATH NAME so
+        the int8 and int4 passes quantize the SAME dense values. seed is
+        a traced arg: one compile per SHAPE, not per leaf."""
+        return jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                 jnp.float32) * 0.02
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def q8_kernel(seed, shape):
+        ql = quantize_weight(dev_normal(seed, shape))
+        return {"kernel_q": ql.q, "scale": ql.scale}
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def q4_kernel(seed, shape):
+        ql = quantize_weight_int4(dev_normal(seed, shape), group=128)
+        return {"kernel_q4": ql.packed, "scale": ql.scale}
+
+    def build_quant_tree(mode):
+        """Walk the dense eval_shape tree mirroring
+        llama.quantize_llama_params's layout rules (the canonical
+        converter path), but MATERIALIZE each dense kernel on device and
+        quantize it inside one jit so the fp32 transient never outlives
+        one leaf."""
+        qk = q4_kernel if mode == "int4" else q8_kernel
+
+        def walk(d, prefix):
+            out = {}
+            for k, v in d.items():
+                name = prefix + "/" + k
+                if isinstance(v, dict):
+                    if k in _QUANT_MODULES and "kernel" in v:
+                        out[k] = dict(qk(seed_of(name + "/kernel"),
+                                         tuple(v["kernel"].shape)))
+                        if "bias" in v:
+                            out[k]["bias"] = dev_normal(
+                                seed_of(name + "/bias"),
+                                tuple(v["bias"].shape))
+                    else:
+                        out[k] = walk(v, name)
+                elif k == "embedding":
+                    out[k] = dev_normal(seed_of(name), tuple(v.shape)
+                                        ).astype(jnp.bfloat16)
+                else:
+                    out[k] = dev_normal(seed_of(name), tuple(v.shape))
+            return out
+        return walk(shapes, "")
 
     prompt = jnp.asarray((np.arange(32) * 97 + 11) % base.vocab_size,
                          jnp.int32)
@@ -880,14 +1018,29 @@ def part_caption_probe():
     def run_mode(mode):
         cfg = dataclasses.replace(base, quant=mode)
         lm = LlamaModel(cfg)
-        qp = quantize_llama_params(dense, embed_dtype=jnp.bfloat16,
-                                   mode=mode)
+        t0 = time.time()
+        qp = build_quant_tree(mode)
+        jax.block_until_ready(qp)
+        res[f"caption_probe_gen_{mode}_s"] = round(time.time() - t0, 1)
+        # structural safety net: the bench-local walk must stay in
+        # lock-step with the model's real quantized layout
+        want = jax.eval_shape(
+            lambda k: lm.init(k, jnp.zeros((1, 8), jnp.int32),
+                              KVCache.init(cfg, 1, 8, jnp.bfloat16), 0,
+                              method=lm.from_tokens), jax.random.PRNGKey(0))
+        assert (jax.tree_util.tree_structure(qp)
+                == jax.tree_util.tree_structure(want)), (
+            "caption_probe quant tree diverged from the model layout")
+        jax.tree_util.tree_map(
+            lambda a, b: None if (tuple(a.shape) == tuple(b.shape)) else
+            (_ for _ in ()).throw(AssertionError((a.shape, b.shape))),
+            qp, want)
         cache = KVCache.init(cfg, 1, 256, jnp.bfloat16)
         fd = aot(jax.jit(decode_logits(lm)), qp, cache)
         toks, logits = fd(qp, cache)
         return lm, cfg, qp, np.asarray(toks), np.asarray(logits)
 
-    res = {"caption_probe_weightgen_s": round(gen_s, 1)}
+    res = {}
 
     # --- (a) int8 reference stream, then self-draft on the SAME tree ----
     lm8, cfg8, qp8, toks8, logits8 = run_mode("int8")
@@ -961,6 +1114,7 @@ def part_caption_probe():
 
 PARTS = {"stage1": part_stage1, "sdxl": part_sdxl, "vae": part_vae,
          "e2e_1024": part_e2e_1024, "caption_probe": part_caption_probe,
+         "sdxl_profile": part_sdxl_profile,
          "flash_roofline": part_flash_roofline,
          "sdxl_1024": part_sdxl_1024, "vae_1024": part_vae_1024,
          "hbm_peak": part_hbm_peak, "flash_bwd": part_flash_bwd,

@@ -203,10 +203,13 @@ def speculative_generate(target: LlamaModel, tp: Any, draft: LlamaModel,
     d_in = input_embeds if draft_embeds is None else draft_embeds
     d_emb = jnp.pad(jnp.asarray(d_in), ((0, pad), (0, 0)))[None]
 
+    from .generate import prefill_fn
     cache_t = KVCache.init(target.cfg, 1, total, target.cfg.dtype)
     cache_d = KVCache.init(draft.cfg, 1, total, draft.cfg.dtype)
-    t_logits, cache_t = target.apply(tp, t_emb, cache_t, 0)
-    _, cache_d = draft.apply(dp, d_emb, cache_d, 0)
+    # jitted prefills (see generate.prefill_fn: eager 8B applies cost
+    # hundreds of relay dispatches and would dominate measured tok/s)
+    t_logits, cache_t = prefill_fn(target)(tp, t_emb, cache_t)
+    _, cache_d = prefill_fn(draft)(dp, d_emb, cache_d)
 
     dist0 = _token_dist(t_logits[0, s - 1], jnp.float32(temp))
     pending = _sample_dist(dist0, _key_for(rng, jnp.int32(0))

@@ -35,9 +35,20 @@ def enable_compilation_cache(directory: str | None = None) -> str | None:
     try:
         import jax
         os.makedirs(directory, exist_ok=True)
+        changed = jax.config.jax_compilation_cache_dir != directory
         jax.config.update("jax_compilation_cache_dir", directory)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        if changed:
+            # jax's cache is a lazily-created singleton bound to the dir
+            # it FIRST initialized with — without a reset, re-pointing the
+            # config is silently ignored for the rest of the process
+            # (surfaced as the round-4 test_compile_cache ordering flake)
+            try:
+                from jax._src import compilation_cache as _cc
+                _cc.reset_cache()
+            except Exception:
+                pass
     except Exception as e:  # never fail an entry point over a cache
         log.warning("compilation cache unavailable: %s", e)
         return None
