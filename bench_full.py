@@ -941,58 +941,73 @@ def part_caption_probe():
                                    0, method=dense_model.from_tokens),
         jax.random.PRNGKey(0))
 
-    import functools
-
-    def seed_of(name):
-        return jnp.uint32(zlib.crc32(name.encode()) % (2**31))
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def dev_normal(seed, shape):
-        """Deterministic device normal — seeded on the leaf PATH NAME so
-        the int8 and int4 passes quantize the SAME dense values. seed is
-        a traced arg: one compile per SHAPE, not per leaf."""
-        return jax.random.normal(jax.random.PRNGKey(seed), shape,
-                                 jnp.float32) * 0.02
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def q8_kernel(seed, shape):
-        ql = quantize_weight(dev_normal(seed, shape))
-        return {"kernel_q": ql.q, "scale": ql.scale}
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def q4_kernel(seed, shape):
-        ql = quantize_weight_int4(dev_normal(seed, shape), group=128)
-        return {"kernel_q4": ql.packed, "scale": ql.scale}
-
     def build_quant_tree(mode):
-        """Walk the dense eval_shape tree mirroring
+        """Generate + quantize the ENTIRE 8B tree in ONE jit, mirroring
         llama.quantize_llama_params's layout rules (the canonical
-        converter path), but MATERIALIZE each dense kernel on device and
-        quantize it inside one jit so the fp32 transient never outlives
-        one leaf."""
-        qk = q4_kernel if mode == "int4" else q8_kernel
+        converter path). Leaf values are seeded by PATH NAME so the int8
+        and int4 passes quantize the SAME dense weights; each fp32 dense
+        transient lives only inside the program (XLA buffer reuse), and
+        the congested relay is charged ONE compile + ONE dispatch instead
+        of ~300 (a per-leaf version stalled >20 min on relay queueing)."""
+        specs = []   # (name, shape, kind) in traversal order
 
-        def walk(d, prefix):
-            out = {}
+        def collect(d, prefix):
+            layout = {}
             for k, v in d.items():
                 name = prefix + "/" + k
                 if isinstance(v, dict):
                     if k in _QUANT_MODULES and "kernel" in v:
-                        out[k] = dict(qk(seed_of(name + "/kernel"),
-                                         tuple(v["kernel"].shape)))
+                        specs.append((name + "/kernel",
+                                      tuple(v["kernel"].shape), "quant"))
+                        layout[k] = ("quant", len(specs) - 1, "bias" in v)
                         if "bias" in v:
-                            out[k]["bias"] = dev_normal(
-                                seed_of(name + "/bias"),
-                                tuple(v["bias"].shape))
+                            specs.append((name + "/bias",
+                                          tuple(v["bias"].shape), "plain"))
                     else:
-                        out[k] = walk(v, name)
-                elif k == "embedding":
-                    out[k] = dev_normal(seed_of(name), tuple(v.shape)
-                                        ).astype(jnp.bfloat16)
+                        layout[k] = collect(v, name)
                 else:
-                    out[k] = dev_normal(seed_of(name), tuple(v.shape))
-            return out
-        return walk(shapes, "")
+                    kind = "embed" if k == "embedding" else "plain"
+                    specs.append((name, tuple(v.shape), kind))
+                    layout[k] = ("leaf", len(specs) - 1)
+            return layout
+
+        layout = collect(shapes, "")
+        seeds = jnp.asarray([zlib.crc32(n.encode()) % (2**31)
+                             for n, _, _ in specs], jnp.uint32)
+
+        @jax.jit
+        def build(seeds):
+            outs = []
+            for j, (_, shape, kind) in enumerate(specs):
+                w = jax.random.normal(jax.random.PRNGKey(seeds[j]), shape,
+                                      jnp.float32) * 0.02
+                if kind == "quant":
+                    if mode == "int4":
+                        ql = quantize_weight_int4(w, group=128)
+                        outs.append({"kernel_q4": ql.packed,
+                                     "scale": ql.scale})
+                    else:
+                        ql = quantize_weight(w)
+                        outs.append({"kernel_q": ql.q, "scale": ql.scale})
+                elif kind == "embed":
+                    outs.append(w.astype(jnp.bfloat16))
+                else:
+                    outs.append(w)
+            return outs
+
+        outs = build(seeds)
+
+        def rebuild(node):
+            if isinstance(node, tuple):
+                if node[0] == "leaf":
+                    return outs[node[1]]
+                q = dict(outs[node[1]])          # ("quant", idx, has_bias)
+                if node[2]:
+                    q["bias"] = outs[node[1] + 1]
+                return q
+            return {k: rebuild(v) for k, v in node.items()}
+
+        return rebuild(layout)
 
     prompt = jnp.asarray((np.arange(32) * 97 + 11) % base.vocab_size,
                          jnp.int32)
@@ -1096,19 +1111,43 @@ def part_caption_probe():
     gc.collect()
     jax.clear_caches()
 
-    # --- (b) int4 stream of the SAME dense weights, host-side compare ---
-    _, _, qp4, toks4, logits4 = run_mode("int4")
+    # --- (b) int4 of the SAME dense weights, TEACHER-FORCED compare ----
+    # Independent greedy decodes desynchronize at the first near-tie flip
+    # and everything after is incomparable; the right fidelity probe runs
+    # int4 over the int8 stream's OWN context (one forward over
+    # prompt+toks8) and scores per-position next-token agreement — the
+    # standard teacher-forced eval. logits8 from the int8 scan ARE its
+    # teacher-forced logits on that stream (greedy is self-consistent).
+    cfg4 = dataclasses.replace(base, quant="int4")
+    lm4 = LlamaModel(cfg4)
+    qp4 = build_quant_tree("int4")
+    full_ids = jnp.concatenate([prompt, jnp.asarray(toks8)])
+
+    def tf(params, cache, ids):
+        emb = lm4.apply(params, ids[None], method=lm4.embed)
+        lg, cache = lm4.apply(params, emb, cache, 0)
+        # predictions for positions prompt..end (the toks8 stream)
+        return lg[0, prompt.shape[0] - 1:-1].astype(jnp.float32)
+
+    cache4 = KVCache.init(cfg4, 1, 256, jnp.bfloat16)
+    ftf = aot(jax.jit(tf), qp4, cache4, full_ids)
+    logits4 = np.asarray(ftf(qp4, cache4, full_ids))       # [n_dec, V]
     del qp4
     gc.collect()
 
-    agree = toks8 == toks4
-    match_len = int(np.argmin(agree)) if not agree.all() else n_dec
+    agree = np.argmax(logits4, axis=-1) == toks8
     cos = np.mean([
         float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
         for a, b in zip(logits8, logits4)])
-    res["int4_vs_int8_greedy_match_pct"] = round(100.0 * match_len / n_dec, 1)
-    res["int4_vs_int8_match_all_pct"] = round(100.0 * agree.mean(), 1)
-    res["int4_vs_int8_logit_cos"] = round(cos, 4)
+    res["int4_vs_int8_greedy_match_pct"] = float(
+        round(100.0 * agree.mean(), 1))
+    res["int4_vs_int8_logit_cos"] = float(round(cos, 4))
+    # softer rank metric: how often int8's greedy choice is in int4's
+    # top-5 — near-ties flip argmax without changing decode quality
+    top5 = np.argsort(logits4, axis=-1)[:, -5:]
+    in5 = [int(t8) in set(int(v) for v in row)
+           for t8, row in zip(toks8, top5)]
+    res["int4_vs_int8_top5_pct"] = float(round(100.0 * np.mean(in5), 1))
     return res
 
 
@@ -1165,7 +1204,10 @@ def main():
         except Exception as e:  # keep later parts alive past one failure
             traceback.print_exc()
             res = {f"{name}_error": f"{type(e).__name__}: {e}"[:200]}
-        res = {k: (round(v, 4) if isinstance(v, float) else v)
+        # np.floating would crash json.dumps below and take every later
+        # part down with it — normalize to plain Python floats
+        res = {k: (round(float(v), 4) if isinstance(v, (float, np.floating))
+                   else int(v) if isinstance(v, np.integer) else v)
                for k, v in res.items()}
         res[f"{name}_part_s"] = round(time.time() - t0, 1)
         print(json.dumps({"part": name, **res}), flush=True)
