@@ -44,6 +44,7 @@ SLOW_E2E_MODULES = {
     "test_distributed",   # real 2-OS-process meshes: ~2-4 min of compiles
     "test_convert_stats",  # full-scale XL forward on CPU: ~6 min (but NOT
                            # oracle — it needs only the committed fixture)
+    "test_bench_parts_logic",  # tiny-geometry caption_probe: ~3-4 min
 }
 
 
