@@ -157,6 +157,15 @@ def stream_parts(parts, deadline: float, first_timeout: float,
     """Run `parts` in ONE bench_full.py child, merging its one-JSON-line-
     per-part stream into RES as lines arrive.
 
+    Returns (pending_parts, stderr_tail, respawn_clean): pending[0] is
+    the part that hung/crashed (parts complete strictly in argv order) —
+    UNLESS respawn_clean is True, in which case every pending part is
+    innocent: a completed part reported a RESOURCE_EXHAUSTED error, which
+    can leave the relay device wedged for everything after it in the same
+    child (observed round 5: a profile-part OOM made the next part fail
+    in 0.6 s), so the caller should respawn the rest in a fresh child
+    without dropping any of them.
+
     Why one child for all parts (round-4 relay finding): the FIRST compile
     of a process pays a congestion-dependent toll through the axon
     remote-compile relay — measured 68-302 s even for a trivial `v+1`
@@ -166,10 +175,7 @@ def stream_parts(parts, deadline: float, first_timeout: float,
     HBM between parts so model families still never share the chip.
 
     first_timeout covers the toll + the first part; each completed part
-    re-arms the clock at part_timeout. Returns (pending_parts,
-    stderr_tail): pending[0] is the part that hung/crashed (parts complete
-    strictly in argv order), so the caller can drop it and respawn with
-    the rest."""
+    re-arms the clock at part_timeout."""
     import queue
     import threading
 
@@ -196,6 +202,7 @@ def stream_parts(parts, deadline: float, first_timeout: float,
 
     pending = list(parts)
     stderr_tail: list = []
+    respawn_clean = False
     t_arm = time.time()
     timeout_cur = max(first_timeout, _pt(pending[0]) if pending else 0.0)
     try:
@@ -225,11 +232,17 @@ def stream_parts(parts, deadline: float, first_timeout: float,
                 pending.remove(name)
                 t_arm = time.time()
                 timeout_cur = _pt(pending[0]) if pending else 300.0
+                if pending and any(
+                        k.endswith("_error")
+                        and "RESOURCE_EXHAUSTED" in str(v)
+                        for k, v in obj.items()):
+                    respawn_clean = True
+                    break
     finally:
         if proc.poll() is None:
             proc.kill()
         _CHILD[:] = []
-    return pending, stderr_tail
+    return pending, stderr_tail, respawn_clean
 
 
 def _publish(obj: dict) -> None:
@@ -468,8 +481,11 @@ def main():
     attempt = 0
     while pending and time.time() < deadline - 30 and attempt < 3:
         attempt += 1
-        pending, errs = stream_parts(pending, deadline, first_timeout,
-                                     part_timeout)
+        pending, errs, respawn_clean = stream_parts(
+            pending, deadline, first_timeout, part_timeout)
+        if respawn_clean:
+            continue    # an OOM part may have wedged the child's device;
+                        # every pending part is innocent — fresh child
         if pending and time.time() < deadline - 30:
             bad = pending.pop(0)
             RES[f"{bad}_error"] = (f"hung/crashed (attempt {attempt}): "

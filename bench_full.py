@@ -810,6 +810,15 @@ def part_sdxl_profile():
     t_first = clock(first_only, up, cp, x, sigma, label="first")
     t_ctrl = clock(lambda cp, xx: ctrl.apply(cp, xx, xx, t, ca, vec),
                    cp, x, label="ctrl")
+    del t_ctrl  # reported via res; silence the unused name
+
+    # the two param sets cannot coexist: ~7.7 GB (full) + ~6 GB (noattn)
+    # + step activations exceeds the 16 GB chip (this part OOM'd and
+    # wedged the device for every later part before this free)
+    import gc
+    del up, cp
+    gc.collect()
+    jax.clear_caches()
 
     # attention share: identical step with every SpatialTransformer gone
     ucfg_na = SDXLUNetConfig(dtype=jnp.bfloat16, attention_resolutions=())

@@ -46,8 +46,8 @@ def test_all_parts_complete_and_merge(fake_child):
         for name in sys.argv[1:]:
             print(json.dumps({"part": name, name + "_x": 1.5}), flush=True)
     """)
-    pending, _ = _run(["a", "b", "c"])
-    assert pending == []
+    pending, _, respawn = _run(["a", "b", "c"])
+    assert pending == [] and not respawn
     assert bench.RES == {"a_x": 1.5, "b_x": 1.5, "c_x": 1.5}
 
 
@@ -63,7 +63,7 @@ def test_hung_part_identified_by_argv_order(fake_child):
     # through the axon sitecustomize, more under CI load) before printing
     # "a" — the behavior under test is the RE-ARMED part clock catching
     # the hang on "b" 2 s after "a" completes
-    pending, _ = _run(["a", "b", "c"], budget=40.0, part_timeout=2.0,
+    pending, _, _ = _run(["a", "b", "c"], budget=40.0, part_timeout=2.0,
                       first_timeout=15.0)
     assert pending == ["b", "c"]
     assert bench.RES["a_x"] == 2.0
@@ -78,7 +78,7 @@ def test_crashed_child_returns_remaining_and_stderr(fake_child):
         print("boom: traceback tail", file=sys.stderr, flush=True)
         sys.exit(1)
     """)
-    pending, stderr_tail = _run(["a", "b"])
+    pending, stderr_tail, _ = _run(["a", "b"])
     assert pending == ["b"]
     assert bench.RES["a_x"] == 3.0
     assert any("boom" in ln for ln in stderr_tail)
@@ -90,7 +90,7 @@ def test_non_json_noise_lines_are_ignored(fake_child):
         print(json.dumps({"part": "a", "a_x": 4.0}), flush=True)
         print("trailing chatter", flush=True)
     """)
-    pending, _ = _run(["a"])
+    pending, _, _ = _run(["a"])
     assert pending == []
     assert bench.RES["a_x"] == 4.0
 
@@ -103,7 +103,27 @@ def test_error_result_lines_still_complete_their_part(fake_child):
               flush=True)
         print(json.dumps({"part": "b", "b_x": 5.0}), flush=True)
     """)
-    pending, _ = _run(["a", "b"])
+    pending, _, _ = _run(["a", "b"])
     assert pending == []
     assert bench.RES["a_error"] == "ValueError: x"
     assert bench.RES["b_x"] == 5.0
+
+
+def test_oom_part_triggers_clean_respawn(fake_child):
+    """A part that completes with a RESOURCE_EXHAUSTED error can leave the
+    child's relay device wedged for every later part (observed round 5) —
+    stream_parts must stop the child and flag a clean respawn with the
+    remaining parts intact (none of them blamed)."""
+    fake_child("""
+        print(json.dumps({"part": "a", "a_x": 1.0}), flush=True)
+        print(json.dumps({"part": "b",
+                          "b_error": "JaxRuntimeError: RESOURCE_EXHAUSTED: "
+                                     "TPU backend error"}), flush=True)
+        print(json.dumps({"part": "c", "c_x": 9.9}), flush=True)
+    """)
+    pending, _, respawn = _run(["a", "b", "c"])
+    assert respawn is True
+    assert pending == ["c"]          # innocent, not blamed
+    assert bench.RES["a_x"] == 1.0
+    assert "RESOURCE_EXHAUSTED" in bench.RES["b_error"]
+    assert "c_x" not in bench.RES    # c never ran in the wedged child
