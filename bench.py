@@ -87,11 +87,13 @@ FULL_PARTS = ("hbm_peak", "llama", "engine", "sr3_train",
 # parts whose re-armed clock must exceed the default part timeout:
 # sdxl_1024 ran 247 s of a 300 s clock on a congested relay day (round-4
 # review Weak #4); e2e_1024 pays a full-scale host weight init plus the
-# whole pipeline's compiles; caption_probe generates + quantizes an 8B
-# tree twice. Values are caps on HANGS, not budgets — the overall
-# BENCH_BUDGET_S still bounds the run and the kill-safe emitter keeps
-# whatever completed.
-PART_TIMEOUTS = {"sdxl_1024": 480.0, "e2e_1024": 900.0,
+# whole pipeline's compiles (measured 783 s wall WARM-cache — the host
+# init + relay transfer alone is ~515 s, so the clock leaves real slack
+# for a congested day); caption_probe generates + quantizes an 8B tree
+# twice (measured 320 s warm). Values are caps on HANGS, not budgets —
+# the overall BENCH_BUDGET_S still bounds the run and the kill-safe
+# emitter keeps whatever completed.
+PART_TIMEOUTS = {"sdxl_1024": 480.0, "e2e_1024": 1400.0,
                  "caption_probe": 720.0}
 
 # parts that live in their own driver script (everything else is a
@@ -457,7 +459,11 @@ def main():
     # budget is now strictly safe: the SIGTERM/atexit emitter means a
     # driver kill still yields the one JSON line with whatever completed,
     # so the only effect of a generous budget is more parts captured.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    # 3000 (round 5): a warm-cache full required run measures ~1600 s of
+    # parts; one cold-toll absorption (observed 1300 s on stage1 when the
+    # cache was empty) must not evict the round-5 measurement parts at
+    # the tail of the priority list.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
     # 300 not 240: the sdxl_1024 part measured 228 s wall on a congested
     # relay day (rc=0 run, 2026-08-19) — 240 left 12 s of margin between
     # "slow relay" and "lose the production-resolution composite". The
