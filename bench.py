@@ -86,13 +86,13 @@ FULL_PARTS = ("hbm_peak", "llama", "engine", "sr3_train",
 
 # parts whose re-armed clock must exceed the default part timeout:
 # sdxl_1024 ran 247 s of a 300 s clock on a congested relay day (round-4
-# review Weak #4); e2e_1024 pays a full-scale host weight init plus the
-# whole pipeline's compiles (measured 783 s wall WARM-cache — the host
-# init + relay transfer alone is ~515 s, so the clock leaves real slack
-# for a congested day); caption_probe generates + quantizes an 8B tree
-# twice (measured 320 s warm). Values are caps on HANGS, not budgets —
-# the overall BENCH_BUDGET_S still bounds the run and the kill-safe
-# emitter keeps whatever completed.
+# review Weak #4); e2e_1024 pays a full-scale weight init plus the whole
+# pipeline's compiles (measured 783 s wall when the init ran on host —
+# the on-device bf16 init cut that to ~118 s warm, but the clock keeps
+# the old slack for a congested/cold-cache day); caption_probe generates
+# + quantizes an 8B tree twice (measured 320 s warm). Values are caps on
+# HANGS, not budgets — the overall BENCH_BUDGET_S still bounds the run
+# and the kill-safe emitter keeps whatever completed.
 PART_TIMEOUTS = {"sdxl_1024": 480.0, "e2e_1024": 1400.0,
                  "caption_probe": 720.0}
 
@@ -109,17 +109,29 @@ _EMITTED = False
 _CHILD: list = []
 
 
+# Resolve libc at MODULE scope: preexec_fn runs between fork() and exec()
+# in a multithreaded parent (pump threads from a previous stream_parts
+# child), where importing a module / dlopen can deadlock on a lock some
+# other thread held at fork time. Calling a pre-resolved function pointer
+# is async-signal-safe enough for this one prctl.
+try:
+    import ctypes
+    _PRCTL = ctypes.CDLL("libc.so.6", use_errno=True).prctl
+except Exception:  # pragma: no cover - non-Linux
+    _PRCTL = None
+
+
 def _die_with_parent():  # pragma: no cover - child-process preexec
     """PR_SET_PDEATHSIG: the part child is SIGKILLed by the kernel the
     moment bench.py dies — closes the race where a driver kill lands
     while Popen is mid-spawn (before _CHILD is armed), which left an
     orphan part squatting on the TPU (observed from the SIGTERM contract
     test, round 5)."""
-    try:
-        import ctypes
-        ctypes.CDLL("libc.so.6", use_errno=True).prctl(1, signal.SIGKILL)
-    except Exception:
-        pass  # non-Linux: fall back to the _CHILD kill in the handler
+    if _PRCTL is not None:
+        try:
+            _PRCTL(1, signal.SIGKILL)
+        except Exception:
+            pass  # fall back to the _CHILD kill in the handler
 
 
 def run_part(name: str, timeout_s: float) -> dict:
@@ -303,9 +315,10 @@ def emit() -> None:
             v = res[k]
             extras[k] = round(v, 1) if isinstance(v, float) else v
     # informational: Pallas flash kernels (fwd; fused bwd vs XLA recompute)
+    # + the SDXL per-component step split (PERF.md anchors on it)
     extras.update({k: v for k, v in res.items()
                    if k.startswith(("flash_bwd_", "flash_fwd_",
-                                    "flash_roofline_"))})
+                                    "flash_roofline_", "sdxlprof_"))})
     # roofline columns (compiled-program cost_analysis vs v5e ceilings)
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})
@@ -487,11 +500,19 @@ def main():
     attempt = 0
     while pending and time.time() < deadline - 30 and attempt < 3:
         attempt += 1
+        n_before = len(pending)
         pending, errs, respawn_clean = stream_parts(
             pending, deadline, first_timeout, part_timeout)
         if respawn_clean:
-            continue    # an OOM part may have wedged the child's device;
-                        # every pending part is innocent — fresh child
+            # an OOM part may have wedged the child's device; every
+            # pending part is innocent — fresh child. Such a round made
+            # progress (the OOM part completed and left pending), so it
+            # must not consume one of the 3 hang-recovery attempts —
+            # otherwise two OOM days plus one hang would evict innocent
+            # tail parts with budget remaining.
+            if len(pending) < n_before:
+                attempt -= 1
+            continue
         if pending and time.time() < deadline - 30:
             bad = pending.pop(0)
             RES[f"{bad}_error"] = (f"hung/crashed (attempt {attempt}): "

@@ -846,7 +846,9 @@ def part_e2e_1024():
     SR3 at 224^2 -> PNG hop -> stage-2b at the min_size=1024 path (3 VAE
     codec passes + conditioner + 50-step RestoreEDM scan + 1024px decode +
     wavelet colorfix + PNG save). Weights are full-scale seeded random
-    host inits (the pipeline's documented no-checkpoint smoke mode) —
+    ON-DEVICE inits in bf16 (the pipeline's documented no-checkpoint
+    smoke mode; one jit per family with init-faithful magnitudes — the
+    pre-round-5 host fp32 init + relay transfer measured ~515 s/run) —
     weight VALUES don't change the timed compute because every stage jit
     takes params as arguments. no_llava: the 8B captioner cannot co-reside
     with the full SDXL stack on one 16 GB chip; the caption term is
@@ -1145,9 +1147,12 @@ def part_caption_probe():
     gc.collect()
 
     agree = np.argmax(logits4, axis=-1) == toks8
+    # alignment: the int8 scan emits lg AFTER consuming tok, so
+    # logits8[i] predicts toks8[i+1]; teacher-forced logits4[i] predicts
+    # toks8[i] — pair logits8[i] with logits4[i+1] (same prediction point)
     cos = np.mean([
         float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
-        for a, b in zip(logits8, logits4)])
+        for a, b in zip(logits8[:-1], logits4[1:])])
     res["int4_vs_int8_greedy_match_pct"] = float(
         round(100.0 * agree.mean(), 1))
     res["int4_vs_int8_logit_cos"] = float(round(cos, 4))

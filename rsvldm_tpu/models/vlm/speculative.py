@@ -180,9 +180,11 @@ def speculative_generate(target: LlamaModel, tp: Any, draft: LlamaModel,
                          dp: Any, input_embeds, cfg: GenerateConfig,
                          rng: jax.Array, k: int = 4,
                          draft_embeds=None,
-                         return_stats: bool = False) -> np.ndarray:
+                         return_stats: bool = False
+                         ) -> "np.ndarray | tuple[np.ndarray, dict]":
     """Drop-in for `generate` with a draft model: [S, D] spliced prompt ->
-    np.int32 generated ids (trimmed at the first eot).
+    np.int32 generated ids (trimmed at the first eot); with
+    return_stats=True, an (ids, stats) tuple instead.
 
     draft_embeds: the prompt in the draft's embedding space; defaults to
     input_embeds (valid when the families share dim/tokenizer, e.g. a

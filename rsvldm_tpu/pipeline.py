@@ -156,13 +156,56 @@ class SuperResolutionPipeline:
         # which made smoke/perf runs non-reproducible)
         import zlib
         seed = zlib.crc32(what.encode()) % (2**31)
-        # init on HOST: fp32 random init of the full Stage-2 stack would
-        # transiently exceed one chip's HBM before the bf16 cast
-        cpus = jax.devices("cpu")
-        if cpus and not self.debug_tiny:
-            with jax.default_device(cpus[0]):
-                return init_fn(jax.random.PRNGKey(seed))
-        return init_fn(jax.random.PRNGKey(seed))
+        key = jax.random.PRNGKey(seed)
+        if self.debug_tiny:
+            return init_fn(key)
+        if self.cfg.params_dtype != "bf16":
+            # fp32 storage: the full-scale fp32 stack exceeds one chip's
+            # HBM, so init on HOST (the pre-round-5 path)
+            cpus = jax.devices("cpu")
+            if cpus:
+                with jax.default_device(cpus[0]):
+                    return init_fn(key)
+            return init_fn(key)
+        # Full scale: generate the params ON DEVICE directly in the bf16
+        # storage dtype, in ONE jit. The previous host fp32 `.init` +
+        # per-leaf relay transfer of the whole Stage-2 stack measured
+        # ~515 s per bench run (e2e_1024's dominant cost); eval_shape
+        # gives the exact tree, and an init-faithful per-leaf rule (norm
+        # scales 1, biases 0, kernels fan-in-scaled normals) reproduces
+        # the real init's magnitudes so smoke activations stay in the
+        # same regime. fp32 init on device is not an option: the full
+        # stack's fp32 transient exceeds one chip's 16 GB HBM.
+        shapes = jax.eval_shape(init_fn, key)
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        dtype = (jnp.bfloat16 if self.cfg.params_dtype == "bf16"
+                 else jnp.float32)
+
+        def _leaf(k, name, s):
+            if not jnp.issubdtype(s.dtype, jnp.floating):
+                return jnp.zeros(s.shape, s.dtype)
+            dt = dtype
+            if name == "bias" or s.ndim == 0:
+                return jnp.zeros(s.shape, dt)
+            if name == "scale":
+                return jnp.ones(s.shape, dt)
+            if name == "kernel" and s.ndim >= 2:
+                # lecun_normal magnitude: fan_in = prod(all but last dim)
+                fan_in = 1
+                for d in s.shape[:-1]:
+                    fan_in *= d
+                return (jax.random.normal(k, s.shape, dt)
+                        * (1.0 / fan_in) ** 0.5)
+            return jax.random.normal(k, s.shape, dt) * 0.02
+
+        def build(key):
+            out = []
+            for i, (path, s) in enumerate(paths_leaves):
+                name = str(getattr(path[-1], "key", path[-1]))
+                out.append(_leaf(jax.random.fold_in(key, i), name, s))
+            return out
+        leaves = jax.jit(build)(key)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def _load_stage1_weights(self):
         cd = Path(self.cfg.ckpt_dir)
