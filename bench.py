@@ -387,6 +387,15 @@ def emit() -> None:
                     "e2e_measured + measured caption terms; delta vs the "
                     "dfb-hit-rate-adjusted arithmetic stage sum")
                 comp1024 = meas + caption_s
+                # the cache-OFF wall clock is weight-independent (no DFB
+                # hit-rate dependence) — reconcile it against the zero-hit
+                # arithmetic stage sum directly
+                nocache = res.get("e2e_measured_nocache_s_per_image_1024px")
+                if nocache is not None:
+                    expect_nc = (res["stage1_500step_s"] + 50 * step_miss
+                                 + 2 * res["vae_decode_1024px_s"])
+                    extras["e2e_nocache_vs_arith_delta_pct"] = round(
+                        100.0 * (nocache - expect_nc) / expect_nc, 1)
             # DFBCache-active arithmetic estimate at the measured hit rate
             # (round-4 review item 3) — the [hit,miss] bound collapsed to
             # a point by the e2e run's real trajectory trace

@@ -905,6 +905,21 @@ def part_e2e_1024():
     t0 = time.time()
     pipe.run_refinement(Image.fromarray(sr_np), "", use_bucket=False)
     res["e2e_stage2b_s"] = round(time.time() - t0, 2)
+
+    # cache-OFF wall clock: the hit rate above depends on the synthetic
+    # weights (observed 0.84 vs 0.96 across init styles), so also measure
+    # the WEIGHT-INDEPENDENT number — every step runs the full model.
+    # img_threshold<=0 selects a sampler program without the cache cond
+    # (one extra compile, persistent-cached); bench.py reconciles it
+    # against the zero-hit arithmetic stage sum.
+    pipe.cfg.refine.img_threshold = 0.0
+    pipe.process()                      # pays the cache-off compile once
+    best_nc = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        pipe.process()
+        best_nc = min(best_nc, time.time() - t0)
+    res["e2e_measured_nocache_s_per_image_1024px"] = round(best_nc, 3)
     return res
 
 

@@ -149,6 +149,19 @@ def test_emit_measured_e2e_anchors_headline():
     assert "pct_note" not in out   # no roofline columns in this res
 
 
+def test_emit_nocache_reconciliation():
+    """The cache-off wall clock reconciles against the ZERO-hit arithmetic
+    stage sum (weight-independent, no dfb_hit_rate involved)."""
+    res = {**BASE_RES, "e2e_measured_s_per_image_1024px": 12.0,
+           "dfb_hit_rate": 0.9,
+           "e2e_measured_nocache_s_per_image_1024px": 12.5}
+    out = _emit_with(res)
+    expect_nc = 1.4 + 50 * 0.2 + 2 * 0.09
+    assert out["e2e_nocache_vs_arith_delta_pct"] == round(
+        100 * (12.5 - expect_nc) / expect_nc, 1)
+    assert out["e2e_measured_nocache_s_per_image_1024px"] == 12.5
+
+
 def test_emit_int4_variant_gated_on_evidence():
     res = {**BASE_RES, "llama8B_int4_tok_s": 78.0,
            "int4_vs_int8_greedy_match_pct": 95.0}
