@@ -355,6 +355,16 @@ def emit() -> None:
     if all(k in res for k in needed) and caption_s is not None:
         composite = (res["stage1_500step_s"] + 50 * res["sdxl_step_64lat_s"]
                      + 2 * res["vae_decode_512px_s"] + caption_s)
+        # when the e2e part also measured the 512px path, the headline
+        # `value` is a real process() wall clock + caption terms (the
+        # metric name drops its `_est` suffix); the arithmetic sum stays
+        # on the line for comparison
+        metric_name = "e2e_seconds_per_image_512px_est"
+        meas512 = res.get("e2e_measured_s_per_image_512px")
+        if meas512 is not None:
+            extras["composite_arith_s_per_image_512px"] = round(composite, 2)
+            composite = meas512 + caption_s
+            metric_name = "e2e_seconds_per_image_512px"
         extras["composite_s_per_image"] = round(composite, 2)
         # the PRODUCTION path: min_size=1024 -> 128^2 latent + 1024px decode
         if "sdxl_step_128lat_s" in res and "vae_decode_1024px_s" in res:
@@ -428,7 +438,7 @@ def emit() -> None:
             extras["vs_baseline_1024px"] = round(
                 ASSUMED_REF_S_PER_IMAGE / comp1024, 2)
         _publish({
-            "metric": "e2e_seconds_per_image_512px_est",
+            "metric": metric_name,
             "value": round(composite, 2),
             "unit": "s/image",
             "vs_baseline": round(ASSUMED_REF_S_PER_IMAGE / composite, 2),

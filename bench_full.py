@@ -920,6 +920,23 @@ def part_e2e_1024():
         pipe.process()
         best_nc = min(best_nc, time.time() - t0)
     res["e2e_measured_nocache_s_per_image_1024px"] = round(best_nc, 3)
+
+    # 512px path (the round-1/2 contract metric, `min_size=512` -> 64^2
+    # latent): measured the same way as the production path, cache active
+    # at the reference threshold — stamps the driver's headline `value`
+    # as a wall clock instead of an arithmetic estimate.
+    pipe.cfg.refine.img_threshold = 0.3
+    pipe.cfg.refine.min_size = 512
+    pipe.process()                      # pays the 64^2 compiles once
+    best5 = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        pipe.process()
+        best5 = min(best5, time.time() - t0)
+    res["e2e_measured_s_per_image_512px"] = round(best5, 3)
+    dfb5 = pipe.last_dfb or {}
+    res["dfb_hit_rate_512px"] = round(
+        int(dfb5.get("hits", 0)) / (int(dfb5.get("steps", 0)) or 1), 3)
     return res
 
 

@@ -149,6 +149,22 @@ def test_emit_measured_e2e_anchors_headline():
     assert "pct_note" not in out   # no roofline columns in this res
 
 
+def test_emit_measured_512px_anchors_metric():
+    """When the e2e part measured the 512px path too, the driver metric
+    drops `_est` and its value is the measured clock + caption terms."""
+    res = {**BASE_RES, "e2e_measured_s_per_image_512px": 4.0,
+           "dfb_hit_rate_512px": 0.9}
+    out = _emit_with(res)
+    cap = 0.25 + 256 / 60.0
+    assert out["metric"] == "e2e_seconds_per_image_512px"
+    assert out["value"] == round(4.0 + cap, 2)
+    assert out["composite_arith_s_per_image_512px"] == round(
+        1.4 + 50 * 0.05 + 2 * 0.02 + cap, 2)
+    # without the measurement the old contract name stays
+    out2 = _emit_with(dict(BASE_RES))
+    assert out2["metric"] == "e2e_seconds_per_image_512px_est"
+
+
 def test_emit_nocache_reconciliation():
     """The cache-off wall clock reconciles against the ZERO-hit arithmetic
     stage sum (weight-independent, no dfb_hit_rate involved)."""
