@@ -411,7 +411,9 @@ def part_llama_int8():
     fd = jax.jit(decode, static_argnums=2)
     n = 16
     fdc = aot(fd, lp, cache, n)
-    dt = timed(lambda: fdc(lp, cache), n=2)
+    # best-of-6: the decode tok/s is the composite's largest term and a
+    # 2-sample best once caught a 35% congestion outlier (39 tok/s)
+    dt = timed(lambda: fdc(lp, cache), n=6)
     return {"llama8B_int8_tok_s": n / dt,
             **roofline(fdc, dt, prefix="llama_int8_", trips=n)}
 
@@ -452,7 +454,7 @@ def part_llama_int4():
     fd = jax.jit(decode, static_argnums=2)
     n = 16
     fdc = aot(fd, lp, cache, n)
-    dt = timed(lambda: fdc(lp, cache), n=2)
+    dt = timed(lambda: fdc(lp, cache), n=6)
     return {"llama8B_int4_tok_s": n / dt,
             **roofline(fdc, dt, prefix="llama_int4_", trips=n)}
 
@@ -486,7 +488,7 @@ def part_llama_int8kv():
     fd = jax.jit(decode, static_argnums=2)
     n = 16
     fdc = aot(fd, lp, cache, n)
-    dt = timed(lambda: fdc(lp, cache), n=2)
+    dt = timed(lambda: fdc(lp, cache), n=6)
     return {"llama8B_int8kv_tok_s": n / dt,
             **roofline(fdc, dt, prefix="llama_int8kv_", trips=n)}
 
