@@ -894,11 +894,16 @@ def part_e2e_1024():
     dfb = pipe.last_dfb or {}
     hits = int(dfb.get("hits", 0))
     steps = int(dfb.get("steps", 0)) or 1
+    trace = dfb.get("trace")
     res = {"e2e_measured_s_per_image_1024px": best,
            "e2e_cold_s": round(t_cold, 1),
            "e2e_init_s": round(t_init, 1),
            "dfb_hit_rate": round(hits / steps, 3),
            "dfb_hits": hits, "dfb_steps": steps}
+    if trace is not None:
+        # per-step decisions as a compact 0/1 string (step order) — shows
+        # WHERE on the trajectory the misses cluster, not just the rate
+        res["dfb_trace"] = "".join(str(int(bool(v))) for v in trace)
 
     # stage split (warm, informational): the same units process() chains
     t0 = time.time()
