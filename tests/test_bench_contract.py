@@ -193,6 +193,17 @@ def test_emit_int4_variant_gated_on_evidence():
     assert "composite_s_per_image_1024px_int4" not in out2
 
 
+def test_emit_sdxl_profile_split_rides_line():
+    """BENCH_FULL sdxl_profile results must reach the driver line — the
+    per-component split PERF.md anchors on (self-review finding)."""
+    out = _emit_with({**BASE_RES, "sdxlprof_full_ms": 195.2,
+                      "sdxlprof_full_gflop": 18877.3,
+                      "sdxlprof_rest_ms": 97.4})
+    assert out["sdxlprof_full_ms"] == 195.2
+    assert out["sdxlprof_full_gflop"] == 18877.3
+    assert out["sdxlprof_rest_ms"] == 97.4
+
+
 def test_emit_pct_note_rides_roofline_columns():
     out = _emit_with({**BASE_RES, "stage1_hbm_pct": 181.0})
     assert "pct_note" in out and "VMEM" in out["pct_note"]
