@@ -269,7 +269,11 @@ def _publish(obj: dict) -> None:
     line = json.dumps(obj)
     print(line, flush=True)
     try:
-        with open(os.path.join(HERE, "BENCH_LOCAL_LAST.json"), "w") as f:
+        # RSVLDM_BENCH_MIRROR: tests redirect the mirror to a tmp path so
+        # running the suite can't delete the last REAL run's backstop
+        path = os.environ.get("RSVLDM_BENCH_MIRROR",
+                              os.path.join(HERE, "BENCH_LOCAL_LAST.json"))
+        with open(path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass  # never fail the contract over the mirror

@@ -21,11 +21,17 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
-MIRROR = os.path.join(REPO, "BENCH_LOCAL_LAST.json")
+import tempfile
+
+# redirect the mirror into a per-session tmp file: deleting the REAL
+# BENCH_LOCAL_LAST.json (the last genuine bench run's forensic backstop)
+# as test cleanup destroyed exactly what the file exists to preserve
+MIRROR = os.path.join(tempfile.mkdtemp(prefix="bench_mirror_"),
+                      "BENCH_LOCAL_LAST.json")
 
 
 def _run(env_extra, **kw):
-    env = {**os.environ, **env_extra}
+    env = {**os.environ, **env_extra, "RSVLDM_BENCH_MIRROR": MIRROR}
     return subprocess.run([sys.executable, BENCH], env=env, text=True,
                           capture_output=True, timeout=60, **kw)
 
