@@ -94,7 +94,12 @@ FULL_PARTS = ("hbm_peak", "llama", "engine", "sr3_train",
 # HANGS, not budgets — the overall BENCH_BUDGET_S still bounds the run
 # and the kill-safe emitter keeps whatever completed.
 PART_TIMEOUTS = {"sdxl_1024": 480.0, "e2e_1024": 1400.0,
-                 "caption_probe": 720.0}
+                 "caption_probe": 720.0,
+                 # BENCH_FULL tier: sr3_train measured 343 s and
+                 # sdxl_profile 1732 s cold (both beyond the 300 s
+                 # default — a FULL run killed them before round 5 added
+                 # these clocks)
+                 "sr3_train": 600.0, "sdxl_profile": 1900.0}
 
 # parts that live in their own driver script (everything else is a
 # bench_full.py part name). 8h8 = 8 slots with an 8-step decode horizon
