@@ -324,10 +324,13 @@ def emit() -> None:
             v = res[k]
             extras[k] = round(v, 1) if isinstance(v, float) else v
     # informational: Pallas flash kernels (fwd; fused bwd vs XLA recompute)
-    # + the SDXL per-component step split (PERF.md anchors on it)
+    # + the SDXL per-component step split (PERF.md anchors on it) + every
+    # serving-engine spec (the h>1 decode-horizon tags were dropped by
+    # the old explicit-key list)
     extras.update({k: v for k, v in res.items()
                    if k.startswith(("flash_bwd_", "flash_fwd_",
-                                    "flash_roofline_", "sdxlprof_"))})
+                                    "flash_roofline_", "sdxlprof_",
+                                    "engine_"))})
     # roofline columns (compiled-program cost_analysis vs v5e ceilings)
     extras.update({k: v for k, v in res.items()
                    if k.endswith("_mfu_pct") or k.endswith("_hbm_pct")})
