@@ -317,6 +317,7 @@ def emit() -> None:
         extras["vae_decode_1024px_ms"] = round(
             1000 * res["vae_decode_1024px_s"], 1)
     for k in ("llama8B_est_tok_s", "llama8B_int8_tok_s", "llama8B_int4_tok_s",
+              "llama8B_int8kv_tok_s", "llama2B_tok_s",
               "engine_8slot_agg_tok_s", "sr3_train_img_s",
               "qlora8B_train_tok_s", "hbm_read_gbs_measured",
               "hbm_read_pct_of_peak"):
